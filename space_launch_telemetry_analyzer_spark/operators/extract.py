@@ -1,0 +1,416 @@
+r"""Page-level DOM extraction: the engine's core vectorized kernel.
+
+Re-expresses the reference's per-frame extraction dispatch
+(`ocr/extract_data.py:138-210`): ROI crop (`slice_roi`, extract_data.py:18-27)
+becomes block selection over a flattened DOM block array; the EasyOCR read
+with allowlist (`ocr/ocr.py:81-194`) becomes a Boilerpipe/Readability-style
+boilerplate strip (text-density + link-density block classification); the
+field parsers are exact ports (functions/parse.py).
+
+Execution model (Spark-first):
+- ONE `mapInPandas` pass over Arrow batches of pages — the only Python hot
+  path in the engine. Everything downstream (validation, derived metrics,
+  aggregation) is JVM-side DataFrame expressions.
+- Per-row failures become an `error` column, never a task failure — the
+  reference's row-level error channel (frame_processing.py:41-50,
+  batch_processing.py:86-90): failure is data, not control flow.
+- Rule config arrives via a Spark broadcast (≅ the reference's ProcessPool
+  initializer re-materializing the ROI config per worker process,
+  batch_processing.py:139-149).
+
+Determinism contract (byte-identical extracted text per url — BASELINE.json):
+- the block model, thresholds, whitespace and entity policy below are FROZEN
+  and exercised by golden fixtures (tests/test_extract.py);
+- no dict-iteration-order or hash-seed dependence anywhere: blocks are in
+  document order, engine sections in config order.
+
+Block model (frozen):
+- a *block* opens at each block-level tag (BLOCK_TAGS) and holds the text of
+  its inline content; nested block-level tags open child blocks (parent_idx
+  links them, giving the flattened-but-navigable DOM array);
+- <a> text counts toward both n_chars and n_link_chars of the enclosing
+  block (link density = link chars / chars);
+- <script>/<style>/comments are dropped; entities unescaped; block text is
+  stripped of leading/trailing whitespace only (no internal collapsing);
+  <br> contributes a single '\n'.
+
+Classification (frozen, Boilerpipe-family):
+  is_content = tag not in NON_CONTENT_TAGS
+               and n_words >= MIN_CONTENT_WORDS (5)
+               and link_density <= MAX_LINK_DENSITY (1/3)
+extracted_text = '\n'.join(text of content blocks, document order).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import time as _time
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.parse import extract_single_value, extract_time, convert_measurement
+from ..rules import DEFAULT_TIME_REGEX, RuleConfig
+
+# ---------------------------------------------------------------------------
+# frozen constants
+# ---------------------------------------------------------------------------
+MIN_CONTENT_WORDS = 5
+MAX_LINK_DENSITY = 1.0 / 3.0
+
+BLOCK_TAGS = frozenset(
+    "p div li ul ol nav footer header aside main article section span title "
+    "h1 h2 h3 h4 h5 h6 td th tr table blockquote pre form button figure figcaption".split()
+)
+NON_CONTENT_TAGS = frozenset("nav header footer aside title script style form button".split())
+SKIP_CONTENT_TAGS = frozenset(("script", "style"))
+VOID_TAGS = frozenset("br hr img meta link input area base col embed source track wbr".split())
+
+_TAG_RE = re.compile(r"<(!--.*?--|/?[a-zA-Z][a-zA-Z0-9]*(?:[^>\"']|\"[^\"]*\"|'[^']*')*/?|![^>]*)>", re.DOTALL)
+_CLASS_RE = re.compile(r"""\bclass\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+_WS_RE = re.compile(r"\s+")
+
+
+@dataclass
+class Block:
+    """One entry of the flattened DOM block array (schema.BLOCK_SCHEMA)."""
+
+    block_idx: int
+    tag: str
+    css_class: str
+    depth: int
+    parent_idx: int
+    pieces: list = field(default_factory=list)
+    n_link_chars: int = 0
+    text: str = ""
+    n_chars: int = 0
+    n_words: int = 0
+    link_density: float = 0.0
+    is_content: bool = False
+
+    def finalize(self) -> None:
+        raw = "".join(self.pieces)
+        self.text = raw.strip()
+        self.n_chars = len(self.text)
+        self.n_words = len(self.text.split())
+        self.link_density = (
+            min(1.0, self.n_link_chars / self.n_chars) if self.n_chars else 0.0
+        )
+        self.is_content = (
+            self.tag not in NON_CONTENT_TAGS
+            and self.n_words >= MIN_CONTENT_WORDS
+            and self.link_density <= MAX_LINK_DENSITY
+        )
+
+
+def parse_blocks(html_text: str) -> list[Block]:
+    """Flatten an HTML string into the block array (document order).
+
+    A deterministic regex lexer (no external parser deps): alternating
+    text/tag tokens; a small open-element stack tracks the innermost open
+    block and <a> nesting.
+    """
+    blocks: list[Block] = []
+    # virtual root block catches stray top-level text
+    root = Block(block_idx=0, tag="", css_class="", depth=0, parent_idx=-1)
+    blocks.append(root)
+    open_blocks = [0]  # stack of indices into `blocks`
+    a_depth = 0
+    skip_tag: str | None = None  # inside <script>/<style>
+    pos = 0
+
+    def emit_text(s: str) -> None:
+        if not s:
+            return
+        cur = blocks[open_blocks[-1]]
+        txt = _html.unescape(s)
+        cur.pieces.append(txt)
+        if a_depth > 0:
+            cur.n_link_chars += len(txt.strip())
+
+    for m in _TAG_RE.finditer(html_text):
+        if m.start() > pos:
+            if skip_tag is None:
+                emit_text(html_text[pos : m.start()])
+        pos = m.end()
+        token = m.group(1)
+        if token.startswith("!"):
+            continue  # comment / doctype
+        closing = token.startswith("/")
+        body = token[1:] if closing else token
+        self_closing = body.endswith("/")
+        if self_closing:
+            body = body[:-1]
+        name_match = re.match(r"[a-zA-Z][a-zA-Z0-9]*", body)
+        if not name_match:
+            continue
+        tag = name_match.group(0).lower()
+
+        if skip_tag is not None:
+            if closing and tag == skip_tag:
+                skip_tag = None
+            continue
+        if not closing and tag in SKIP_CONTENT_TAGS:
+            if not self_closing:
+                skip_tag = tag
+            continue
+
+        if tag == "a":
+            a_depth = max(0, a_depth - 1) if closing else a_depth + 1
+            continue
+        if tag == "br":
+            emit_text("\n")
+            continue
+        if tag in VOID_TAGS or tag not in BLOCK_TAGS:
+            continue
+
+        if not closing:
+            cm = _CLASS_RE.search(body)
+            css = (cm.group(2) or cm.group(3) or cm.group(4)) if cm else ""
+            blk = Block(
+                block_idx=len(blocks),
+                tag=tag,
+                css_class=css or "",
+                depth=len(open_blocks),
+                parent_idx=open_blocks[-1],
+            )
+            blocks.append(blk)
+            if self_closing:
+                blk.finalize()
+            else:
+                open_blocks.append(blk.block_idx)
+        else:
+            # close innermost matching open block (tolerate misnesting)
+            for si in range(len(open_blocks) - 1, 0, -1):
+                if blocks[open_blocks[si]].tag == tag:
+                    for sj in range(len(open_blocks) - 1, si - 1, -1):
+                        blocks[open_blocks[sj]].finalize()
+                    del open_blocks[si:]
+                    break
+    if pos < len(html_text) and skip_tag is None:
+        emit_text(html_text[pos:])
+    while open_blocks:
+        blocks[open_blocks.pop()].finalize()
+    return blocks
+
+
+def extracted_text_of(blocks: list[Block]) -> str:
+    return "\n".join(b.text for b in blocks if b.is_content)
+
+
+# ---------------------------------------------------------------------------
+# field-span extraction over the block array (the per-ROI dispatch,
+# extract_data.py:156-193, re-expressed as selector matches)
+# ---------------------------------------------------------------------------
+
+
+# the reference's OCR allowlist for data ROIs (ocr/ocr.py:115): characters
+# outside '0123456789.,' never reach the number parser. WX applies the same
+# char-class restriction before span parsing (SURVEY.md §2.2 P4).
+_DATA_ALLOWLIST = frozenset("0123456789.,")
+
+
+def apply_data_allowlist(text: str) -> str:
+    return "".join(c for c in text if c in _DATA_ALLOWLIST)
+
+
+def _first_match(blocks: list[Block], rule) -> Block | None:
+    for b in blocks:
+        if b.block_idx == 0:
+            continue
+        if rule.matches(b.tag, b.css_class):
+            return b
+    return None
+
+
+def _children(blocks: list[Block], parent: Block) -> list[Block]:
+    return [b for b in blocks if b.parent_idx == parent.block_idx]
+
+
+def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None) -> dict:
+    """Apply all *active* rules (ROI.is_active analog, roi_manager.py:45-53)
+    to one page's block array. Returns the nested field dict of
+    schema.EXTRACTION_SCHEMA. Fuel is extracted at most once even if several
+    fuel rules are active (the fuel_extracted guard, extract_data.py:155)."""
+    out: dict = {
+        "speed": None,
+        "altitude": None,
+        "time": None,
+        "fuel_lox": None,
+        "fuel_ch4": None,
+        "engines": None,
+        "spans": [],
+    }
+    fuel_extracted = False
+    for rule in cfg.get_active_rules(row_idx):
+        blk = _first_match(blocks, rule)
+        if blk is None:
+            continue
+        if rule.id in ("speed", "altitude"):
+            value = extract_single_value(apply_data_allowlist(blk.text))
+            if value is not None and rule.measurement_unit:
+                value = convert_measurement(value, rule.id, rule.measurement_unit)
+            # primary series populates the flat column; every hit is a span
+            is_primary = (not cfg.series) or rule.series == cfg.series[0]
+            if is_primary and out[rule.id] is None:
+                out[rule.id] = value
+            out["spans"].append(
+                {
+                    "rule_id": rule.id,
+                    "series": rule.series,
+                    "block_idx": blk.block_idx,
+                    "raw": blk.text,
+                    "value": value,
+                }
+            )
+        elif rule.id == "time":
+            regex = rule.measurement_unit or DEFAULT_TIME_REGEX
+            t = extract_time(blk.text, regex)
+            if out["time"] is None:
+                out["time"] = t
+            out["spans"].append(
+                {
+                    "rule_id": "time",
+                    "series": rule.series,
+                    "block_idx": blk.block_idx,
+                    "raw": blk.text,
+                    "value": None,
+                }
+            )
+        elif rule.id == "engines":
+            lis = [b for b in _children(blocks, blk) if b.tag == "li"]
+            bools = [("on" in (b.css_class or "").split()) for b in lis]
+            sections: dict[str, list[bool]] = {}
+            off = 0
+            for section, n in rule.points.items():  # config order — frozen
+                sections[section] = bools[off : off + n]
+                off += n
+            out["engines"] = sections
+        elif rule.id == "fuel" and not fuel_extracted:
+            fuel_extracted = True
+            for child in _children(blocks, blk):
+                classes = (child.css_class or "").split()
+                if "lox" in classes and out["fuel_lox"] is None:
+                    out["fuel_lox"] = extract_single_value(apply_data_allowlist(child.text))
+                elif "ch4" in classes and out["fuel_ch4"] is None:
+                    out["fuel_ch4"] = extract_single_value(apply_data_allowlist(child.text))
+    return out
+
+
+def extract_page(html_bytes, cfg: RuleConfig, row_idx: int | None) -> dict:
+    """One page -> one result dict (never raises; error -> data)."""
+    try:
+        if html_bytes is None:
+            return {"extracted_text": None, "n_blocks": 0, "n_content_blocks": 0,
+                    "error": "null html", "spans": [], "speed": None, "altitude": None,
+                    "time": None, "fuel_lox": None, "fuel_ch4": None, "engines": None}
+        html_text = (
+            html_bytes.decode("utf-8", errors="replace")
+            if isinstance(html_bytes, (bytes, bytearray, memoryview))
+            else str(html_bytes)
+        )
+        blocks = parse_blocks(html_text)
+        fields = extract_fields(blocks, cfg, row_idx)
+        fields["extracted_text"] = extracted_text_of(blocks)
+        fields["n_blocks"] = len(blocks) - 1  # exclude virtual root
+        fields["n_content_blocks"] = sum(1 for b in blocks if b.is_content)
+        fields["error"] = None
+        return fields
+    except Exception as e:  # row-level error channel (frame_processing.py:41-50)
+        return {"extracted_text": None, "n_blocks": 0, "n_content_blocks": 0,
+                "error": f"{type(e).__name__}: {e}", "spans": [], "speed": None,
+                "altitude": None, "time": None, "fuel_lox": None, "fuel_ch4": None,
+                "engines": None}
+
+
+# ---------------------------------------------------------------------------
+# the Spark operator
+# ---------------------------------------------------------------------------
+
+EXTRACT_OUTPUT_DDL = (
+    "url string, warc_ts timestamp, bucket int, partition_id int, "
+    "extracted_text string, n_blocks int, n_content_blocks int, "
+    "speed double, altitude double, "
+    "time struct<sign:string, hours:int, minutes:int, seconds:int>, "
+    "fuel_lox double, fuel_ch4 double, "
+    "engines map<string, array<boolean>>, "
+    "spans array<struct<rule_id:string, series:string, block_idx:int, raw:string, value:double>>, "
+    "error string, proc_seconds double"
+)
+
+
+def extract_pages(
+    pages: DataFrame,
+    cfg: RuleConfig | None = None,
+    row_idx_col: str | None = "row_idx",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """pages(url, warc_ts, html[, row_idx]) -> extraction results.
+
+    The physical plan this builds (SURVEY.md §4 sketch): column-pruned scan
+    -> bucket computation (xxhash64(url) — JVM-side) -> ONE Arrow
+    `mapInPandas` -> results. Callers wanting skew-safe layout repartition
+    via plans.pipeline.bucketed_repartition before this operator.
+    """
+    spark = pages.sparkSession
+    cfg = cfg or __import__(
+        "space_launch_telemetry_analyzer_spark.rules", fromlist=["default_config"]
+    ).default_config()
+    bc = spark.sparkContext.broadcast(cfg)
+
+    has_idx = row_idx_col is not None and row_idx_col in pages.columns
+    cols = [
+        F.col("url"),
+        (F.col("warc_ts") if "warc_ts" in pages.columns else F.lit(None).cast("timestamp")).alias("warc_ts"),
+        F.col("html"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int").alias("bucket"),
+    ]
+    if has_idx:
+        cols.append(F.col(row_idx_col).cast("long").alias("__row_idx"))
+    narrow = pages.select(*cols)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        cfg_local = bc.value  # lazy per-executor init (≅ ocr.py:15-79 singleton)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            t0 = _time.perf_counter()
+            n = len(pdf)
+            if n == 0:
+                continue
+            idxs = pdf["__row_idx"].tolist() if "__row_idx" in pdf.columns else [None] * n
+            results = [
+                extract_page(h, cfg_local, int(ix) if ix is not None else None)
+                for h, ix in zip(pdf["html"], idxs)
+            ]
+            per_row = (_time.perf_counter() - t0) / n
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "warc_ts": pdf["warc_ts"].values,
+                    "bucket": pdf["bucket"].values,
+                    "partition_id": pid,
+                    "extracted_text": [r["extracted_text"] for r in results],
+                    "n_blocks": [r["n_blocks"] for r in results],
+                    "n_content_blocks": [r["n_content_blocks"] for r in results],
+                    "speed": [r["speed"] for r in results],
+                    "altitude": [r["altitude"] for r in results],
+                    "time": [r["time"] for r in results],
+                    "fuel_lox": [r["fuel_lox"] for r in results],
+                    "fuel_ch4": [r["fuel_ch4"] for r in results],
+                    "engines": [r["engines"] for r in results],
+                    "spans": [r["spans"] for r in results],
+                    "error": [r["error"] for r in results],
+                    "proc_seconds": per_row,
+                }
+            )
+            yield out
+
+    return narrow.mapInPandas(kernel, schema=EXTRACT_OUTPUT_DDL)

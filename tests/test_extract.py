@@ -1,0 +1,156 @@
+"""Golden extraction fixtures: byte-identical extracted text per url.
+
+The analog of the reference's golden OCR fixtures
+(tests/test_ocr/test_ocr_integration.py:39-112 over
+tests/test_data/ocr_samples/*.png): deterministic synthetic pages with
+closed-form expected values (FIXTURES.md F3), byte-compared.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_launch_telemetry_analyzer_spark.operators.extract import (
+    apply_data_allowlist,
+    extract_page,
+    extract_pages,
+    parse_blocks,
+    extracted_text_of,
+)
+from space_launch_telemetry_analyzer_spark.rules import RuleConfig, default_config
+from space_launch_telemetry_analyzer_spark.sources.pages import (
+    expected_text,
+    field_values,
+    paragraphs_of,
+    render_page,
+    synth_pages_df,
+)
+
+CFG = default_config()
+
+
+# --- golden fixtures (FIXTURES.md F3) --------------------------------------
+
+def _page(i: int) -> bytes:
+    return render_page(i, paragraphs_of(i)).encode("utf-8")
+
+
+@pytest.mark.parametrize("i", [0, 1, 7, 42, 99, 100, 899, 900, 1199, 54321])
+def test_byte_identical_text(i):
+    r = extract_page(_page(i), CFG, i)
+    assert r["error"] is None
+    assert r["extracted_text"] == expected_text(i)  # byte-identical contract
+
+
+@pytest.mark.parametrize("i", [0, 7, 42, 100, 899, 900, 54321])
+def test_field_values(i):
+    r = extract_page(_page(i), CFG, i)
+    fv = field_values(i)
+    assert r["speed"] == fv["speed_kmh"]
+    assert r["altitude"] == fv["alt_km"]
+    assert r["time"] == {
+        "sign": fv["time_sign"], "hours": fv["time_h"],
+        "minutes": fv["time_m"], "seconds": fv["time_s"],
+    }
+    assert r["fuel_lox"] == fv["lox"]
+    assert r["fuel_ch4"] == fv["ch4"]
+    flat = r["engines"]["central_stack"] + r["engines"]["inner_ring"] + r["engines"]["outer_ring"]
+    assert flat == fv["engine_bools"]
+
+
+def test_activation_window():
+    """speed2 rule active only for idx in [100, 900) — the ROI.is_active
+    analog (roi_manager.py:45-53)."""
+    spans_in = {s["rule_id"]: s for s in extract_page(_page(500), CFG, 500)["spans"]
+                if s["series"] == "secondary"}
+    assert spans_in["speed"]["value"] == pytest.approx(field_values(500)["speed2_kmh"])
+    for idx in (99, 900, None):
+        spans_out = [s for s in extract_page(_page(idx or 0), CFG, idx)["spans"]
+                     if s["series"] == "secondary"]
+        # idx=None means "no activation info" -> all rules active
+        assert bool(spans_out) == (idx is None)
+
+
+def test_degenerate_pages():
+    """Failure is data, not control flow (frame_processing.py:41-50)."""
+    r = extract_page(None, CFG, None)
+    assert r["error"] == "null html" and r["extracted_text"] is None
+    r = extract_page(b"", CFG, None)
+    assert r["error"] is None and r["extracted_text"] == ""
+    r = extract_page(b"<html><body></body></html>", CFG, None)
+    assert r["extracted_text"] == ""
+    # short block below the density threshold -> boilerplate
+    r = extract_page(b"<p>short</p>", CFG, None)
+    assert r["extracted_text"] == ""
+
+
+def test_no_fields_page():
+    html = b"<html><body><p>plain page with enough words to count as content</p></body></html>"
+    r = extract_page(html, CFG, None)
+    assert r["extracted_text"] == "plain page with enough words to count as content"
+    assert r["speed"] is None and r["time"] is None and r["engines"] is None
+
+
+def test_allowlist():
+    # the OCR data allowlist (ocr/ocr.py:115): letters/symbols stripped
+    assert apply_data_allowlist("CH4 60.0%") == "460.0"
+    assert apply_data_allowlist("1,234 km/h") == "1,234"
+
+
+def test_block_classification():
+    html = (
+        '<html><body><nav class="top"><a href="/">some very long navigation text here</a></nav>'
+        "<p>this paragraph has plenty of words and no links at all</p>"
+        '<ul class="farm"><li><a href="/x">a long link farm entry with many words</a></li></ul>'
+        "</body></html>"
+    )
+    blocks = parse_blocks(html.decode() if isinstance(html, bytes) else html)
+    by_tag = {}
+    for b in blocks:
+        by_tag.setdefault(b.tag, b)
+    assert not by_tag["nav"].is_content  # NON_CONTENT tag
+    assert by_tag["p"].is_content
+    assert not by_tag["li"].is_content  # link density 1.0
+    assert extracted_text_of(blocks) == "this paragraph has plenty of words and no links at all"
+
+
+def test_entity_unescape():
+    html = b"<p>fish &amp; chips cost &lt;5 euros in the old town</p>"
+    r = extract_page(html, CFG, None)
+    assert r["extracted_text"] == "fish & chips cost <5 euros in the old town"
+
+
+def test_misnested_and_comments():
+    html = (
+        b"<p>first paragraph with quite enough words here <!-- hidden comment -->"
+        b"<script>var x = 'ignore all of this text';</script>"
+        b"continued after the script tag just fine</p>"
+    )
+    r = extract_page(html, CFG, None)
+    assert "ignore" not in r["extracted_text"]
+    assert r["extracted_text"].startswith("first paragraph")
+
+
+# --- Spark-side: the vectorized kernel over the distributed generator -------
+
+def test_extract_pages_spark(spark):
+    pages = synth_pages_df(spark, 300, partitions=4)
+    res = extract_pages(pages)
+    joined = res.join(pages.select("url", "text"), "url")
+    assert joined.where(F.col("extracted_text") != F.col("text")).count() == 0
+    assert res.where(F.col("error").isNotNull()).count() == 0
+    assert res.count() == 300
+    # buckets well-formed
+    row = res.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")).first()
+    assert row["lo"] >= 0 and row["hi"] < 256
+
+
+def test_extract_pages_null_html(spark):
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"<p>good page with sufficiently many words</p>")],
+        "url string, html binary",
+    )
+    res = extract_pages(df, row_idx_col=None).orderBy("url").collect()
+    assert res[0]["error"] == "null html"
+    assert res[1]["extracted_text"] == "good page with sufficiently many words"
