@@ -340,7 +340,7 @@ EXTRACT_OUTPUT_DDL = (
     "fuel_lox double, fuel_ch4 double, "
     "engines map<string, array<boolean>>, "
     "spans array<struct<rule_id:string, series:string, block_idx:int, raw:string, value:double>>, "
-    "error string, proc_seconds double"
+    "error string, input_bytes long, proc_seconds double"
 )
 
 
@@ -408,6 +408,7 @@ def extract_pages(
                     "engines": [r["engines"] for r in results],
                     "spans": [r["spans"] for r in results],
                     "error": [r["error"] for r in results],
+                    "input_bytes": [len(h) if h is not None else 0 for h in pdf["html"]],
                     "proc_seconds": per_row,
                 }
             )

@@ -1,0 +1,139 @@
+"""The flagship extraction job (SURVEY.md §3 EP1 re-expressed, §4 plan sketch):
+
+    scan pages (column-pruned: url, warc_ts, html [, row_idx])
+      -> resume filter (anti-join vs checkpointed buckets — broadcast)
+      -> url-hash bucket + host-salt repartition        (explicit, north_rule)
+      -> mapInPandas extraction kernel                  (the one Python stage)
+      -> write results (bucket-partitioned, overwrite-per-bucket)
+      -> per-partition lineage/metrics rows             (ST4/A3 analog)
+      -> checkpoint rows (resume marks)
+
+Scale design notes (the part that must hold at 10^12 rows / 1000 executors):
+- the ONLY wide shuffle is the explicit repartition before the kernel; its
+  key is (bucket, salt) — url-hash buckets are uniform by construction, and
+  the salt splits any residual heavy key (e.g. when callers bucket by host
+  for per-host series locality instead).
+- nothing aggregates globally: metrics are per-partition, checkpoints
+  per-bucket; the anti-join side is ≤ n_buckets rows and broadcast.
+- resume cost is one scan-side filter (bucket pruning pushes to the reader
+  when the input itself is bucket-partitioned, e.g. Iceberg bucket(N, url)).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..rules import RuleConfig, default_config
+from ..sources.io import ResultStore
+
+DEFAULT_N_BUCKETS = 256
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Derive the host column JVM-side (regexp, codegen'd)."""
+    return df.withColumn("host", F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1))
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS, url_col: str = "url") -> DataFrame:
+    """url-hash bucket: uniform regardless of host skew (north_rule layout).
+    Matches the bucket the extraction kernel stamps on results."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    keys: list[str],
+    salt_mod: int = 4,
+    salt_source: str = "url",
+) -> DataFrame:
+    """Repartition by (keys..., salt) where salt is a deterministic hash of a
+    high-cardinality column — splits any heavy key (mega-host ≈ 30% of rows
+    in the synthetic fixture) across `salt_mod` partitions. The reference's
+    analog is fixed-size frame batches across a process pool
+    (batch_processing.py:18-32,139-157); Spark needs the salt *only* when the
+    partition key itself is skewed."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_mod)).cast("int")
+    )
+    return salted.repartition(num_partitions, *[F.col(k) for k in keys], F.col("__salt")).drop(
+        "__salt"
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: ResultStore,
+    cfg: RuleConfig | None = None,
+    run_id: str | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    num_partitions: int | None = None,
+    salt_mod: int = 4,
+    row_idx_col: str | None = "row_idx",
+) -> dict:
+    """Execute the flagship job; returns a small summary dict (counts only —
+    no data is collected to the driver)."""
+    cfg = cfg or default_config()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+
+    bucketed = with_bucket(pages, n_buckets)
+
+    # -- resume: drop buckets already completed for this run_id ---------------
+    done = store.completed_buckets(spark, run_id)
+    n_skipped_buckets = 0
+    if done is not None:
+        n_skipped_buckets = done.count()
+        if n_skipped_buckets:
+            bucketed = bucketed.join(F.broadcast(done), "bucket", "left_anti")
+
+    # -- explicit partition layout: url-hash bucket + salt ---------------------
+    arranged = salted_repartition(bucketed, num_partitions, ["bucket"], salt_mod)
+
+    # -- the one Python stage; results keep (partition_id, input_bytes,
+    # proc_seconds) as lineage columns so metrics can be derived from what
+    # actually landed (write-audit, not plan-audit)
+    t0 = time.time()
+    results = extract_pages(arranged, cfg, row_idx_col=row_idx_col, n_buckets=n_buckets)
+    store.write_results(results)
+    wall = time.time() - t0
+
+    # -- lineage/metrics per (extraction partition, bucket); reading back the
+    # written table is a cheap column-pruned parquet scan, never a re-extract
+    written = store.read_results(spark)
+    fresh = written.join(F.broadcast(done), "bucket", "left_anti") if n_skipped_buckets else written
+    metrics = fresh.groupBy("partition_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+        F.sum(F.when(F.length("extracted_text") == 0, 1).otherwise(0)).alias("n_empty"),
+        F.sum("input_bytes").alias("input_bytes"),
+        F.sum(F.coalesce(F.length("extracted_text"), F.lit(0))).alias("output_chars"),
+        F.sum("proc_seconds").alias("wall_seconds"),
+    ).select(
+        F.lit(run_id).alias("run_id"), "partition_id", "bucket", "n_rows",
+        "n_errors", "n_empty", "input_bytes", "output_chars", "wall_seconds",
+    )
+    store.write_metrics(metrics)
+
+    # -- checkpoint marks: every bucket now present in results ------------------
+    store.write_checkpoint(
+        written.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(run_id).alias("run_id"), "bucket", "n_rows")
+    )
+
+    n_written = written.count()
+    return {
+        "run_id": run_id,
+        "n_results": n_written,
+        "n_skipped_buckets": n_skipped_buckets,
+        "wall_seconds": wall,
+    }

@@ -1,0 +1,111 @@
+"""Table IO: Iceberg-preferred, parquet-fallback result store.
+
+The reference's sink is a JSON dump with a backup-path fallback
+(results.py:52-95). Here results land in a bucket-partitioned table with
+exactly-once-per-bucket semantics (dynamic partition overwrite), plus a
+metrics table (per-partition lineage, north_rule) and a checkpoint table for
+resume.
+
+Iceberg: when an Iceberg catalog is configured on the session the same API
+writes `writeTo(table)` instead of parquet paths. The sandbox has no Iceberg
+runtime jar, so every write funnels through this one module and the Iceberg
+branch is a config switch (SURVEY.md §7 "What's hard" #4). At 100 TB the
+Iceberg path additionally gives snapshot isolation and bucket-transform
+partitioning (`bucket(N, url)`) so the checkpoint table can be replaced by
+snapshot metadata; the parquet layout mirrors that with explicit
+`bucket=` directories.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable on this session."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class ResultStore:
+    """One root, three tables: results/, metrics/, checkpoints/."""
+
+    root: str
+    use_iceberg: bool = False  # set True only when catalog+jar present
+
+    @property
+    def results_path(self) -> str:
+        return os.path.join(self.root, "results")
+
+    @property
+    def metrics_path(self) -> str:
+        return os.path.join(self.root, "metrics")
+
+    @property
+    def checkpoints_path(self) -> str:
+        return os.path.join(self.root, "checkpoints")
+
+    # -- results: bucket-partitioned, overwrite-per-bucket (idempotent) ------
+    def write_results(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite: re-running a bucket replaces exactly
+        that bucket's partition — the exactly-once-per-bucket contract the
+        checkpoint/resume logic relies on."""
+        if self.use_iceberg:
+            df.writeTo(self._tbl("results")).overwritePartitions()
+            return
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy("bucket").parquet(self.results_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def read_results(self, spark: SparkSession) -> DataFrame:
+        if self.use_iceberg:
+            return spark.read.format("iceberg").load(self._tbl("results"))
+        return spark.read.parquet(self.results_path)
+
+    # -- metrics: append-only lineage rows ------------------------------------
+    def write_metrics(self, df: DataFrame) -> None:
+        if self.use_iceberg:
+            df.writeTo(self._tbl("metrics")).append()
+        else:
+            df.write.mode("append").parquet(self.metrics_path)
+
+    def read_metrics(self, spark: SparkSession) -> DataFrame:
+        if self.use_iceberg:
+            return spark.read.format("iceberg").load(self._tbl("metrics"))
+        return spark.read.parquet(self.metrics_path)
+
+    # -- checkpoints: append-only (bucket completion marks) --------------------
+    def write_checkpoint(self, df: DataFrame) -> None:
+        if self.use_iceberg:
+            df.writeTo(self._tbl("checkpoints")).append()
+        else:
+            df.write.mode("append").parquet(self.checkpoints_path)
+
+    def completed_buckets(self, spark: SparkSession, run_id: str) -> DataFrame | None:
+        """Buckets already finished for this run_id, or None if no checkpoint
+        exists yet. Small by construction (≤ n_buckets rows) — broadcast it."""
+        try:
+            cp = (
+                spark.read.format("iceberg").load(self._tbl("checkpoints"))
+                if self.use_iceberg
+                else spark.read.parquet(self.checkpoints_path)
+            )
+        except Exception:
+            return None
+        return cp.where(F.col("run_id") == run_id).select("bucket").distinct()
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.root}.{name}" if "." in self.root else f"{self.root}_{name}"
