@@ -1,0 +1,220 @@
+"""Deduplication operators for web-scale corpora.
+
+Five dedup families, each expressed so the shuffle structure is explicit and
+scale-safe (the groupBy/join keys are hashes — uniform by construction, so no
+salting needed; candidate generation never goes O(n²)):
+
+- exact:        hash-groupBy on a normalized content fingerprint
+- minhash+LSH:  shingles -> k minhashes -> b bands -> band-bucket equi-join
+- simhash:      64-bit sign-of-weighted-bit-sums signature, Hamming buckets
+- ngram-jaccard: token-shingle Jaccard on candidate pairs (verification step)
+- embedding:    cosine near-dup over an embedding column (see similarity.py)
+
+Everything is JVM-side expressions (xxhash64, transform, aggregate) — no
+Python in the hot path; signatures are computed in one scan, candidates via
+one equi-join shuffle keyed on (band_id, band_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import fingerprint
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands x 4 rows: s-curve threshold ~ (1/4)^(1/4) ≈ 0.71
+DEFAULT_SHINGLE = 3
+
+
+# --- exact dedup -------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the minimum id per normalized-content fingerprint; emit group
+    size for lineage. One hash-partitioned aggregation; the key is md5 so
+    the shuffle is uniform regardless of content skew."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- shingling / tokenization ------------------------------------------------
+def tokens_of(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct k-token shingles (word n-grams), document order irrelevant."""
+    toks = tokens_of(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+# --- ngram Jaccard -----------------------------------------------------------
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over distinct element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_SHINGLE,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Jaccard over candidate pairs. `candidates` (id_a, id_b) comes from an
+    LSH stage; without it this is only safe on small/windowed inputs —
+    at corpus scale ALWAYS generate candidates first (minhash_lsh_candidates),
+    never a cross join."""
+    sh = df.select(F.col(id_col).alias("id"), token_shingles(F.col(text_col), k).alias("sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        return a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "id_a").join(sh_b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """k independent minhashes: min over shingles of xxhash64(seed, shingle).
+    Deterministic (no Python hash seeds); empty shingle set -> NULL mins.
+
+    NB: the per-seed lambda must be built by a closure factory — pyspark
+    binds extra lambda parameters to the array-index column, so a `i=i`
+    default argument would be silently shadowed."""
+
+    def hash_with_seed(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hash_with_seed(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join candidate pairs (id_a < id_b).
+
+    Scale shape: one scan computes signatures; explode to `bands` rows per
+    doc; ONE equi-join shuffle keyed on (band_id, band_hash) — uniform keys,
+    so no skew; distinct() collapses pairs found in several bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(token_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw
+) -> DataFrame:
+    """Full near-dup pass: LSH candidates -> exact Jaccard verify -> pairs
+    above threshold (the caller picks survivors, e.g. keep min id per
+    connected component; at corpus scale component-joining is an iterative
+    job — here we emit verified pairs, the expensive part)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, **kw)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, candidates=cand)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ------------------------------------------------------------------
+def simhash64(text: Column, nbits: int = 64) -> Column:
+    """64-bit SimHash: per token-hash, each bit votes ±1; signature bit =
+    sign of the vote sum. Pure expressions: one aggregate per bit over the
+    token-hash array (codegen'd; no shuffle — per-row computation)."""
+    hashes = F.transform(tokens_of(text), lambda t: F.xxhash64(t))
+
+    def vote(bit_pos: int):
+        # closure factory, not default-arg capture (see minhash_signature note)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(b)) for b in range(nbits)]
+    sig = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole: any
+    pair within Hamming distance 3 shares at least one exact chunk), then
+    verify Hamming distance. One equi-join shuffle on (chunk_id, chunk)."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    chunked = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("id", "sig", "ch.chunk_id", "ch.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+- brute-force cosine top-k — the exactness baseline. Scale shape: broadcast
+  the (small) query set, ONE scan of the corpus computing scores JVM-side
+  (zip_with + aggregate, codegen'd), then a per-query top-k via window rank
+  (shuffle keyed by query id — tiny).
+- LSH-bucketed ANN — the scale path: deterministic random-hyperplane bits
+  bucket the corpus; candidates = bucket equi-join; exact cosine re-rank of
+  candidates only. Probes multiple buckets by flipping one bit at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] in double, sequential fold (deterministic bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2norm(a) * l2norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, query_vec_col: str, k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query. `queries` MUST be small (it is
+    broadcast); the corpus is scanned once."""
+    joined = corpus.alias("c").join(F.broadcast(queries.alias("q")))
+    scored = joined.select(
+        F.col(f"q.{query_id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine(F.col(f"q.{query_vec_col}"), F.col(f"c.{vec_col}")).alias("score"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# --- LSH-bucketed ANN ---------------------------------------------------------
+def _hyperplane_weight(b: int, d: int) -> int:
+    """Deterministic pseudo-random integer weight for hyperplane b, dim d —
+    a fixed LCG-style mix, no RNG state, identical everywhere."""
+    return ((b * 2654435761 + d * 40503) % 13) - 6
+
+
+def lsh_bits(vec: Column, n_bits: int, dim: int) -> Column:
+    """Random-hyperplane signature: bit b = sign(Σ_d vec[d] * w(b,d)) > 0."""
+    sig = None
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(_hyperplane_weight(b, d))) for d in range(dim)]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, query_vec_col: str, dim: int,
+    k: int = 10, n_bits: int = 8, multiprobe: bool = True,
+) -> DataFrame:
+    """ANN: bucket corpus by hyperplane bits once; look up each query's
+    bucket (± 1-bit probes) and exact-re-rank candidates. The corpus side
+    shuffles once on the uniform bucket key; queries are broadcast."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bits(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+        lsh_bits(F.col(query_vec_col), n_bits, dim).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    q_exploded = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    cand = c.join(F.broadcast(q_exploded), "bucket")
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("score")
+    ).where(F.col("query_id") != F.col("neighbor_id")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

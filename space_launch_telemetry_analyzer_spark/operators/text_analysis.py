@@ -1,0 +1,116 @@
+"""Text-analysis operators for a web-scale training-data pipeline.
+
+All JVM-side column expressions (whole-stage codegen; no Python) so they run
+at scan speed over 10^12 documents: language-ID (marker-n-gram heuristic),
+quality scoring (length/punct/stopword ratios), token counting, document
+fingerprinting. Each has an exact ANSI-SQL twin in the driver oracle
+(__spark_entry__.oracle_sql) — the formulas below are deliberately
+SQL-expressible so the DuckDB cross-check is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# frozen marker sets (space-padded so they match whole words via the
+# replace-length counting trick, which is identical in Spark and ANSI SQL)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " les "),
+}
+STOPWORDS_EN = (" the ", " a ", " of ", " and ", " to ", " in ")
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length difference — the same
+    formula is valid ANSI SQL, which keeps the oracle exact."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = None
+    for marker in LANG_MARKERS[lang]:
+        c = occurrence_count(padded, marker)
+        score = c if score is None else score + c
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker counts with a frozen tie-break order (en > de > fr);
+    zero evidence -> 'und' (undetermined)."""
+    en, de, fr = (lang_score(text, lang) for lang in ("en", "de", "fr"))
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank -> 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored token estimate: count of word-piece-ish units —
+    letter runs, digit runs, and single non-space punctuation marks."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """(chars removed by stripping punctuation) / chars; 0 for empty."""
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword hits / token count (frozen EN stopword list)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = None
+    for sw in STOPWORDS_EN:
+        c = occurrence_count(padded, sw)
+        hits = c if hits is None else hits + c
+    toks = token_count(text)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = token_count(text)
+    chars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(chars.cast("double") / toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic (frozen weights): long enough,
+    low punctuation, some stopwords, sane word lengths. The shape follows
+    C4/Gopher-style filters; the exact formula is this engine's own."""
+    length_ok = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(5.0), F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(text) * F.lit(10.0), F.lit(1.0))
+    mwl = mean_word_length(text)
+    words_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        length_ok * F.lit(0.4) + punct_ok * F.lit(0.2)
+        + stop_ok * F.lit(0.2) + words_ok * F.lit(0.2)
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    (The rolling-hash variant lives in dedup.simhash/minhash; this is the
+    canonical exact-dup key.)"""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

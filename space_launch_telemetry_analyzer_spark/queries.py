@@ -1,0 +1,929 @@
+r"""Driver-verified query registry: one entry per implemented operator
+(SURVEY.md §2), each with an exact DuckDB oracle twin.
+
+Determinism rules that keep the Spark/DuckDB value-hash comparison exact:
+- monetary/fixed-point sums go through DECIMAL(18,x) so partial-aggregation
+  order can't wiggle low bits; the final value is cast back to double;
+- free-double outputs are round(x, 6) on BOTH sides (identical upstream ops
+  -> identical doubles -> identical rounding);
+- every window is ordered by a unique key pair (ts, event_id);
+- timestamps cross the boundary as epoch-second doubles.
+
+Queries q_minhash_pairs / q_simhash_pairs / q_ann_lsh_topk are deliberately
+oracle-less (xxhash64-based signatures are not reproducible in ANSI SQL);
+the driver records the weaker rows-only check and pytest covers their
+semantics on constructed near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import parse as P
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text_analysis as TA
+from .operators import windows as W
+from .operators.extract import extract_pages
+from .rules import default_config
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def epoch_seconds(c):
+    """TIMESTAMP_NTZ -> epoch seconds (double). Session TZ is UTC, so the
+    wall-clock interpretation matches DuckDB's epoch() on naive timestamps."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp").cast("double")
+
+
+# the per-user event window, ordered by the unique (ts, event_id) pair
+def _event_window():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+_EVENT_WINDOW_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+# ===========================================================================
+# Extraction-path queries: build deterministic HTML from `documents` with
+# JVM expressions, run the real extraction kernel, compare against the
+# closed-form oracle. (S1/P1/P3/P4/P5/P6/P7/P8 end-to-end.)
+# ===========================================================================
+
+_PAGE_PREFIX = (
+    '<html><head><title>doc page</title></head><body>'
+    '<nav class="top"><a href="/">Home</a> <a href="/n">News</a> <a href="/l">Launches</a></nav>'
+)
+_PAGE_SUFFIX = (
+    '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a> <span>© tracker</span></footer>'
+    "</body></html>"
+)
+
+
+def _doc_url():
+    return F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url")
+
+
+def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip end-to-end: nav/footer dropped, main <p> recovered
+    byte-identically (the north-star invariant)."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        _doc_url(),
+        F.concat(
+            F.lit(_PAGE_PREFIX + "<main><article><p>"),
+            F.col("text"),
+            F.lit("</p></article></main>" + _PAGE_SUFFIX),
+        ).cast("binary").alias("html"),
+    )
+    res = extract_pages(pages, row_idx_col=None)
+    return res.select("url", "extracted_text")
+
+
+ORACLE_EXTRACT_MAIN_TEXT = """
+SELECT concat('doc://', doc_id) AS url, text AS extracted_text FROM documents
+"""
+
+# telemetry-field formulas (closed form on doc_id; oracle recomputes them)
+_SPEED_EXPR = "CAST((doc_id * 7) % 28000 AS DOUBLE)"
+_ALT_EXPR = "CAST((doc_id * 13) % 2000 AS DOUBLE) / 10.0"
+_LOX_EXPR = "CAST(100 - (doc_id % 101) AS DOUBLE)"
+_CH4_EXPR = f"CASE WHEN doc_id % 7 = 0 THEN greatest({_LOX_EXPR} - 40.0, 0.0) ELSE {_LOX_EXPR} END"
+_SIGN_EXPR = "CASE WHEN doc_id % 2 = 0 THEN '+' ELSE '-' END"
+_TH_EXPR = "CAST(doc_id % 24 AS INT)"
+_TM_EXPR = "CAST((doc_id * 7) % 60 AS INT)"
+_TS_EXPR = "CAST((doc_id * 13) % 60 AS INT)"
+
+
+def _telemetry_pages(docs: DataFrame) -> DataFrame:
+    lox = (F.lit(100) - F.col("doc_id") % 101).cast("double")
+    ch4 = F.when(F.col("doc_id") % 7 == 0, F.greatest(lox - 40.0, F.lit(0.0))).otherwise(lox)
+    sign = F.when(F.col("doc_id") % 2 == 0, F.lit("+")).otherwise(F.lit("-"))
+    pad2 = lambda c: F.lpad(c.cast("int").cast("string"), 2, "0")  # noqa: E731
+    html = F.concat(
+        F.lit(_PAGE_PREFIX + '<div class="telemetry">'),
+        F.lit('<span class="tplus">T'), sign,
+        pad2(F.col("doc_id") % 24), F.lit(":"),
+        pad2((F.col("doc_id") * 7) % 60), F.lit(":"),
+        pad2((F.col("doc_id") * 13) % 60), F.lit("</span>"),
+        F.lit('<span class="speed">'),
+        F.format_number((F.col("doc_id") * 7) % 28000, 0), F.lit(" km/h</span>"),
+        F.lit('<span class="alt">'),
+        F.format_string("%.1f", ((F.col("doc_id") * 13) % 2000).cast("double") / 10.0),
+        F.lit(" km</span>"),
+        F.lit('<div class="gauges"><span class="lox">'),
+        F.format_string("%.1f", lox), F.lit('%</span><span class="ch4">'),
+        F.format_string("%.1f", ch4), F.lit("%</span></div>"),
+        F.lit("</div><main><article><p>"), F.col("text"),
+        F.lit("</p></article></main>" + _PAGE_SUFFIX),
+    )
+    return docs.select(_doc_url(), html.cast("binary").alias("html"))
+
+
+def q_extract_field_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROI-dispatch end-to-end: speed/altitude numeric spans (comma-strip),
+    signed-time regex, fuel gauges — parsed by the kernel, checked against
+    the closed-form oracle."""
+    pages = _telemetry_pages(load(spark, sf_dir, "documents"))
+    res = extract_pages(pages, row_idx_col=None)
+    return res.select(
+        "url",
+        "speed",
+        F.round("altitude", 6).alias("altitude"),
+        F.col("time.sign").alias("time_sign"),
+        F.col("time.hours").alias("time_hours"),
+        F.col("time.minutes").alias("time_minutes"),
+        F.col("time.seconds").alias("time_seconds"),
+        F.round("fuel_lox", 6).alias("fuel_lox"),
+        F.round("fuel_ch4", 6).alias("fuel_ch4"),
+    )
+
+
+ORACLE_EXTRACT_FIELD_SPANS = f"""
+SELECT concat('doc://', doc_id) AS url,
+       {_SPEED_EXPR} AS speed,
+       round({_ALT_EXPR}, 6) AS altitude,
+       {_SIGN_EXPR} AS time_sign,
+       {_TH_EXPR} AS time_hours,
+       {_TM_EXPR} AS time_minutes,
+       {_TS_EXPR} AS time_seconds,
+       round({_LOX_EXPR}, 6) AS fuel_lox,
+       round({_CH4_EXPR}, 6) AS fuel_ch4
+FROM documents
+"""
+
+
+def q_extract_engine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine point classification (P8) + engine-count agg (A6) end-to-end:
+    li on/off classes -> boolean arrays per section -> active counts."""
+    docs = load(spark, sf_dir, "documents")
+    lis = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(32)),
+            lambda j: F.concat(
+                F.lit('<li class="'),
+                F.when((F.col("doc_id") * (j + 1)) % 5 < 3, F.lit("on")).otherwise(F.lit("off")),
+                F.lit('"></li>'),
+            ),
+        ),
+    )
+    pages = docs.select(
+        _doc_url(),
+        F.concat(
+            F.lit(_PAGE_PREFIX + '<div class="telemetry"><ul class="status">'),
+            lis,
+            F.lit("</ul></div><main><article><p>"), F.col("text"),
+            F.lit("</p></article></main>" + _PAGE_SUFFIX),
+        ).cast("binary").alias("html"),
+    )
+    res = extract_pages(pages, row_idx_col=None)
+    counts = {
+        s: W.engine_active_count(F.col("engines").getItem(s))
+        for s in ("central_stack", "inner_ring", "outer_ring")
+    }
+    return res.select(
+        "url",
+        counts["central_stack"].alias("central_active"),
+        counts["inner_ring"].alias("inner_active"),
+        counts["outer_ring"].alias("outer_active"),
+        (counts["central_stack"] + counts["inner_ring"] + counts["outer_ring"]).alias("all_active"),
+    )
+
+
+ORACLE_EXTRACT_ENGINE_COUNTS = """
+SELECT concat('doc://', doc_id) AS url,
+       CAST((SELECT count(*) FROM range(0, 3) t(j)  WHERE (doc_id*(j+1)) % 5 < 3) AS INT) AS central_active,
+       CAST((SELECT count(*) FROM range(3, 13) t(j) WHERE (doc_id*(j+1)) % 5 < 3) AS INT) AS inner_active,
+       CAST((SELECT count(*) FROM range(13, 33) t(j) WHERE (doc_id*(j+1)) % 5 < 3) AS INT) AS outer_active,
+       CAST((SELECT count(*) FROM range(0, 33) t(j) WHERE (doc_id*(j+1)) % 5 < 3) AS INT) AS all_active
+FROM documents
+"""
+
+
+# ===========================================================================
+# Relational showcase: star-schema agg + broadcast join (Catalyst layer)
+# ===========================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 2)).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice", 2)).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain: orders ⋈ customer ⋈ nation ⋈ region; small dims
+    are explicitly broadcast (the ROI-config broadcast pattern applied to
+    relational dims)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_NATION_REVENUE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ===========================================================================
+# Parse-kernel queries (P5/P6/P7/P16/P20 as standalone column expressions)
+# ===========================================================================
+
+def q_first_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", P.first_number_expr(F.col("props")).alias("num"))
+
+
+ORACLE_FIRST_NUMBER = r"""
+SELECT event_id,
+       CAST(nullif(regexp_extract(replace(props, ',', ''), '(\d+(?:\.\d+)?)', 1), '') AS DOUBLE) AS num
+FROM events
+"""
+
+
+def q_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct signed-time tokens (some deliberately malformed), parse with
+    the regex kernel."""
+    ev = load(spark, sf_dir, "events")
+    sign = F.when(F.col("event_id") % 2 == 0, F.lit("+")).otherwise(F.lit("-"))
+    pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    good = F.concat(F.lit("T"), sign, pad2(F.col("event_id") % 24), F.lit(":"),
+                    pad2((F.col("event_id") * 3) % 60), F.lit(":"),
+                    pad2((F.col("event_id") * 7) % 60))
+    bad = F.concat(F.lit("T"), sign, (F.col("event_id") % 24).cast("string"), F.lit(":"),
+                   ((F.col("event_id") * 3) % 60).cast("string"))
+    token = F.when(F.col("event_id") % 5 == 0, bad).otherwise(good)
+    t = P.time_struct_expr(token)
+    return ev.select(
+        "event_id", t.getField("sign").alias("sign"), t.getField("hours").alias("hours"),
+        t.getField("minutes").alias("minutes"), t.getField("seconds").alias("seconds"),
+    )
+
+
+ORACLE_TIME_PARSE = """
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN NULL ELSE (CASE WHEN event_id % 2 = 0 THEN '+' ELSE '-' END) END AS sign,
+       CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST(event_id % 24 AS INT) END AS hours,
+       CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST((event_id * 3) % 60 AS INT) END AS minutes,
+       CASE WHEN event_id % 5 = 0 THEN NULL ELSE CAST((event_id * 7) % 60 AS INT) END AS seconds
+FROM events
+"""
+
+
+def q_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """speed unit normalization; unknown units -> NULL (error-as-data)."""
+    ev = load(spark, sf_dir, "events")
+    unit = (
+        F.when(F.col("event_type") == "signup", F.lit("mph"))
+        .when(F.col("event_type") == "click", F.lit("km/h"))
+        .otherwise(F.lit("knots"))
+    )
+    return ev.select(
+        "event_id",
+        F.round(P.convert_speed_expr(F.col("value"), unit), 6).alias("speed_kmh"),
+    )
+
+
+ORACLE_UNIT_CONVERT = """
+SELECT event_id,
+       round(CASE WHEN event_type = 'signup' THEN value * 1.60934
+                  WHEN event_type = 'click' THEN value END, 6) AS speed_kmh
+FROM events
+"""
+
+
+def q_hhmmss_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = F.col("value") * 100 - 5000  # negatives included
+    return ev.select("event_id", P.seconds_to_hhmmss_expr(t).alias("hhmmss"))
+
+
+ORACLE_HHMMSS_FORMAT = """
+WITH s AS (SELECT event_id, value * 100 - 5000 AS t FROM events)
+SELECT event_id,
+       concat(CASE WHEN t < 0 THEN '-' ELSE '' END,
+              CAST(CAST(floor(abs(CAST(trunc(t) AS BIGINT)) / 3600) AS BIGINT) AS VARCHAR), ':',
+              lpad(CAST(CAST(floor((abs(CAST(trunc(t) AS BIGINT)) % 3600) / 60) AS BIGINT) AS VARCHAR), 2, '0'), ':',
+              lpad(CAST(abs(CAST(trunc(t) AS BIGINT)) % 60 AS VARCHAR), 2, '0')) AS hhmmss
+FROM s
+"""
+
+
+def q_event_label_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Label@mm:ss' round trip (P16): construct, then parse back with
+    string expressions only."""
+    ev = load(spark, sf_dir, "events")
+    pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    evstr = F.concat(F.col("event_type"), F.lit("@"), pad2(F.col("event_id") % 10),
+                     F.lit(":"), pad2((F.col("event_id") * 3) % 60))
+    label = F.substring_index(evstr, "@", 1)
+    tok = F.substring_index(evstr, "@", -1)
+    seconds = F.split(tok, ":")[0].cast("int") * 60 + F.split(tok, ":")[1].cast("int")
+    return ev.select("event_id", label.alias("label"), seconds.cast("double").alias("seconds"))
+
+
+ORACLE_EVENT_LABEL_PARSE = """
+SELECT event_id, event_type AS label,
+       CAST((event_id % 10) * 60 + (event_id * 3) % 60 AS DOUBLE) AS seconds
+FROM events
+"""
+
+
+# ===========================================================================
+# Window / validation / derived-metric queries (A-ops, ST-ops) over events
+# ===========================================================================
+
+def q_outlier_nulling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = _event_window()
+    return ev.select(
+        "event_id", "user_id",
+        W.delta_outlier_null(F.col("value"), w, 50.0).alias("value_clean"),
+    )
+
+
+ORACLE_OUTLIER_NULLING = f"""
+SELECT event_id, user_id,
+       CASE WHEN abs(value - lag(value) OVER ({_EVENT_WINDOW_SQL})) > 50
+            THEN NULL ELSE value END AS value_clean
+FROM events
+"""
+
+
+def q_lead_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("t", epoch_seconds("ts"))
+    w = _event_window()
+    a = W.lead_acceleration(F.col("value"), F.col("t"), w, frame_distance=5, max_accel=100.0)
+    return ev.select("event_id", "user_id", F.round(a, 6).alias("accel"))
+
+
+ORACLE_LEAD_ACCELERATION = f"""
+WITH s AS (
+  SELECT event_id, user_id,
+         value * (1000.0/3600.0) AS v, epoch(ts) AS t,
+         lead(value * (1000.0/3600.0), 5) OVER ({_EVENT_WINDOW_SQL}) AS v5,
+         lead(epoch(ts), 5) OVER ({_EVENT_WINDOW_SQL}) AS t5
+  FROM events)
+SELECT event_id, user_id,
+       round(CASE WHEN v IS NOT NULL AND v5 IS NOT NULL AND (t5 - t) > 0
+                  AND abs((v5 - v) / (t5 - t)) <= 100.0
+             THEN (v5 - v) / (t5 - t) END, 6) + 0 AS accel
+FROM s
+"""
+
+
+def q_g_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", F.round(W.g_force(F.col("value")), 6).alias("g"))
+
+
+ORACLE_G_FORCE = "SELECT event_id, round(value / 9.81, 6) AS g FROM events"
+
+
+def q_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = _event_window()
+    return ev.select(
+        "event_id", "user_id", F.round(W.rolling_trend(F.col("value"), w), 6).alias("trend")
+    )
+
+
+ORACLE_ROLLING_TREND = f"""
+SELECT event_id, user_id,
+       round(CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END, 6) AS trend
+FROM events
+WINDOW w AS ({_EVENT_WINDOW_SQL} ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING)
+"""
+
+
+def q_zero_anchor_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: per-user anchor event (first 'signup'), timeline normalized
+    against it with the reference's floor/positive-mod decomposition."""
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("zero_ts")
+    )
+    joined = ev.join(F.broadcast(anchors), "user_id")
+    sec = epoch_seconds("ts") - epoch_seconds("zero_ts")
+    return joined.select(
+        "event_id", "user_id",
+        F.round(sec, 6).alias("real_time_seconds"),
+        F.floor(sec / 3600).cast("int").alias("rt_hours"),
+        F.floor(F.pmod(sec, 3600) / 60).cast("int").alias("rt_minutes"),
+        F.floor(F.pmod(sec, 60)).cast("int").alias("rt_seconds"),
+    )
+
+
+ORACLE_ZERO_ANCHOR_REALTIME = """
+WITH a AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS zero_ts
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT event_id, e.user_id, epoch(e.ts) - epoch(a.zero_ts) AS sec
+  FROM events e JOIN a ON e.user_id = a.user_id)
+SELECT event_id, user_id,
+       round(sec, 6) AS real_time_seconds,
+       CAST(floor(sec / 3600) AS INT) AS rt_hours,
+       CAST(floor((((sec % 3600) + 3600) % 3600) / 60) AS INT) AS rt_minutes,
+       CAST(floor(((sec % 60) + 60) % 60) AS INT) AS rt_seconds
+FROM s
+"""
+
+
+def q_after_anchor_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = _event_window()
+    flag = W.after_anchor_flag(w, F.col("event_type") == "signup")
+    return ev.select("event_id", "user_id", flag.cast("int").alias("after_anchor"))
+
+
+ORACLE_AFTER_ANCHOR_FLAG = f"""
+SELECT event_id, user_id,
+       CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            OVER ({_EVENT_WINDOW_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS INT)
+       AS after_anchor
+FROM events
+"""
+
+
+def q_bucket_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return W.summarize_buckets(ev, "user_id", "event_id")
+
+
+ORACLE_BUCKET_SUMMARIZE = """
+SELECT user_id, min(event_id) AS start_id, max(event_id) AS end_id, count(*) AS n_rows
+FROM events GROUP BY user_id
+"""
+
+
+def q_sample_every_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return W.sample_every_nth(ev, "event_id", 10).select("event_id", "value")
+
+
+ORACLE_SAMPLE_EVERY_NTH = "SELECT event_id, value FROM events WHERE event_id % 10 = 0"
+
+
+def q_time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("t", epoch_seconds("ts"))
+    lo = 1704153600.0  # 2024-01-02 UTC
+    hi = 1704326400.0  # 2024-01-04 UTC
+    return W.time_window_filter(ev, "t", lo, hi).select("event_id")
+
+
+ORACLE_TIME_WINDOW_FILTER = """
+SELECT event_id FROM events WHERE epoch(ts) >= 1704153600 AND epoch(ts) <= 1704326400
+"""
+
+
+def q_sort_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(_event_window()).alias("rn")
+    )
+
+
+ORACLE_SORT_SERIES = f"""
+SELECT event_id, user_id, row_number() OVER ({_EVENT_WINDOW_SQL}) AS rn FROM events
+"""
+
+
+def q_union_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: multi-launch overlay as unionByName + label column."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.where(F.col("user_id") % 2 == 0).withColumn("label", F.lit("launch_0"))
+    b = ev.where(F.col("user_id") % 2 == 1).withColumn("label", F.lit("launch_1"))
+    u = a.unionByName(b)
+    return u.groupBy("label", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_value"),
+    )
+
+
+ORACLE_UNION_COMPARE = """
+SELECT label, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM (
+  SELECT *, 'launch_0' AS label FROM events WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT *, 'launch_1' AS label FROM events WHERE user_id % 2 = 1
+)
+GROUP BY label, event_type
+"""
+
+
+def q_detect_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 parity helper: discover the series dimension from data."""
+    return load(spark, sf_dir, "documents").select(F.col("source").alias("series")).distinct()
+
+
+ORACLE_DETECT_SERIES = "SELECT DISTINCT source AS series FROM documents"
+
+
+def q_fuel_pair_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    lox = F.col("value") % 100
+    ch4 = (F.col("value") * 7) % 100
+    l2, c2 = W.fuel_pair_normalize(lox, ch4, F.col("value"))
+    return ev.select("event_id", F.round(l2, 6).alias("lox"), F.round(c2, 6).alias("ch4"))
+
+
+ORACLE_FUEL_PAIR_RULE = """
+WITH s AS (SELECT event_id, value % 100 AS lox, (value * 7) % 100 AS ch4, value AS t FROM events)
+SELECT event_id,
+       round(CASE WHEN abs(lox - ch4) > 30
+                  THEN CASE WHEN t < 200 THEN greatest(lox, ch4) ELSE least(lox, ch4) END
+                  ELSE lox END, 6) AS lox,
+       round(CASE WHEN abs(lox - ch4) > 30
+                  THEN CASE WHEN t < 200 THEN greatest(lox, ch4) ELSE least(lox, ch4) END
+                  ELSE ch4 END, 6) AS ch4
+FROM s
+"""
+
+
+def q_fuel_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    v1 = F.when(F.col("c_acctbal") < 0, F.col("c_acctbal"))
+    v2 = F.when(F.col("c_acctbal") > 5000, F.col("c_acctbal"))
+    return cust.select("c_custkey", W.fuel_coalesce(v1, v2).alias("fuel"))
+
+
+ORACLE_FUEL_COALESCE = """
+SELECT c_custkey,
+       coalesce(CASE WHEN c_acctbal < 0 THEN c_acctbal END,
+                CASE WHEN c_acctbal > 5000 THEN c_acctbal END, 0.0) AS fuel
+FROM customer
+"""
+
+
+def q_engine_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    arr = F.array(
+        F.col("l_quantity") > 25, F.col("l_discount") > 0.05,
+        F.col("l_tax") > 0.04, F.col("l_returnflag") == "R",
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", W.engine_active_count(arr).alias("active")
+    )
+
+
+ORACLE_ENGINE_COUNT_AGG = """
+SELECT l_orderkey, l_linenumber,
+       CAST(len(list_filter([l_quantity > 25, l_discount > 0.05, l_tax > 0.04,
+                             l_returnflag = 'R'], x -> x)) AS INT) AS active
+FROM lineitem
+"""
+
+
+# ===========================================================================
+# Training-data pipeline: dedup, similarity, text analysis, multimodal
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # append deterministic duplicates so group sizes > 1 are exercised
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    return D.exact_dedup(corpus, "text", "doc_id")
+
+
+ORACLE_DEDUP_EXACT = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM corpus GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-id candidate pairs, 3-token-shingle Jaccard."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                    F.col("text").alias("text_b"))
+    pairs = a.join(b, "id_a")
+    sh_a = D.token_shingles(F.col("text_a"), 3)
+    sh_b = D.token_shingles(F.col("text_b"), 3)
+    return pairs.select("id_a", "id_b", F.round(D.jaccard(sh_a, sh_b), 6).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 3, 0) + 1),
+             i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+3], ' ')
+           )) AS sh
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def _near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents + mutated copies (one token appended) — guaranteed near-dups."""
+    muts = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(muts)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 signatures are not
+    reproducible in ANSI SQL; semantics covered in tests/test_dedup.py)."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check; see tests/test_dedup.py)."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return D.simhash_candidates(corpus, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    topk = S.brute_force_topk(emb, queries, "vec_id", "embedding", "qid", "qvec", k=3)
+    return topk.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT qid AS query_id, vec_id AS neighbor_id,
+         CASE WHEN (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                   * sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) > 0
+              THEN list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))))
+              ELSE 0.0 END AS score
+  FROM q, embeddings WHERE qid <> vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only; recall measured in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    topk = S.lsh_ann_topk(emb, queries, "vec_id", "embedding", "qid", "qvec",
+                          dim=64, k=3, n_bits=8)
+    return topk.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_count(needle: str) -> str:
+    pad = "concat(' ', lower(text), ' ')"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)} AS INT)"
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_sql_count(' the ')} + {_sql_count(' and ')} + {_sql_count(' of ')} AS en,
+         {_sql_count(' der ')} + {_sql_count(' und ')} + {_sql_count(' die ')} AS de,
+         {_sql_count(' le ')} + {_sql_count(' et ')} + {_sql_count(' les ')} AS fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TA.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(TA.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(TA.mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+_SQL_TOKS = r"len(regexp_split_to_array(trim(text), '\s+'))"
+_SQL_PUNCT = (
+    r"CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    r"CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)"
+    r" / length(text) END"
+)
+_SQL_STOP = (
+    "CASE WHEN " + _SQL_TOKS + " = 0 THEN 0.0 ELSE CAST("
+    + " + ".join(_sql_count(sw) for sw in (" the ", " a ", " of ", " and ", " to ", " in "))
+    + " AS DOUBLE) / " + _SQL_TOKS + " END"
+)
+_SQL_MWL = (
+    r"CASE WHEN " + _SQL_TOKS + r" = 0 THEN 0.0 ELSE "
+    r"CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / " + _SQL_TOKS + " END"
+)
+
+ORACLE_QUALITY_SCORE = f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_SQL_TOKS} END AS INT) AS n_tokens,
+       round({_SQL_PUNCT}, 6) AS punct_ratio,
+       round({_SQL_STOP}, 6) AS stopword_ratio,
+       round({_SQL_MWL}, 6) AS mean_word_len,
+       round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+             + (1.0 - least({_SQL_PUNCT} * 5.0, 1.0)) * 0.2
+             + least({_SQL_STOP} * 10.0, 1.0) * 0.2
+             + (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+             6) AS quality
+FROM documents
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.token_count(F.col("text")).alias("ws_tokens"),
+        TA.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_SQL_TOKS} END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents
+"""
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path on a constructed binary column (JVM-side:
+    size/hash/magic without crossing into Python)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return M.media_metadata(docs, "doc_id", "payload")
+
+
+ORACLE_BINARY_META = """
+SELECT doc_id AS media_id, 'unknown' AS magic,
+       octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    "extract_main_text": q_extract_main_text,
+    "extract_field_spans": q_extract_field_spans,
+    "extract_engine_counts": q_extract_engine_counts,
+    "pricing_summary": q_pricing_summary,
+    "nation_revenue": q_nation_revenue,
+    "first_number": q_first_number,
+    "time_parse": q_time_parse,
+    "unit_convert": q_unit_convert,
+    "hhmmss_format": q_hhmmss_format,
+    "event_label_parse": q_event_label_parse,
+    "outlier_nulling": q_outlier_nulling,
+    "lead_acceleration": q_lead_acceleration,
+    "g_force": q_g_force,
+    "rolling_trend": q_rolling_trend,
+    "zero_anchor_realtime": q_zero_anchor_realtime,
+    "after_anchor_flag": q_after_anchor_flag,
+    "bucket_summarize": q_bucket_summarize,
+    "sample_every_nth": q_sample_every_nth,
+    "time_window_filter": q_time_window_filter,
+    "sort_series": q_sort_series,
+    "union_compare": q_union_compare,
+    "detect_series": q_detect_series,
+    "fuel_pair_rule": q_fuel_pair_rule,
+    "fuel_coalesce": q_fuel_coalesce,
+    "engine_count_agg": q_engine_count_agg,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_topk": q_embedding_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "binary_meta": q_binary_meta,
+}
+
+ORACLES = {
+    "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
+    "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
+    "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "nation_revenue": ORACLE_NATION_REVENUE,
+    "first_number": ORACLE_FIRST_NUMBER,
+    "time_parse": ORACLE_TIME_PARSE,
+    "unit_convert": ORACLE_UNIT_CONVERT,
+    "hhmmss_format": ORACLE_HHMMSS_FORMAT,
+    "event_label_parse": ORACLE_EVENT_LABEL_PARSE,
+    "outlier_nulling": ORACLE_OUTLIER_NULLING,
+    "lead_acceleration": ORACLE_LEAD_ACCELERATION,
+    "g_force": ORACLE_G_FORCE,
+    "rolling_trend": ORACLE_ROLLING_TREND,
+    "zero_anchor_realtime": ORACLE_ZERO_ANCHOR_REALTIME,
+    "after_anchor_flag": ORACLE_AFTER_ANCHOR_FLAG,
+    "bucket_summarize": ORACLE_BUCKET_SUMMARIZE,
+    "sample_every_nth": ORACLE_SAMPLE_EVERY_NTH,
+    "time_window_filter": ORACLE_TIME_WINDOW_FILTER,
+    "sort_series": ORACLE_SORT_SERIES,
+    "union_compare": ORACLE_UNION_COMPARE,
+    "detect_series": ORACLE_DETECT_SERIES,
+    "fuel_pair_rule": ORACLE_FUEL_PAIR_RULE,
+    "fuel_coalesce": ORACLE_FUEL_COALESCE,
+    "engine_count_agg": ORACLE_ENGINE_COUNT_AGG,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # minhash_pairs / simhash_pairs / ann_lsh_topk: rows-only (no ANSI twin)
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "binary_meta": ORACLE_BINARY_META,
+}

@@ -1,0 +1,96 @@
+"""Dedup operator semantics on constructed duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_launch_telemetry_analyzer_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while telemetry streams "
+    "from the booster during ascent and the analyzer extracts fields"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE + " extra token"),  # near dup of 1
+        (4, "completely different content about database query optimizers and join ordering strategies in distributed engines"),
+        (5, "another unrelated document mentioning partition pruning and adaptive execution with runtime statistics feedback loops"),
+        (6, BASE.replace("quick", "rapid")),  # near dup, one token changed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def test_exact_dedup(corpus):
+    out = D.exact_dedup(corpus, "text", "doc_id").collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert len(out) == 5
+    assert sum(r["n_dups"] for r in out) == 6
+
+
+def test_token_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d e",), ("a b c d x",)], "text string")
+    sh = df.select(D.token_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert sh[0]["sh"] == ["a b c", "b c d", "c d e"]
+    j = spark.range(1).select(
+        D.jaccard(
+            F.lit(["a b c", "b c d", "c d e"]).cast("array<string>"),
+            F.lit(["a b c", "b c d", "c d x"]).cast("array<string>"),
+        ).alias("j")
+    ).first()["j"]
+    assert j == pytest.approx(2 / 4)
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup found
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    for (a, b), j in pairs.items():
+        assert not (a in (4, 5)) and not (b == 4), f"false positive {(a, b)}={j}"
+
+
+def test_minhash_signature_distinct_seeds(spark):
+    """Regression: each of the k minhashes must use its own seed (the
+    pyspark lambda-arity pitfall produced k identical values)."""
+    df = spark.createDataFrame([(BASE,)], "text string")
+    sig = df.select(
+        D.minhash_signature(D.token_shingles(F.col("text"), 3), 8).alias("sig")
+    ).first()["sig"]
+    assert len(set(sig)) > 1
+
+
+def test_simhash_near_dup_distance(corpus):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in corpus.select("doc_id", D.simhash64(F.col("text")).alias("sig")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) == 0  # identical text -> identical sig
+    assert ham(sigs[1], sigs[6]) <= 10  # one-token change -> small distance
+    assert ham(sigs[1], sigs[4]) > 10  # unrelated -> large distance
+
+
+def test_simhash_candidates(corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_candidates(corpus, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs_with_candidates(spark, corpus):
+    cand = spark.createDataFrame([(1, 3), (1, 4)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(corpus, "doc_id", "text", candidates=cand).collect()}
+    assert out[(1, 3)] > 0.8
+    assert out[(1, 4)] == 0.0

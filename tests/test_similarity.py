@@ -1,0 +1,78 @@
+"""Similarity-search operators: brute-force exactness + ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from space_launch_telemetry_analyzer_spark.operators import similarity as S
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(N, DIM).astype(np.float32)
+    # plant near-neighbors: vec i+100 ~ vec i for i in 0..4
+    for i in range(5):
+        vecs[100 + i] = vecs[i] + rng.randn(DIM).astype(np.float32) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    df.count()
+    return df, vecs
+
+
+def numpy_topk(vecs: np.ndarray, qid: int, k: int):
+    v = vecs.astype(np.float64)
+    q = v[qid]
+    scores = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(v)), key=lambda i: (-scores[i], i))
+    return [(i, scores[i]) for i in order if i != qid][:k]
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = S.brute_force_topk(df, queries, "vec_id", "embedding", "qid", "qvec", k=5)
+    rows = got.collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["score"]))
+    for q in range(3):
+        exp = numpy_topk(vecs, q, 5)
+        assert [n for n, _ in by_q[q]] == [n for n, _ in exp]
+        for (_, s_got), (_, s_exp) in zip(by_q[q], exp):
+            assert s_got == pytest.approx(s_exp, abs=1e-9)
+        # planted near-neighbor is rank 1
+        assert by_q[q][0][0] == 100 + q
+
+
+def test_lsh_ann_recall(spark, vectors):
+    df, vecs = vectors
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ann = S.lsh_ann_topk(df, queries, "vec_id", "embedding", "qid", "qvec",
+                         dim=DIM, k=3, n_bits=6)
+    got = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # the planted ~identical neighbor shares every hyperplane bucket -> must
+    # be found for every query
+    for q in range(5):
+        assert (100 + q) in got.get(q, set()), f"query {q} missed planted neighbor"
+
+
+def test_lsh_bits_deterministic(spark, vectors):
+    df, _ = vectors
+    a = df.select(S.lsh_bits(F.col("embedding"), 6, DIM).alias("b")).collect()
+    b = df.select(S.lsh_bits(F.col("embedding"), 6, DIM).alias("b")).collect()
+    assert [r["b"] for r in a] == [r["b"] for r in b]
+    assert len({r["b"] for r in a}) > 4  # buckets actually spread
