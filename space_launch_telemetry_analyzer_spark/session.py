@@ -38,9 +38,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 8)
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs everything in the driver JVM: size it for
+        # 32 concurrent tasks x multi-MB Arrow batches (default 1g OOMs)
+        .config("spark.driver.memory", driver_mem)
         # deterministic timestamp semantics for oracle parity
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow on for every pandas-UDF boundary (input_hint: no per-row Python)
@@ -51,6 +55,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # UDF-heavy scans need more splits than the 128MB default yields —
+        # a 2GB input would give ~15 tasks and idle half of a 32-core box
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # keep driver results small; jobs write tables, they don't collect
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")
