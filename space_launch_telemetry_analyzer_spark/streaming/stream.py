@@ -1,0 +1,146 @@
+"""Streaming extraction: the reference's micro-batched sequential scan
+(SURVEY.md §2.4) re-expressed as Structured Streaming.
+
+Three operators:
+- `stream_extract`    — readStream -> the SAME mapInArrow kernel -> writeStream
+  (stateless; the kernel is batch/stream agnostic, which is the point of
+  keeping it a pure function of the Arrow batch).
+- `stream_anchor_flags` — the cross-batch `zero_time_met` state (ST2,
+  extract_data.py:112-115 / batch_processing.py:71-72) as a true stateful
+  streaming operator via applyInPandasWithState, keyed per series: once a
+  series has seen its anchor event, every later row in ANY micro-batch is
+  flagged. (The reference scopes the flag per process batch; the stream scopes
+  it per series — the honest re-expression, same deviation documented in
+  SURVEY.md §2.4.)
+- `stream_host_metrics` — watermarked per-host per-minute counts (ST4
+  progress/metrics analog, with late-data tolerance).
+
+Scale notes: the stateless path scales like the batch job (state-free tasks);
+the stateful path shuffles on the series key — state size is O(#series) x a
+few bytes (one boolean + anchor id), safe for millions of series.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.extract import extract_pages
+from ..rules import RuleConfig
+from ..schema import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    cfg: RuleConfig | None = None,
+    available_now: bool = True,
+):
+    """Run the extraction kernel as a stream; returns the StreamingQuery.
+    `available_now=True` drains existing files and stops (the batch-parity
+    mode used by tests and backfills); False runs continuously."""
+    pages = read_pages_stream(spark, input_path)
+    results = extract_pages(pages, cfg, row_idx_col=None)
+    writer = (
+        results.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- ST2 as real streaming state ---------------------------------------------
+
+ANCHOR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("row_id", T.LongType()),
+        T.StructField("is_anchor", T.BooleanType()),
+        T.StructField("after_anchor", T.BooleanType()),
+    ]
+)
+ANCHOR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("met", T.BooleanType()),
+        T.StructField("anchor_id", T.LongType()),
+    ]
+)
+
+
+def _anchor_fn(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-series: flag rows at/after the first anchor row; the flag
+    survives across micro-batches via GroupState (the distributed
+    `zero_time_met`)."""
+    met, anchor_id = state.get if state.exists else (False, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("row_id")
+        out_after = []
+        out_anchor = []
+        for _, row in pdf.iterrows():
+            is_anchor = bool(row["is_zero"]) and not met
+            if is_anchor:
+                met = True
+                anchor_id = int(row["row_id"])
+            out_anchor.append(is_anchor)
+            out_after.append(met)
+        yield pd.DataFrame(
+            {
+                "series": key[0],
+                "row_id": pdf["row_id"].values,
+                "is_anchor": out_anchor,
+                "after_anchor": out_after,
+            }
+        )
+    state.update((met, anchor_id))
+
+
+def stream_anchor_flags(events: DataFrame) -> DataFrame:
+    """events(series, row_id, is_zero) stream -> per-row anchor flags with
+    cross-micro-batch state."""
+    return events.groupBy("series").applyInPandasWithState(
+        _anchor_fn,
+        outputStructType=ANCHOR_OUTPUT_SCHEMA,
+        stateStructType=ANCHOR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- ST4: watermarked per-host metrics ---------------------------------------
+
+def stream_host_metrics(pages: DataFrame, watermark: str = "10 minutes",
+                        window: str = "1 minute") -> DataFrame:
+    """Per-host per-window page counts with late-data tolerance — the
+    streaming metrics/lineage feed."""
+    hosts = pages.select(
+        F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.col("warc_ts"),
+        F.octet_length("html").alias("n_bytes"),
+    )
+    return (
+        hosts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "host")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_bytes").alias("bytes"))
+    )

@@ -1,0 +1,123 @@
+"""Structured Streaming: batch-parity of the kernel, cross-batch state,
+watermarked metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_launch_telemetry_analyzer_spark.sources.pages import synth_pages_df
+from space_launch_telemetry_analyzer_spark.streaming.stream import (
+    stream_anchor_flags,
+    stream_extract,
+    stream_host_metrics,
+    read_pages_stream,
+)
+
+N = 400
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    """availableNow stream over parquet files == batch extraction results
+    (the kernel is batch/stream agnostic)."""
+    in_path = str(tmp_path / "pages")
+    out_path = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    pages = synth_pages_df(spark, N, partitions=4)
+    pages.select("url", "warc_ts", "html", "text", "lang").write.parquet(in_path)
+
+    q = stream_extract(spark, in_path, out_path, cp, available_now=True)
+    q.awaitTermination(timeout=180)
+    assert not q.isActive
+
+    res = spark.read.parquet(out_path)
+    assert res.count() == N
+    joined = res.join(pages.select("url", "text"), "url")
+    assert joined.where(F.col("extracted_text") != F.col("text")).count() == 0
+    assert res.where(F.col("error").isNotNull()).count() == 0
+
+    # restart with same checkpoint: no new files -> no duplicate rows
+    q2 = stream_extract(spark, in_path, out_path, cp, available_now=True)
+    q2.awaitTermination(timeout=120)
+    assert spark.read.parquet(out_path).count() == N
+
+
+def test_stream_anchor_state_across_batches(spark, tmp_path):
+    """The zero_time_met flag must survive micro-batch boundaries: the anchor
+    arrives in file 1; rows in file 2 must still be flagged after_anchor."""
+    in_path = tmp_path / "events"
+    in_path.mkdir()
+    batch1 = spark.createDataFrame(
+        [("s1", 1, False), ("s1", 2, True), ("s1", 3, False), ("s2", 1, False)],
+        "series string, row_id long, is_zero boolean",
+    )
+    batch1.coalesce(1).write.parquet(str(in_path / "f1"))
+
+    stream = (
+        spark.readStream.schema("series string, row_id long, is_zero boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_path / "*"))
+    )
+    out_path = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    q = (
+        stream_anchor_flags(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    # second micro-batch arrives later: s1 rows must be flagged immediately
+    batch2 = spark.createDataFrame(
+        [("s1", 4, False), ("s2", 2, False)],
+        "series string, row_id long, is_zero boolean",
+    )
+    batch2.coalesce(1).write.parquet(str(in_path / "f2"))
+    q2 = (
+        stream_anchor_flags(
+            spark.readStream.schema("series string, row_id long, is_zero boolean")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_path / "*"))
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(timeout=120)
+
+    rows = {(r["series"], r["row_id"]): r for r in spark.read.parquet(out_path).collect()}
+    assert rows[("s1", 1)]["after_anchor"] is False
+    assert rows[("s1", 2)]["after_anchor"] is True and rows[("s1", 2)]["is_anchor"] is True
+    assert rows[("s1", 3)]["after_anchor"] is True
+    assert rows[("s1", 4)]["after_anchor"] is True  # state crossed the batch boundary
+    assert rows[("s1", 4)]["is_anchor"] is False
+    assert rows[("s2", 2)]["after_anchor"] is False  # series isolation
+
+
+def test_stream_host_metrics(spark, tmp_path):
+    in_path = str(tmp_path / "pages")
+    synth_pages_df(spark, 200, partitions=2).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).write.parquet(in_path)
+    stream = read_pages_stream(spark, in_path)
+    q = (
+        stream_host_metrics(stream)
+        .writeStream.format("memory")
+        .queryName("host_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    out = spark.sql("SELECT * FROM host_metrics")
+    # append mode emits only watermark-closed windows; schema is the contract
+    assert set(out.columns) == {"window", "host", "n_pages", "bytes"}
+    total = out.agg(F.sum("n_pages")).first()[0]
+    assert total is None or total <= 200
