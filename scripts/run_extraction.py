@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the flagship extraction job.
+
+Local:    python scripts/run_extraction.py --pages /tmp/pages --out /tmp/results
+Cluster:  spark-submit --py-files <pkg.zip> scripts/run_extraction.py \
+              --pages s3://bucket/pages --out s3://bucket/results \
+              --run-id backfill-2026-08 --buckets 4096 --salt 8
+
+Re-running with the same --run-id resumes from the checkpoint table
+(bucket-level anti-join; already-written buckets are skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="input pages table (parquet path)")
+    ap.add_argument("--out", required=True, help="result store root")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--rules", default=None, help="extraction-rule config JSON")
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--salt", type=int, default=4)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from space_launch_telemetry_analyzer_spark.plans.pipeline import run_extraction
+    from space_launch_telemetry_analyzer_spark.rules import RuleConfig, default_config
+    from space_launch_telemetry_analyzer_spark.session import get_spark
+    from space_launch_telemetry_analyzer_spark.sources.io import ResultStore, iceberg_available
+
+    spark = get_spark(app_name="sla-extract", master=args.master)
+    cfg = RuleConfig.load(args.rules) if args.rules else default_config()
+    store = ResultStore(args.out, use_iceberg=False if "/" in args.out else iceberg_available(spark))
+    summary = run_extraction(
+        spark,
+        spark.read.parquet(args.pages),
+        store,
+        cfg=cfg,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+        num_partitions=args.partitions,
+        salt_mod=args.salt,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
