@@ -832,6 +832,41 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FRO
 """
 
 
+def q_path_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 path-derived identity + P19 label beautification: build a
+    results-path-shaped string, parse company/vehicle/launch back out, and
+    beautify the vehicle label (utils/__init__.py:100-120, plot_utils.py:8-21)."""
+    docs = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("results/"), F.col("source"), F.lit("/"),
+        F.concat(F.lit("vehicle_"), (F.col("doc_id") % 3).cast("string")), F.lit("/launch-"),
+        (F.col("doc_id") % 50).cast("string"), F.lit("/results.json"),
+    )
+    company = F.regexp_extract(path, r"^results/([^/]+)/", 1)
+    vehicle = F.regexp_extract(path, r"^results/[^/]+/([^/]+)/", 1)
+    launch = F.regexp_extract(path, r"/launch-(\d+)/", 1).cast("int")
+    pretty = F.initcap(F.regexp_replace(vehicle, "_", " "))
+    return docs.select(
+        "doc_id", company.alias("company"), vehicle.alias("vehicle"),
+        launch.alias("launch_number"), pretty.alias("vehicle_label"),
+    )
+
+
+ORACLE_PATH_IDENTITY = r"""
+WITH s AS (
+  SELECT doc_id,
+         concat('results/', source, '/', concat('vehicle_', CAST(doc_id % 3 AS VARCHAR)),
+                '/launch-', CAST(doc_id % 50 AS VARCHAR), '/results.json') AS path
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(path, '^results/([^/]+)/', 1) AS company,
+       regexp_extract(path, '^results/[^/]+/([^/]+)/', 1) AS vehicle,
+       CAST(regexp_extract(path, '/launch-(\d+)/', 1) AS INT) AS launch_number,
+       concat('Vehicle ', CAST(doc_id % 3 AS VARCHAR)) AS vehicle_label
+FROM s
+"""
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path on a constructed binary column (JVM-side:
     size/hash/magic without crossing into Python)."""
@@ -889,6 +924,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
+    "path_identity": q_path_identity,
 }
 
 ORACLES = {
@@ -926,4 +962,5 @@ ORACLES = {
     "token_counts": ORACLE_TOKEN_COUNTS,
     "fingerprint": ORACLE_FINGERPRINT,
     "binary_meta": ORACLE_BINARY_META,
+    "path_identity": ORACLE_PATH_IDENTITY,
 }
