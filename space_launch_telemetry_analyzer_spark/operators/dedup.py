@@ -89,8 +89,34 @@ def ngram_jaccard_pairs(
 
 
 # --- MinHash + LSH -----------------------------------------------------------
-def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
-    """k independent minhashes: min over shingles of xxhash64(seed, shingle).
+#
+# Performance note (measured, BENCH.md): building 16 minhashes directly over
+# STRING shingles re-evaluates the shingle-construction expression per hash
+# family and drops out of codegen (~11 ms/doc interpreted). The scalable
+# shape materializes numeric shingle hashes ONCE as a column, then runs the
+# k hash families over longs (~0.1 ms/doc).
+
+
+def token_hash_col(text: Column) -> Column:
+    """tokens -> xxhash64 longs (JVM-side)."""
+    return F.transform(tokens_of(text), lambda t: F.xxhash64(t))
+
+
+def shingle_hash_col(th: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """k-gram shingle hashes from a MATERIALIZED token-hash column: shingle i
+    = xxhash64(th[i], th[i+1], ..., th[i+k-1]) — no string concatenation.
+    `th` must be a plain column reference so it is computed once per row."""
+    n = F.size(th)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.xxhash64(*[F.element_at(th, i + j + 1) for j in range(k)]),
+        )
+    )
+
+
+def minhash_signature(shingle_hashes: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """k independent minhashes: min over shingle hashes of xxhash64(seed, h).
     Deterministic (no Python hash seeds); empty shingle set -> NULL mins.
 
     NB: the per-seed lambda must be built by a closure factory — pyspark
@@ -101,7 +127,7 @@ def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) ->
         return lambda s: F.xxhash64(F.lit(seed), s)
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hash_with_seed(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(shingle_hashes, hash_with_seed(i))) for i in range(num_hashes)]
     )
 
 
@@ -120,9 +146,10 @@ def minhash_lsh_candidates(
     so no skew; distinct() collapses pairs found in several bands.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(token_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
+    sig = (
+        df.select(F.col(id_col).alias("id"), token_hash_col(F.col(text_col)).alias("th"))
+        .select("id", shingle_hash_col(F.col("th"), shingle_k).alias("sh"))
+        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     )
     banded = sig.select(
         "id",
@@ -164,25 +191,41 @@ def minhash_dedup(
 
 
 # --- SimHash ------------------------------------------------------------------
-def simhash64(text: Column, nbits: int = 64) -> Column:
-    """64-bit SimHash: per token-hash, each bit votes ±1; signature bit =
-    sign of the vote sum. Pure expressions: one aggregate per bit over the
-    token-hash array (codegen'd; no shuffle — per-row computation)."""
-    hashes = F.transform(tokens_of(text), lambda t: F.xxhash64(t))
+#
+# Performance note (measured, BENCH.md): 64 per-bit HOF aggregates over the
+# token-hash array evaluate interpreted (~4 ms/doc). Token hashing stays
+# JVM-side (xxhash64); the bit-vote fold runs as an Arrow-vectorized pandas
+# UDF with numpy (~0.02 ms/doc) — the sanctioned fast path when built-in
+# expressions fall off codegen.
 
-    def vote(bit_pos: int):
-        # closure factory, not default-arg capture (see minhash_signature note)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+import numpy as _np
+import pandas as _pd
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(b)) for b in range(nbits)]
-    sig = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sig
+_BIT_RANGE = _np.arange(64, dtype=_np.uint64)
+_simhash_udf = None  # built lazily: pandas_udf needs an active session
+
+
+def _simhash_kernel(hashes: _pd.Series) -> _pd.Series:
+    out = _np.zeros(len(hashes), dtype=_np.uint64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        h = _np.asarray(hs, dtype=_np.int64).astype(_np.uint64)
+        ones = ((h[:, None] >> _BIT_RANGE) & 1).sum(axis=0)  # per-bit 1-votes
+        bits = (2 * ones > len(h)).astype(_np.uint64)  # sign of ±1 vote sum
+        out[i] = (bits << _BIT_RANGE).sum()
+    return _pd.Series(out.astype(_np.int64))
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: each token-hash bit votes ±1; signature bit = sign of
+    the vote sum. xxhash64 JVM-side, vote fold vectorized in numpy."""
+    global _simhash_udf
+    if _simhash_udf is None:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        _simhash_udf = pandas_udf(_simhash_kernel, "long")
+    return _simhash_udf(token_hash_col(text))
 
 
 def hamming64(a: Column, b: Column) -> Column:
