@@ -18,8 +18,10 @@ from pyspark.sql import SparkSession
 
 # Arrow batch size bounds memory per extraction batch, the analog of the
 # reference's batch_size=10 frames (main_processing.py:17) scaled for text
-# rows instead of decoded video frames.
-ARROW_MAX_RECORDS = 2048
+# rows instead of decoded video frames. A/B measured (BENCH.md): 8192 beats
+# 2048 by ~35% at 32 cores (per-batch overhead amortizes; ~25 MB/batch at
+# 3 KB/doc stays well inside executor memory); 16384 regressed.
+ARROW_MAX_RECORDS = 8192
 
 
 def get_spark(
