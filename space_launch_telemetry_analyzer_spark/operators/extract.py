@@ -233,7 +233,11 @@ def _children(blocks: list[Block], parent: Block) -> list[Block]:
     return [b for b in blocks if b.parent_idx == parent.block_idx]
 
 
-def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None) -> dict:
+ZERO_TIME = {"sign": "+", "hours": 0, "minutes": 0, "seconds": 0}
+
+
+def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None,
+                   zero_time_met: bool = False) -> dict:
     """Apply all *active* rules (ROI.is_active analog, roi_manager.py:45-53)
     to one page's block array. Returns the nested field dict of
     schema.EXTRACTION_SCHEMA. Fuel is extracted at most once even if several
@@ -270,6 +274,13 @@ def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None) ->
                 }
             )
         elif rule.id == "time":
+            if zero_time_met:
+                # P12 zero-time short-circuit (extract_data.py:112-115): once
+                # T-0 was seen earlier in this batch, emit +00:00:00 without
+                # parsing (the reference's per-batch OCR skip)
+                if out["time"] is None:
+                    out["time"] = dict(ZERO_TIME)
+                continue
             regex = rule.measurement_unit or DEFAULT_TIME_REGEX
             t = extract_time(blk.text, regex)
             if out["time"] is None:
@@ -303,7 +314,8 @@ def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None) ->
     return out
 
 
-def extract_page(html_bytes, cfg: RuleConfig, row_idx: int | None) -> dict:
+def extract_page(html_bytes, cfg: RuleConfig, row_idx: int | None,
+                 zero_time_met: bool = False) -> dict:
     """One page -> one result dict (never raises; error -> data)."""
     try:
         if html_bytes is None:
@@ -316,7 +328,7 @@ def extract_page(html_bytes, cfg: RuleConfig, row_idx: int | None) -> dict:
             else str(html_bytes)
         )
         blocks = parse_blocks(html_text)
-        fields = extract_fields(blocks, cfg, row_idx)
+        fields = extract_fields(blocks, cfg, row_idx, zero_time_met)
         fields["extracted_text"] = extracted_text_of(blocks)
         fields["n_blocks"] = len(blocks) - 1  # exclude virtual root
         fields["n_content_blocks"] = sum(1 for b in blocks if b.is_content)
@@ -350,6 +362,7 @@ def extract_pages(
     cfg: RuleConfig | None = None,
     row_idx_col: str | None = "row_idx",
     n_buckets: int = 256,
+    zero_time_shortcircuit: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html[, row_idx]) -> extraction results.
 
@@ -405,10 +418,25 @@ def extract_pages(
             else:
                 idxs = [None] * n
             t0 = _time.perf_counter()
-            results = [
-                extract_page(h, cfg_local, int(ix) if ix is not None else None)
-                for h, ix in zip(htmls, idxs)
-            ]
+            if zero_time_shortcircuit:
+                # ST2/P12: `zero_time_met` scoped per Arrow batch, mirroring
+                # the reference's per-process-batch flag (batch_processing.py
+                # :71-72,124 — each worker batch starts False). Batch-order
+                # dependent by design; the deterministic series-scoped form
+                # is operators.windows.after_anchor_flag.
+                met = False
+                results = []
+                for h, ix in zip(htmls, idxs):
+                    r = extract_page(h, cfg_local, int(ix) if ix is not None else None, met)
+                    results.append(r)
+                    t = r["time"]
+                    if t and t.get("hours") == 0 and t.get("minutes") == 0 and t.get("seconds") == 0:
+                        met = True
+            else:
+                results = [
+                    extract_page(h, cfg_local, int(ix) if ix is not None else None)
+                    for h, ix in zip(htmls, idxs)
+                ]
             per_row = (_time.perf_counter() - t0) / n
 
             # nested outputs are built from FLATTENED primitive arrays +

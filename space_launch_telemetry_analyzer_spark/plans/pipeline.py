@@ -78,6 +78,7 @@ def run_extraction(
     num_partitions: int | None = None,
     salt_mod: int = 4,
     row_idx_col: str | None = "row_idx",
+    input_is_bucketed: bool = False,
 ) -> dict:
     """Execute the flagship job; returns a small summary dict (counts only —
     no data is collected to the driver)."""
@@ -97,7 +98,15 @@ def run_extraction(
             bucketed = bucketed.join(F.broadcast(done), "bucket", "left_anti")
 
     # -- explicit partition layout: url-hash bucket + salt ---------------------
-    arranged = salted_repartition(bucketed, num_partitions, ["bucket"], salt_mod)
+    # When the input table is ALREADY bucket-clustered (Iceberg bucket(N,url)
+    # transform, or a bucket=NN parquet layout), the runtime shuffle is pure
+    # cost: scan splits are bucket-aligned, so skip it — at 10^12 rows this
+    # deletes a full-corpus network+disk pass. The checkpoint anti-join keeps
+    # working either way (bucket pruning pushes to the reader).
+    if input_is_bucketed:
+        arranged = bucketed
+    else:
+        arranged = salted_repartition(bucketed, num_partitions, ["bucket"], salt_mod)
 
     # -- the one Python stage; results keep (partition_id, input_bytes,
     # proc_seconds) as lineage columns so metrics can be derived from what

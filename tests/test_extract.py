@@ -92,6 +92,46 @@ def test_no_fields_page():
     assert r["speed"] is None and r["time"] is None and r["engines"] is None
 
 
+def test_zero_time_shortcircuit_python():
+    """P12 (extract_data.py:112-115): once zero_time_met, the time field is
+    +00:00:00 without parsing — even when the span says otherwise."""
+    r = extract_page(_page(500), CFG, 500, zero_time_met=True)
+    assert r["time"] == {"sign": "+", "hours": 0, "minutes": 0, "seconds": 0}
+    # other fields still extracted
+    assert r["speed"] == field_values(500)["speed_kmh"]
+
+
+def test_zero_time_shortcircuit_batch(spark):
+    """ST2 per-batch scope: within one Arrow batch, rows after the first T-0
+    row short-circuit; rows before it parse normally."""
+    import pandas as pd
+
+    # idx 60 has t = 60 % 1200 - 60 = 0 -> T+00:00:00 (the anchor row)
+    ids = [58, 59, 60, 61, 62]
+    rows = [(str(i), render_page(i, paragraphs_of(i)).encode(), i) for i in ids]
+    df = spark.createDataFrame(rows, "url string, html binary, row_idx long").coalesce(1)
+    out = {int(r["url"]): r["time"].asDict() for r in
+           extract_pages(df, CFG, zero_time_shortcircuit=True).collect()}
+    assert out[58]["sign"] == "-" and out[58]["seconds"] == 2  # parsed normally
+    assert out[60] == {"sign": "+", "hours": 0, "minutes": 0, "seconds": 0}
+    # rows after the anchor: emitted as +00:00:00 regardless of their spans
+    assert out[61] == {"sign": "+", "hours": 0, "minutes": 0, "seconds": 0}
+    assert out[62] == {"sign": "+", "hours": 0, "minutes": 0, "seconds": 0}
+
+
+def test_engines_fewer_points_than_config():
+    """OOB analog (engine_detection.py OOB -> False; here: missing li simply
+    yield shorter section arrays, never an exception)."""
+    html = (
+        '<html><body><ul class="status"><li class="on"></li><li class="off"></li>'
+        "</ul></body></html>"
+    ).encode()
+    r = extract_page(html, CFG, None)
+    assert r["error"] is None
+    assert r["engines"]["central_stack"] == [True, False]
+    assert r["engines"]["inner_ring"] == [] and r["engines"]["outer_ring"] == []
+
+
 def test_allowlist():
     # the OCR data allowlist (ocr/ocr.py:115): letters/symbols stripped
     assert apply_data_allowlist("CH4 60.0%") == "460.0"

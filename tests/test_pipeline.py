@@ -65,6 +65,34 @@ def test_resume_after_partial_run(spark, pages, tmp_path_factory):
     assert joined.where(F.col("extracted_text") != F.col("text")).count() == 0
 
 
+def test_bucketed_input_skips_shuffle(spark, pages, tmp_path_factory):
+    """Pre-bucketed input (Iceberg bucket-transform analog): same results,
+    zero runtime Exchange before the kernel."""
+    import io
+    from contextlib import redirect_stdout
+
+    from space_launch_telemetry_analyzer_spark.operators.extract import extract_pages
+
+    root = tmp_path_factory.mktemp("bucketed")
+    with_bucket(pages, 32).write.partitionBy("bucket").parquet(str(root / "pages"))
+    bucketed = spark.read.parquet(str(root / "pages")).drop("bucket")
+
+    store = ResultStore(str(root / "store"))
+    summary = run_extraction(spark, bucketed, store, run_id="rb", n_buckets=32,
+                             input_is_bucketed=True)
+    assert summary["n_results"] == N_PAGES
+    res = store.read_results(spark)
+    joined = res.join(pages.select("url", "text"), "url")
+    assert joined.where(F.col("extracted_text") != F.col("text")).count() == 0
+
+    # the plan for the bucketed path has no Exchange before the Python stage
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        extract_pages(bucketed, n_buckets=32).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+
+
 def _partition_sizes(df) -> list[int]:
     return [
         r["c"]
