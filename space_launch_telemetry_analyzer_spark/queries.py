@@ -832,6 +832,30 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FRO
 """
 
 
+def q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped fan-out (SURVEY §2.5 'table-function-ish'): one page row ->
+    N typed field-span rows via explode(spans)."""
+    pages = _telemetry_pages(load(spark, sf_dir, "documents"))
+    res = extract_pages(pages, row_idx_col=None)
+    sp = res.select("url", F.explode("spans").alias("s"))
+    return sp.select(
+        "url",
+        F.col("s.rule_id").alias("rule_id"),
+        F.col("s.series").alias("series"),
+        F.round(F.col("s.value"), 6).alias("value"),
+    )
+
+
+ORACLE_SPAN_EXPLODE = f"""
+SELECT concat('doc://', doc_id) AS url, 'speed' AS rule_id, 'primary' AS series,
+       round({_SPEED_EXPR}, 6) AS value FROM documents
+UNION ALL
+SELECT concat('doc://', doc_id), 'altitude', 'primary', round({_ALT_EXPR}, 6) FROM documents
+UNION ALL
+SELECT concat('doc://', doc_id), 'time', NULL, NULL FROM documents
+"""
+
+
 def q_path_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P18 path-derived identity + P19 label beautification: build a
     results-path-shaped string, parse company/vehicle/launch back out, and
@@ -925,6 +949,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
     "path_identity": q_path_identity,
+    "span_explode": q_span_explode,
 }
 
 ORACLES = {
@@ -963,4 +988,5 @@ ORACLES = {
     "fingerprint": ORACLE_FINGERPRINT,
     "binary_meta": ORACLE_BINARY_META,
     "path_identity": ORACLE_PATH_IDENTITY,
+    "span_explode": ORACLE_SPAN_EXPLODE,
 }
