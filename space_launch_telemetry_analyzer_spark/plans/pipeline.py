@@ -87,6 +87,17 @@ def run_extraction(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
+    # Arrow batch sizing by BYTES, not rows: synthetic pages are ~3 KB but
+    # real Common-Crawl html is ~100 KB — a fixed 8192-row batch would be
+    # ~800 MB per in-flight batch per task. Sample the input and target
+    # ~32 MB of html per batch (bounded 256..8192 rows).
+    sample = pages.select(F.octet_length("html").alias("b")).limit(2048).agg(
+        F.avg("b")
+    ).first()[0]
+    if sample and sample > 0:
+        rows = int(max(256, min(8192, (32 << 20) / float(sample))))
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+
     bucketed = with_bucket(pages, n_buckets)
 
     # -- resume: drop buckets already completed for this run_id ---------------

@@ -116,6 +116,34 @@ def test_salting_splits_skewed_host(spark, pages):
     assert max_salted < 0.6 * max_unsalted  # salt split the heavy key
 
 
+def test_large_pages(spark, tmp_path_factory):
+    """Real-CC-sized pages (~120 KB html): the adaptive byte-budget batch
+    sizing must keep the job memory-safe and correct."""
+    from space_launch_telemetry_analyzer_spark.sources.pages import (
+        expected_text, paragraphs_of, render_page,
+    )
+
+    def big_paragraphs(i: int) -> list[str]:
+        return [p * 100 for p in paragraphs_of(i, n_paras=8)]
+
+    rows = [
+        (f"https://big.example.com/{i}",
+         render_page(i, big_paragraphs(i)).encode(),
+         "\n".join(big_paragraphs(i)), i)
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, text string, row_idx long")
+    assert df.select(F.max(F.octet_length("html"))).first()[0] > 100_000
+
+    store = ResultStore(str(tmp_path_factory.mktemp("big")))
+    run_extraction(spark, df, store, run_id="big", n_buckets=8)
+    res = store.read_results(spark)
+    joined = res.join(df.select("url", "text"), "url")
+    assert joined.where(F.col("extracted_text") != F.col("text")).count() == 0
+    # adaptive sizing picked a smaller batch for fat rows
+    assert int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")) < 8192
+
+
 def test_bucket_uniformity(spark, pages):
     """url-hash buckets stay uniform despite host skew (the reason the
     flagship layout buckets by url hash, not host)."""
