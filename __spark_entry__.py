@@ -33,6 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             ship_package(spark)
+            # oracle parity requires UTC wall-clock interpretation of the
+            # parquet TIMESTAMP_NTZ columns regardless of the host session
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return run

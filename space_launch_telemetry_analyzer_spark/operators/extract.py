@@ -220,13 +220,24 @@ def apply_data_allowlist(text: str) -> str:
     return "".join(c for c in text if c in _DATA_ALLOWLIST)
 
 
-def _first_match(blocks: list[Block], rule) -> Block | None:
-    for b in blocks:
-        if b.block_idx == 0:
-            continue
-        if rule.matches(b.tag, b.css_class):
-            return b
-    return None
+def _selector_index(blocks: list[Block]) -> dict:
+    """One pass over the block array -> first block per (tag, class-token)
+    and per bare tag — O(1) rule lookups instead of a scan per rule."""
+    idx: dict = {}
+    for b in blocks[1:]:
+        idx.setdefault((b.tag, ""), b)
+        for token in (b.css_class or "").split():
+            idx.setdefault((b.tag, token), b)
+    return idx
+
+
+def _first_match(index: dict, rule) -> Block | None:
+    sel = rule.selector
+    if "." in sel:
+        tag, cls = sel.split(".", 1)
+    else:
+        tag, cls = sel, ""
+    return index.get((tag, cls))
 
 
 def _children(blocks: list[Block], parent: Block) -> list[Block]:
@@ -252,8 +263,9 @@ def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None,
         "spans": [],
     }
     fuel_extracted = False
+    index = _selector_index(blocks)
     for rule in cfg.get_active_rules(row_idx):
-        blk = _first_match(blocks, rule)
+        blk = _first_match(index, rule)
         if blk is None:
             continue
         if rule.id in ("speed", "altitude"):
