@@ -178,6 +178,63 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (id_a, id_b) -> (id,
+    component) where component = min id reachable. Label-propagation by
+    iterative join (the alternating small-star/large-star family): each round
+    every node adopts the min label in its neighborhood; converges in
+    O(log n) rounds on near-dup graphs (which are small, dense clusters).
+
+    Scale notes: per round = one shuffle keyed on node id; the edge list is
+    checkpointed to break lineage growth; convergence is detected with a
+    cheap count of changed labels. This is the 'iterative algorithm'
+    non-SQL-expressible case — verified in tests on known clusters."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # each node's candidate label: min of its own and its neighbors'
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neighbor_labels, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component")))
+                .alias("new_component"),
+                "component",
+            )
+        ).persist()
+        changed = updated.where(F.col("new_component") != F.col("component")).count()
+        labels = updated.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Given verified near-dup pairs, keep one row per component (min id) and
+    pass through rows not in any component: the full corpus-dedup output."""
+    comp = connected_components(pairs)
+    keep = comp.where(F.col("id") == F.col("component")).select(F.col("id").alias(id_col))
+    in_graph = comp.select(F.col("id").alias(id_col))
+    loners = df.select(id_col).join(in_graph, id_col, "left_anti")
+    return keep.unionByName(loners)
+
+
 def minhash_dedup(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw
 ) -> DataFrame:

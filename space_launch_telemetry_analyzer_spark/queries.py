@@ -692,6 +692,14 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup: LSH candidates -> Jaccard verify -> connected
+    components -> one survivor per cluster (iterative algorithm; rows-only)."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5)
+    return D.dedup_survivors(corpus, "doc_id", pairs).orderBy("doc_id")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only check; see tests/test_dedup.py)."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
@@ -940,6 +948,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_survivors": q_dedup_survivors,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,

@@ -88,6 +88,24 @@ def test_simhash_candidates(corpus):
     assert (1, 4) not in pairs
 
 
+def test_connected_components(spark):
+    """Known clusters: {1,2,3,4} via chain, {10,11}, singleton edges absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_survivors(spark, corpus):
+    pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5)
+    survivors = {r["doc_id"] for r in D.dedup_survivors(corpus, "doc_id", pairs).collect()}
+    # 1,2,3,6 collapse to component 1; 4 and 5 survive as loners
+    assert 1 in survivors and 4 in survivors and 5 in survivors
+    assert 2 not in survivors and 3 not in survivors
+    assert len(survivors) == 3
+
+
 def test_ngram_jaccard_pairs_with_candidates(spark, corpus):
     cand = spark.createDataFrame([(1, 3), (1, 4)], "id_a long, id_b long")
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
