@@ -30,6 +30,39 @@ from space_launch_telemetry_analyzer_spark.sources.pages import (
 CFG = default_config()
 
 
+# --- FROZEN on-disk golden fixtures -----------------------------------------
+# Generated once and committed (tests/golden/*): guards against generator +
+# extractor co-drift — a round-trip test alone would still pass if both sides
+# changed together, but the byte contract is against THESE files.
+
+import json
+import os
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.mark.parametrize("i", [7, 42, 500])
+def test_frozen_golden_files(i):
+    with open(f"{GOLDEN_DIR}/page_{i}.html", "rb") as f:
+        html = f.read()
+    with open(f"{GOLDEN_DIR}/expected_{i}.txt", encoding="utf-8") as f:
+        expected = f.read()
+    r = extract_page(html, CFG, i)
+    assert r["extracted_text"] == expected  # byte-identical vs the FROZEN file
+    with open(f"{GOLDEN_DIR}/expected_fields.json", encoding="utf-8") as f:
+        fv = json.load(f)[str(i)]
+    assert r["speed"] == fv["speed_kmh"] and r["altitude"] == fv["alt_km"]
+    assert r["fuel_lox"] == fv["lox"] and r["fuel_ch4"] == fv["ch4"]
+    assert r["time"]["sign"] == fv["time_sign"] and r["time"]["seconds"] == fv["time_s"]
+
+
+def test_generator_still_matches_frozen():
+    """The deterministic generator itself must not drift from the frozen files."""
+    for i in (7, 42, 500):
+        with open(f"{GOLDEN_DIR}/page_{i}.html", encoding="utf-8") as f:
+            assert render_page(i, paragraphs_of(i)) == f.read()
+
+
 # --- golden fixtures (FIXTURES.md F3) --------------------------------------
 
 def _page(i: int) -> bytes:
