@@ -109,6 +109,38 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def chunk_tokens(text: Column, chunk_size: int = 50, stride: int = 40) -> Column:
+    """Tokenizer-ready chunking for training-data prep: overlapping windows
+    of whitespace tokens, re-joined with single spaces. n_chunks =
+    1 + floor(max(n - chunk_size, 0) / stride); a short doc is one chunk.
+    Array-of-structs (chunk_idx, chunk_text) — explode downstream."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.floor(
+        F.greatest(n - F.lit(chunk_size), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias("chunk_text"),
+        ),
+    )
+
+
+def token_bigrams(text: Column) -> Column:
+    """Adjacent token pairs ('a b') — corpus n-gram stats feedstock."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash variant lives in dedup.simhash/minhash; this is the

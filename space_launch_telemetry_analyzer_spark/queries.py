@@ -899,6 +899,51 @@ FROM s
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-ready overlapping chunks (50 tokens, stride 40)."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = docs.select("doc_id", F.explode(TA.chunk_tokens(F.col("text"))).alias("c"))
+    return chunks.select(
+        "doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + CAST(floor(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS i
+  FROM t)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text
+FROM e
+"""
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts, deterministic top-100 (count desc, bigram)."""
+    docs = load(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(TA.token_bigrams(F.col("text"))).alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 100)
+
+
+ORACLE_TOP_BIGRAMS = r"""
+WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n FROM documents),
+e AS (SELECT toks, unnest(range(0, greatest(n - 1, 0))) AS i FROM t),
+b AS (SELECT array_to_string(toks[i+1 : i+2], ' ') AS bigram FROM e),
+c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
+SELECT bigram, n, CAST(row_number() OVER (ORDER BY n DESC, bigram) AS INT) AS rank
+FROM c QUALIFY rank <= 100
+"""
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path on a constructed binary column (JVM-side:
     size/hash/magic without crossing into Python)."""
@@ -959,6 +1004,8 @@ QUERIES = {
     "binary_meta": q_binary_meta,
     "path_identity": q_path_identity,
     "span_explode": q_span_explode,
+    "chunk_documents": q_chunk_documents,
+    "top_bigrams": q_top_bigrams,
 }
 
 ORACLES = {
@@ -998,4 +1045,6 @@ ORACLES = {
     "binary_meta": ORACLE_BINARY_META,
     "path_identity": ORACLE_PATH_IDENTITY,
     "span_explode": ORACLE_SPAN_EXPLODE,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "top_bigrams": ORACLE_TOP_BIGRAMS,
 }

@@ -116,6 +116,30 @@ def test_salting_splits_skewed_host(spark, pages):
     assert max_salted < 0.6 * max_unsalted  # salt split the heavy key
 
 
+def test_poison_pages_become_error_rows(spark, tmp_path_factory):
+    """Null html, invalid UTF-8, and tag soup flow through the WHOLE pipeline
+    as data — rows preserved, errors counted in the lineage metrics, never a
+    task failure (frame_processing.py:41-50 semantics end-to-end)."""
+    rows = [
+        ("https://p.example.com/ok",
+         b"<p>a perfectly fine page with enough words here</p>", 1),
+        ("https://p.example.com/null", None, 2),
+        ("https://p.example.com/badutf", b"<p>bad \xff\xfe bytes but still words enough here</p>", 3),
+        ("https://p.example.com/soup", b"<<<< &&& >>>>", 4),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, row_idx long")
+    store = ResultStore(str(tmp_path_factory.mktemp("poison")))
+    summary = run_extraction(spark, df, store, run_id="p", n_buckets=4)
+    assert summary["n_results"] == 4  # every row survived
+    res = {r["url"].rsplit("/", 1)[-1]: r for r in store.read_results(spark).collect()}
+    assert res["ok"]["error"] is None and res["ok"]["extracted_text"].startswith("a perfectly")
+    assert res["null"]["error"] == "null html"
+    assert res["badutf"]["error"] is None  # decoded with replacement chars
+    assert "words enough here" in res["badutf"]["extracted_text"]
+    m = store.read_metrics(spark).agg(F.sum("n_rows"), F.sum("n_errors")).first()
+    assert m[0] == 4 and m[1] == 1
+
+
 def test_large_pages(spark, tmp_path_factory):
     """Real-CC-sized pages (~120 KB html): the adaptive byte-budget batch
     sizing must keep the job memory-safe and correct."""
