@@ -188,7 +188,37 @@ def test_block_classification():
     assert extracted_text_of(blocks) == "this paragraph has plenty of words and no links at all"
 
 
-def test_entity_unescape():
+def test_realistic_article_page():
+    """A Wikipedia-shaped page: infobox table, TOC link farm, references —
+    the density classifier must keep the prose and drop the chrome."""
+    html = b"""<html><head><title>Raptor (rocket engine)</title></head><body>
+<nav class="top"><a href="/">Main</a> <a href="/rand">Random</a> <a href="/about">About</a></nav>
+<div class="toc"><ul>
+<li><a href="#h">1 History</a></li><li><a href="#d">2 Design</a></li>
+<li><a href="#v">3 Versions</a></li><li><a href="#r">4 References</a></li>
+</ul></div>
+<table class="infobox"><tr><td>Origin</td><td>US</td></tr>
+<tr><td>Propellant</td><td>LOX / CH4</td></tr></table>
+<main><article>
+<p>The engine is a family of full-flow staged-combustion rocket engines
+developed for use on a fully reusable launch vehicle of unusual scale.</p>
+<h2>Design</h2>
+<p>Unlike most engines of its generation it burns methane with liquid oxygen
+in a full-flow staged combustion cycle, raising chamber pressure records.</p>
+</article></main>
+<div class="references"><ul>
+<li><a href="/c1">citation one with a rather long title here</a></li>
+<li><a href="/c2">citation two with another long title string</a></li>
+</ul></div>
+<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>
+</body></html>"""
+    r = extract_page(html, CFG, None)
+    assert r["error"] is None
+    text = r["extracted_text"]
+    assert text.startswith("The engine is a family")
+    assert "full-flow staged combustion cycle" in text
+    assert "Random" not in text and "citation one" not in text  # chrome dropped
+    assert "Origin" not in text  # short infobox cells below density threshold
     html = b"<p>fish &amp; chips cost &lt;5 euros in the old town</p>"
     r = extract_page(html, CFG, None)
     assert r["extracted_text"] == "fish & chips cost <5 euros in the old town"
