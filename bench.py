@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "300000"))
 
 # headline registry queries timed at SF_DIR (forced with a full materialize)
 HEADLINE = [
@@ -130,16 +130,29 @@ def main() -> None:
         write_synth_pages(gen, pages_path, N_PAGES)
         gen.stop()
 
-        # ---- scaling evidence: same job, same input, N vs 4N cores ---------
-        lo = run_extraction_throughput(pages_path, max(CPUS // 4, 1))
-        hi = run_extraction_throughput(pages_path, CPUS)
-        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (CPUS / max(CPUS // 4, 1))
-        extraction = {
-            "n_pages": N_PAGES,
-            f"local{lo['cores']}": lo,
-            f"local{hi['cores']}": hi,
-            "scaling_efficiency": round(eff, 3),
-        }
+        # ---- scaling evidence: same job, same input, two N->4N pairs --------
+        # (CPUS/8 -> CPUS/2) exercises scaling below the single box's memory-
+        # bandwidth ceiling; (CPUS/4 -> CPUS) is the headline pair but the
+        # sandbox box itself stops scaling past ~16 Python processes (the
+        # no-Spark control in BENCH.md measures that hardware ceiling).
+        levels = sorted({max(CPUS // 8, 1), max(CPUS // 4, 1), max(CPUS // 2, 1), CPUS})
+        legs = {c: run_extraction_throughput(pages_path, c) for c in levels}
+        extraction: dict = {"n_pages": N_PAGES}
+        for c in levels:
+            extraction[f"local{c}"] = legs[c]
+
+        def eff(lo_c: int, hi_c: int) -> float | None:
+            if lo_c == hi_c or lo_c not in legs or hi_c not in legs:
+                return None
+            return round(
+                (legs[hi_c]["docs_per_sec"] / legs[lo_c]["docs_per_sec"]) / (hi_c / lo_c), 3
+            )
+
+        lo_pair = eff(max(CPUS // 8, 1), max(CPUS // 2, 1))
+        hi_pair = eff(max(CPUS // 4, 1), CPUS)
+        extraction["scaling_efficiency_sub_ceiling"] = lo_pair
+        extraction["scaling_efficiency"] = hi_pair
+        hi = legs[CPUS]
 
         # ---- headline registry queries at SF_DIR ---------------------------
         spark = new_session(CPUS, "bench-queries")
@@ -159,6 +172,7 @@ def main() -> None:
         out["extraction"] = extraction
         out["docs_per_sec"] = hi["docs_per_sec"]
         out["scaling_efficiency"] = extraction["scaling_efficiency"]
+        out["scaling_efficiency_sub_ceiling"] = extraction["scaling_efficiency_sub_ceiling"]
         out["value"] = round(sum(queries.values()), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

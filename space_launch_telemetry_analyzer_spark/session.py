@@ -45,8 +45,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         # local mode runs everything in the driver JVM: size it for
-        # 32 concurrent tasks x multi-MB Arrow batches (default 1g OOMs)
+        # 32 concurrent tasks x multi-MB Arrow batches (default 1g OOMs);
+        # ParallelGC beats G1 ~14% on this Arrow-heavy throughput workload
+        # (A/B in BENCH.md)
         .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # deterministic timestamp semantics for oracle parity
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow on for every pandas-UDF boundary (input_hint: no per-row Python)
