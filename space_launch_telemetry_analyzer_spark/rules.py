@@ -87,6 +87,31 @@ class RuleConfig:
         """≅ get_rois_for_vehicle (roi_manager.py:119-123)."""
         return [r for r in self.rules if r.series == series]
 
+    def to_dict(self) -> dict:
+        """Round-trip serialization (≅ ROI.to_dict / ConfigModel.save_config,
+        config_gui/models.py:46-60,:104-115)."""
+        return {
+            "version": self.version,
+            "time_unit": self.time_unit,
+            "series": list(self.series),
+            "rules": [
+                {
+                    "id": r.id,
+                    "selector": r.selector,
+                    "series": r.series,
+                    "start_time": r.start_time,
+                    "end_time": r.end_time,
+                    "measurement_unit": r.measurement_unit,
+                    **({"points": dict(r.points)} if r.points else {}),
+                }
+                for r in self.rules
+            ],
+        }
+
+    def save(self, path: str | Path) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
     @staticmethod
     def from_dict(d: dict) -> "RuleConfig":
         rules = tuple(

@@ -31,6 +31,15 @@ def test_load_default_profile():
     assert ("speed", "secondary") in {(r.id, r.series) for r in cfg.get_active_rules(100)}
 
 
+def test_config_roundtrip(tmp_path):
+    """save -> load round trip (≅ config_gui save_config/load_config)."""
+    cfg = default_config()
+    p = tmp_path / "cfg.json"
+    cfg.save(p)
+    assert RuleConfig.load(p) == cfg
+    assert RuleConfig.from_dict(cfg.to_dict()) == cfg
+
+
 def test_empty_profile_extracts_text_only():
     cfg = RuleConfig.load("configs/text_only.json")
     html = render_page(7, ["plain paragraph with plenty of words to classify"]).encode()
