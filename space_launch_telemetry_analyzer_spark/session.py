@@ -81,7 +81,10 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
     the extraction kernel's module, the way the reference's ProcessPool
     initializer re-materializes worker state, batch_processing.py:139-157)."""
     pkg_dir = Path(__file__).resolve().parent
-    dest = dest or os.path.join(tempfile.gettempdir(), f"{pkg_dir.name}-pyfiles.zip")
+    # per-process path: concurrent drivers must not race on one zip file
+    dest = dest or os.path.join(
+        tempfile.gettempdir(), f"{pkg_dir.name}-pyfiles-{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(pkg_dir.rglob("*.py")):
             zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
