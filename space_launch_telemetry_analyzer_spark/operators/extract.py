@@ -35,9 +35,14 @@ Block model (frozen):
   <br> contributes a single '\n'.
 
 Classification (frozen, Boilerpipe-family):
-  is_content = tag not in NON_CONTENT_TAGS
-               and n_words >= MIN_CONTENT_WORDS (5)
-               and link_density <= MAX_LINK_DENSITY (1/3)
+  base:     is_content = tag not in NON_CONTENT_TAGS
+                         and n_words >= MIN_CONTENT_WORDS (5)
+                         and link_density <= MAX_LINK_DENSITY (1/3)
+  smoothing (the Boilerpipe neighbor rule): a non-empty block that failed
+  only the word-count test is PROMOTED when both its nearest non-empty
+  neighbors were base-classified content — this keeps sandwiched headings
+  and short sentences inside an article while leaving isolated chrome out.
+  One pass over base labels (no cascade), document order, deterministic.
 extracted_text = '\n'.join(text of content blocks, document order).
 """
 
@@ -203,6 +208,21 @@ def parse_blocks(html_text: str) -> list[Block]:
         emit_text(html_text[pos:])
     while open_blocks:
         blocks[open_blocks.pop()].finalize()
+
+    # neighbor smoothing over base labels (single pass, no cascade)
+    nonempty = [b for b in blocks if b.n_chars > 0]
+    base = [b.is_content for b in nonempty]
+    for i, b in enumerate(nonempty):
+        if (
+            not base[i]
+            and 0 < i < len(nonempty) - 1
+            and base[i - 1]
+            and base[i + 1]
+            and b.tag not in NON_CONTENT_TAGS
+            and b.link_density <= MAX_LINK_DENSITY
+            and b.n_words >= 1
+        ):
+            b.is_content = True
     return blocks
 
 

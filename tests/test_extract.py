@@ -219,6 +219,27 @@ in a full-flow staged combustion cycle, raising chamber pressure records.</p>
     assert "full-flow staged combustion cycle" in text
     assert "Random" not in text and "citation one" not in text  # chrome dropped
     assert "Origin" not in text  # short infobox cells below density threshold
+    # neighbor smoothing keeps the sandwiched section heading
+    assert "\nDesign\n" in text
+
+
+def test_neighbor_smoothing_rules():
+    """Promotion requires BOTH neighbors content: an isolated short block
+    stays boilerplate; a sandwiched one is kept."""
+    sandwiched = (
+        b"<p>first paragraph with plenty of words to classify as content</p>"
+        b"<h2>Heading</h2>"
+        b"<p>second paragraph also with plenty of words to classify fine</p>"
+    )
+    r = extract_page(sandwiched, CFG, None)
+    assert r["extracted_text"].splitlines()[1] == "Heading"
+
+    isolated = (
+        b"<h2>Heading</h2>"
+        b"<p>only paragraph with plenty of words to classify as content</p>"
+    )
+    r2 = extract_page(isolated, CFG, None)
+    assert r2["extracted_text"] == "only paragraph with plenty of words to classify as content"
     html = b"<p>fish &amp; chips cost &lt;5 euros in the old town</p>"
     r = extract_page(html, CFG, None)
     assert r["extracted_text"] == "fish & chips cost <5 euros in the old town"
