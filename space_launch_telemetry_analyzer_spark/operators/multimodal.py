@@ -36,6 +36,7 @@ FRAME_SAMPLE_DDL = "media_id long, frame_idx int, frame_sha256 string"
 _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
     b"RIFF": "riff", b"\x00\x00\x00": "mp4ish", b"ID3": "mp3", b"OggS": "ogg",
+    b"%PDF": "pdf",
 }
 
 
@@ -82,6 +83,7 @@ def media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         .when(F.startswith(p, F.lit(b"RIFF")), F.lit("riff"))
         .when(F.startswith(p, F.lit(b"ID3")), F.lit("mp3"))
         .when(F.startswith(p, F.lit(b"OggS")), F.lit("ogg"))
+        .when(F.startswith(p, F.lit(b"%PDF")), F.lit("pdf"))
         .otherwise(F.lit("unknown"))
     )
     return df.select(

@@ -899,6 +899,37 @@ FROM s
 """
 
 
+def q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout parse: positioned text boxes (built from each document's first
+    five tokens, emitted in REVERSE order with increasing y) reassembled into
+    reading order by the layout kernel."""
+    from .operators.layout import layout_text as _layout_text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = F.least(F.size(toks), F.lit(5))
+    boxes = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            F.lit(10.0).alias("x"),
+            ((k - 1 - i) * 40.0).cast("double").alias("y"),  # reverse emission
+            F.lit(100.0).alias("w"),
+            F.lit(20.0).alias("h"),
+            F.element_at(toks, k - i).alias("text"),
+        ),
+    )
+    df = docs.select("doc_id", boxes.alias("boxes"))
+    return _layout_text(df, "doc_id", "boxes").select("doc_id", "n_columns", "layout_text")
+
+
+ORACLE_LAYOUT_READING_ORDER = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id, 1 AS n_columns,
+       array_to_string(toks[1 : least(len(toks), 5)], chr(10)) AS layout_text
+FROM t
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-ready overlapping chunks (50 tokens, stride 40)."""
     docs = load(spark, sf_dir, "documents")
@@ -1006,6 +1037,7 @@ QUERIES = {
     "span_explode": q_span_explode,
     "chunk_documents": q_chunk_documents,
     "top_bigrams": q_top_bigrams,
+    "layout_reading_order": q_layout_reading_order,
 }
 
 ORACLES = {
@@ -1047,4 +1079,5 @@ ORACLES = {
     "span_explode": ORACLE_SPAN_EXPLODE,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "top_bigrams": ORACLE_TOP_BIGRAMS,
+    "layout_reading_order": ORACLE_LAYOUT_READING_ORDER,
 }
