@@ -141,6 +141,35 @@ def token_bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def canonicalize_urls(df, url_col: str):
+    """URL canonicalization for corpus dedup keys: lowercase scheme+host,
+    strip fragment, strip default ports, sort query params. One pass of
+    regexp-group extraction, pure JVM expressions (ANSI twin in the oracle);
+    adds a `canonical_url` column."""
+    url = F.col(url_col)
+    no_frag = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(hostport.contains(":"), F.substring_index(hostport, ":", -1)).otherwise(F.lit(""))
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    sorted_q = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return df.withColumn("canonical_url", canon)
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash variant lives in dedup.simhash/minhash; this is the

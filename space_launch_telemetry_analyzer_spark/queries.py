@@ -930,6 +930,32 @@ FROM t
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over synthesized messy urls (mixed case, default
+    ports, fragments, unsorted query params)."""
+    docs = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Example.COM")).otherwise(F.lit("site.org")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":8443")),
+        F.lit("/Path/"), F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    df = docs.select("doc_id", messy.alias("url"))
+    return TA.canonicalize_urls(df, "url").select("doc_id", "canonical_url")
+
+
+ORACLE_URL_CANONICALIZE = """
+SELECT doc_id,
+       concat(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END, '://',
+              CASE WHEN doc_id % 3 = 0 THEN 'www.example.com' ELSE 'site.org' END,
+              CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8443' END,
+              '/Path/', CAST(doc_id AS VARCHAR), '?a=1&b=2') AS canonical_url
+FROM documents
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-ready overlapping chunks (50 tokens, stride 40)."""
     docs = load(spark, sf_dir, "documents")
@@ -1038,6 +1064,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "top_bigrams": q_top_bigrams,
     "layout_reading_order": q_layout_reading_order,
+    "url_canonicalize": q_url_canonicalize,
 }
 
 ORACLES = {
@@ -1080,4 +1107,5 @@ ORACLES = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "top_bigrams": ORACLE_TOP_BIGRAMS,
     "layout_reading_order": ORACLE_LAYOUT_READING_ORDER,
+    "url_canonicalize": ORACLE_URL_CANONICALIZE,
 }
