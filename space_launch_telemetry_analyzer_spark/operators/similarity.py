@@ -89,6 +89,39 @@ def lsh_bits(vec: Column, n_bits: int, dim: int) -> Column:
     return sig
 
 
+def embedding_near_dup(
+    corpus: DataFrame, id_col: str, vec_col: str, dim: int,
+    threshold: float = 0.95, n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by hyperplane bits (a
+    near-identical pair agrees on every bit with high probability), then
+    exact cosine within buckets — the O(n²)-free dedup path. Returns
+    (id_a, id_b, score) with id_a < id_b, score ≥ threshold."""
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bits(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    # 1-bit multiprobe on ONE side: a borderline projection can flip a single
+    # bit between two near-identical vectors, so probe every Hamming-1
+    # neighbor bucket (n_bits+1 rows per vector; pairs dedup via distinct)
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+    )
+    a = sig.select("id", "vec", F.explode(probes).alias("bucket")).alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("score") >= F.lit(threshold))
+
+
 def lsh_ann_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     query_id_col: str, query_vec_col: str, dim: int,

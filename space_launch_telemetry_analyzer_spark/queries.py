@@ -731,6 +731,20 @@ SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE ra
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table + planted
+    duplicates (vec_id+1e6 = copy) — LSH-bucketed, exact-cosine verified
+    (rows-only: the bucket structure has no ANSI twin; recall covered in
+    tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    return S.embedding_near_dup(corpus, "vec_id", "embedding", dim=64,
+                                threshold=0.99).orderBy("id_a", "id_b")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (rows-only; recall measured in tests/test_similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
@@ -1053,6 +1067,7 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,

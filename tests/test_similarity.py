@@ -70,6 +70,17 @@ def test_lsh_ann_recall(spark, vectors):
         assert (100 + q) in got.get(q, set()), f"query {q} missed planted neighbor"
 
 
+def test_embedding_near_dup(spark, vectors):
+    df, _ = vectors
+    pairs = {(r["id_a"], r["id_b"]): r["score"]
+             for r in S.embedding_near_dup(df, "vec_id", "embedding", dim=DIM,
+                                           threshold=0.99).collect()}
+    # the 5 planted ~identical neighbors are found, nothing else at 0.99
+    for i in range(5):
+        assert (i, 100 + i) in pairs and pairs[(i, 100 + i)] > 0.99
+    assert all(a % 100 == b % 100 for a, b in pairs)
+
+
 def test_lsh_bits_deterministic(spark, vectors):
     df, _ = vectors
     a = df.select(S.lsh_bits(F.col("embedding"), 6, DIM).alias("b")).collect()
