@@ -25,7 +25,11 @@ def duck(sf_dir):
 
 
 def normalize(rows, colnames):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then rows.
+    Floats compare BITWISE (struct-packed) — the engine's oracles are held to
+    bit-exact parity, not epsilon parity."""
+    import struct
+
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
@@ -33,12 +37,9 @@ def normalize(rows, colnames):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
-            if isinstance(v, int) and not isinstance(v, bool):
-                v = float(v)  # int/long vs DuckDB hugeint/int32 parity
+                v = "NaN" if math.isnan(v) else struct.pack(">d", v).hex()
+            elif isinstance(v, int) and not isinstance(v, bool):
+                v = struct.pack(">d", float(v)).hex()  # long vs int32/hugeint
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
