@@ -135,8 +135,14 @@ def main() -> None:
         # bandwidth ceiling; (CPUS/4 -> CPUS) is the headline pair but the
         # sandbox box itself stops scaling past ~16 Python processes (the
         # no-Spark control in BENCH.md measures that hardware ceiling).
-        levels = sorted({max(CPUS // 8, 1), max(CPUS // 4, 1), max(CPUS // 2, 1), CPUS})
-        legs = {c: run_extraction_throughput(pages_path, c) for c in levels}
+        lo_c, hi_c = max(CPUS // 8, 1), max(CPUS // 2, 1)
+        levels = sorted({lo_c, max(CPUS // 4, 1), hi_c, CPUS})
+        # the two legs defining the headline efficiency get an extra repeat:
+        # the box shows ±40% neighbor noise and best-of-N is the estimator
+        legs = {
+            c: run_extraction_throughput(pages_path, c, repeats=3 if c in (lo_c, hi_c) else 2)
+            for c in levels
+        }
         extraction: dict = {"n_pages": N_PAGES}
         for c in levels:
             extraction[f"local{c}"] = legs[c]
