@@ -170,6 +170,14 @@ def canonicalize_urls(df, url_col: str):
     return df.withColumn("canonical_url", canon)
 
 
+def noindex_flag(html: Column) -> Column:
+    """robots/noindex detection straight off the html bytes — a scan-speed
+    pre-filter that prunes pages BEFORE the Python extraction stage ever sees
+    them (work-pruning, the ROI-activation analog at the corpus level)."""
+    s = F.lower(html.cast("string"))
+    return s.rlike(r'<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*content\s*=\s*["\']?[^>"\']*noindex')
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash variant lives in dedup.simhash/minhash; this is the

@@ -944,6 +944,27 @@ FROM t
 """
 
 
+def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots-noindex pre-filter: pages built with a robots meta for
+    doc_id%4==0 are flagged at scan speed (JVM regexp on the bytes)."""
+    docs = load(spark, sf_dir, "documents")
+    meta = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit('<meta name="robots" content="noindex, nofollow">'),
+    ).otherwise(F.lit('<meta name="viewport" content="width=device-width">'))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head>"), meta, F.lit("</head><body><p>"),
+                 F.col("text"), F.lit("</p></body></html>")).cast("binary").alias("html"),
+    )
+    return pages.select("doc_id", TA.noindex_flag(F.col("html")).alias("noindex"))
+
+
+ORACLE_NOINDEX_FILTER = """
+SELECT doc_id, (doc_id % 4 = 0) AS noindex FROM documents
+"""
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over synthesized messy urls (mixed case, default
     ports, fragments, unsorted query params)."""
@@ -1080,6 +1101,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "layout_reading_order": q_layout_reading_order,
     "url_canonicalize": q_url_canonicalize,
+    "noindex_filter": q_noindex_filter,
 }
 
 ORACLES = {
@@ -1123,4 +1145,5 @@ ORACLES = {
     "top_bigrams": ORACLE_TOP_BIGRAMS,
     "layout_reading_order": ORACLE_LAYOUT_READING_ORDER,
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
+    "noindex_filter": ORACLE_NOINDEX_FILTER,
 }
