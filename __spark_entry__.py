@@ -3,8 +3,11 @@
 entry(spark)  -> flagship extraction query on /root/testdata/sf0.001
 queries()     -> one entry per implemented operator (SURVEY.md §2 + the
                  training-data operators), each (spark, sf_dir) -> DataFrame
-oracle_sql()  -> DuckDB twins; minhash/simhash/ann entries are rows-only
-                 (xxhash64 signatures have no ANSI-SQL equivalent).
+oracle_sql()  -> exact DuckDB twins for EVERY query: minhash/simhash use
+                 planted-exact-dup fixtures (LSH recall provably 1.0, pair set
+                 = shingle-set/token-multiset equality joins); the embedding
+                 LSH oracles are structural twins (closed-form hyperplane
+                 weights reproduced as explicit left-fold SQL).
 """
 
 from __future__ import annotations

@@ -9,10 +9,18 @@ Determinism rules that keep the Spark/DuckDB value-hash comparison exact:
 - every window is ordered by a unique key pair (ts, event_id);
 - timestamps cross the boundary as epoch-second doubles.
 
-Queries q_minhash_pairs / q_simhash_pairs / q_ann_lsh_topk are deliberately
-oracle-less (xxhash64-based signatures are not reproducible in ANSI SQL);
-the driver records the weaker rows-only check and pytest covers their
-semantics on constructed near-duplicates.
+Every registered query has an exact DuckDB oracle. Two families need special
+construction:
+- MinHash/SimHash (xxhash64 signatures have no ANSI twin): the fixture plants
+  EXACT duplicates, so identical text => identical signature => LSH recall on
+  the planted pairs is provably 1.0, and the expected pair set is a
+  shingle-set / token-multiset equality join the oracle can compute.
+  (Near-dup recall at jaccard<1 / hamming>0 stays in tests/test_dedup.py.)
+- embedding LSH (near-dup + ANN): the hyperplane weights are a closed-form
+  integer formula (similarity._hyperplane_weight), so the oracle is a full
+  STRUCTURAL twin — bucket bits, 1-bit multiprobe, candidate join and cosine
+  re-rank are generated as explicit left-fold SQL chains that reproduce the
+  Spark arithmetic bit-for-bit.
 """
 
 from __future__ import annotations
@@ -676,34 +684,99 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
 
 
-def _near_dup_corpus(docs: DataFrame) -> DataFrame:
-    """documents + mutated copies (one token appended) — guaranteed near-dups."""
-    muts = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+def _exact_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents + EXACT copies (doc_id+1e6) for doc_id%7==0. Identical text
+    gives an identical MinHash/SimHash signature, so every band/chunk
+    collides and LSH recall on these pairs is provably 1.0 — which makes the
+    expected output SQL-computable (an equality join on the shingle set /
+    token multiset)."""
+    dups = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return docs.select("doc_id", "text").unionByName(muts)
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+_SQL_DUP_CORPUS = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)"""
+
+# distinct 3-token shingle set as a sorted-list fingerprint (same shingle
+# construction as ORACLE_NGRAM_JACCARD)
+_SQL_SHINGLE_KEY = r"""md5(array_to_string(list_sort(list_distinct(
+  list_transform(
+    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 3, 0) + 1),
+    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+3], ' ')
+  ))), chr(31)))"""
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 signatures are not
-    reproducible in ANSI SQL; semantics covered in tests/test_dedup.py)."""
-    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    return D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
+    """MinHash+LSH -> exact-Jaccard verify at threshold 1.0 over the planted
+    exact-dup corpus. jaccard == 1.0 <=> equal distinct-shingle sets, and
+    equal sets => identical signatures => candidate recall 1.0, so the output
+    is exactly the shingle-set-equality pairs the oracle computes.
+    (LSH recall on jaccard<1 near-dups is measured in tests/test_dedup.py.)"""
+    corpus = _exact_dup_corpus(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=1.0)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH {_SQL_DUP_CORPUS},
+sh AS (SELECT doc_id, {_SQL_SHINGLE_KEY} AS sk FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.sk = b.sk AND a.doc_id < b.doc_id
+"""
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup dedup: LSH candidates -> Jaccard verify -> connected
-    components -> one survivor per cluster (iterative algorithm; rows-only)."""
-    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5)
-    return D.dedup_survivors(corpus, "doc_id", pairs).orderBy("doc_id")
+    """Full near-dup dedup: LSH candidates -> Jaccard verify (threshold 1.0)
+    -> connected components -> one survivor (min id) per cluster. On the
+    planted exact-dup corpus the clusters are exactly the equal-shingle-set
+    groups, so the oracle is min(doc_id) per group."""
+    corpus = _exact_dup_corpus(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=1.0)
+    return D.dedup_survivors(corpus, "doc_id", pairs)
+
+
+ORACLE_DEDUP_SURVIVORS = f"""
+WITH {_SQL_DUP_CORPUS},
+sh AS (SELECT doc_id, {_SQL_SHINGLE_KEY} AS sk FROM corpus)
+SELECT min(doc_id) AS doc_id FROM sh GROUP BY sk
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check; see tests/test_dedup.py)."""
-    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    return D.simhash_candidates(corpus, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+    """SimHash-blocked exact-duplicate detection: candidates at Hamming
+    distance 0, then exact token-multiset verification — the standard
+    sketch-then-verify pipeline. The verify step is not decorative: the
+    fixture's documents contain ~0.99-jaccard near-dup pairs whose 64-bit
+    signatures genuinely collide at hamming 0 (5 of 77 candidates at sf0.01),
+    the textbook reason sketch candidates must be verified before acting.
+    Verified output = token-multiset-equality pairs, which the oracle
+    computes directly. (hamming>0 near-dup blocking and collision behavior
+    are measured in tests/test_dedup.py.)"""
+    corpus = _exact_dup_corpus(load(spark, sf_dir, "documents"))
+    cand = D.simhash_candidates(corpus, "doc_id", "text", max_hamming=0)
+    key = F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    keyed = corpus.select(F.col("doc_id"), key.alias("mk"))
+    return (
+        cand.join(keyed.select(F.col("doc_id").alias("id_a"), F.col("mk").alias("mk_a")), "id_a")
+        .join(keyed.select(F.col("doc_id").alias("id_b"), F.col("mk").alias("mk_b")), "id_b")
+        .where(F.col("mk_a") == F.col("mk_b"))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_SQL_DUP_CORPUS},
+mk AS (SELECT doc_id,
+              md5(array_to_string(list_sort(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                                  chr(31))) AS mk
+       FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM mk a JOIN mk b ON a.mk = b.mk AND a.doc_id < b.doc_id
+"""
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,29 +804,108 @@ SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE ra
 """
 
 
+# --- structural SQL twins for the hyperplane LSH (the weights are a closed-
+# form integer formula, so the oracle reproduces buckets, multiprobe and
+# cosine re-rank exactly; sums are explicit left-fold chains matching Spark's
+# F.aggregate(lit(0.0), acc+x) bit-for-bit) ---------------------------------
+
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    return ("(0.0 "
+            + " ".join(f"+ {a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
+            + ")")
+
+
+def _sql_cosine(a: str, b: str, dim: int) -> str:
+    na, nb = f"sqrt({_sql_dot(a, a, dim)})", f"sqrt({_sql_dot(b, b, dim)})"
+    return (f"(CASE WHEN {na} * {nb} > 0 THEN {_sql_dot(a, b, dim)} / ({na} * {nb})"
+            f" ELSE 0.0 END)")
+
+
+def _sql_lsh_bucket(vec: str, n_bits: int, dim: int) -> str:
+    """similarity.lsh_bits as SQL: bit b = (left-fold Σ_d vec[d]·w(b,d)) > 0,
+    bucket = Σ bit<<b (bits are disjoint, so + == bitwise OR)."""
+    from .operators.similarity import _hyperplane_weight
+
+    parts = []
+    for b in range(n_bits):
+        proj = ("(0.0 "
+                + " ".join(
+                    f"+ {vec}[{d + 1}]::DOUBLE * ({float(_hyperplane_weight(b, d))})"
+                    for d in range(dim))
+                + ")")
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sql_probes(bucket: str, n_bits: int) -> str:
+    """[bucket, bucket^1, bucket^2, ...] — the 1-bit multiprobe list."""
+    return ("[" + ", ".join([bucket] + [f"xor({bucket}, {1 << b})" for b in range(n_bits)])
+            + "]")
+
+
+_ANN_BITS, _ANN_DIM = 8, 64
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the embeddings table + planted
-    duplicates (vec_id+1e6 = copy) — LSH-bucketed, exact-cosine verified
-    (rows-only: the bucket structure has no ANSI twin; recall covered in
-    tests/test_similarity.py)."""
+    duplicates (vec_id+1e6 = copy) — LSH-bucketed with 1-bit multiprobe,
+    exact-cosine verified; the oracle is a structural twin of the bucket
+    join. n_bits pinned to 8 here so the SQL twin is fixed; the operator's
+    default derives n_bits from the corpus size (similarity.bits_for)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = emb.where(F.col("vec_id") % 11 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(dups)
-    return S.embedding_near_dup(corpus, "vec_id", "embedding", dim=64,
-                                threshold=0.99).orderBy("id_a", "id_b")
+    pairs = S.embedding_near_dup(corpus, "vec_id", "embedding", dim=_ANN_DIM,
+                                 threshold=0.99, n_bits=_ANN_BITS)
+    return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 11 = 0),
+sig AS (SELECT vec_id AS id, embedding AS vec,
+               {_sql_lsh_bucket('embedding', _ANN_BITS, _ANN_DIM)} AS bucket
+        FROM corpus),
+probe AS (SELECT id, vec, unnest({_sql_probes('bucket', _ANN_BITS)}) AS bucket FROM sig),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         {_sql_cosine('a.vec', 'b.vec', _ANN_DIM)} AS score
+  FROM probe a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b, round(score, 6) + 0 AS score FROM pairs WHERE score >= 0.99
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only; recall measured in tests/test_similarity.py)."""
+    """LSH-bucketed ANN with 1-bit multiprobe and exact re-rank; the oracle
+    is a structural twin (bucket bits + probe join + cosine + rank)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     topk = S.lsh_ann_topk(emb, queries, "vec_id", "embedding", "qid", "qvec",
-                          dim=64, k=3, n_bits=8)
+                          dim=_ANN_DIM, k=3, n_bits=_ANN_BITS)
     return topk.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                  {_sql_lsh_bucket('embedding', _ANN_BITS, _ANN_DIM)} AS qbucket
+           FROM embeddings WHERE vec_id < 5),
+qp AS (SELECT query_id, qvec, unnest({_sql_probes('qbucket', _ANN_BITS)}) AS bucket FROM q),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+             {_sql_lsh_bucket('embedding', _ANN_BITS, _ANN_DIM)} AS bucket
+      FROM embeddings),
+cand AS (SELECT DISTINCT query_id, neighbor_id,
+                {_sql_cosine('qp.qvec', 'c.cvec', _ANN_DIM)} AS score
+         FROM c JOIN qp USING (bucket) WHERE query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE rank <= 3
+"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,8 +1284,12 @@ ORACLES = {
     "engine_count_agg": ORACLE_ENGINE_COUNT_AGG,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    # minhash_pairs / simhash_pairs / ann_lsh_topk: rows-only (no ANSI twin)
+    "minhash_pairs": ORACLE_MINHASH_PAIRS,
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "token_counts": ORACLE_TOKEN_COUNTS,
