@@ -178,17 +178,37 @@ def minhash_lsh_candidates(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+    strict: bool = True,
+) -> DataFrame:
     """Connected components over near-dup pairs (id_a, id_b) -> (id,
-    component) where component = min id reachable. Label-propagation by
-    iterative join (the alternating small-star/large-star family): each round
-    every node adopts the min label in its neighborhood; converges in
-    O(log n) rounds on near-dup graphs (which are small, dense clusters).
+    component) where component = min id reachable.
 
-    Scale notes: per round = one shuffle keyed on node id; the edge list is
-    checkpointed to break lineage growth; convergence is detected with a
-    cheap count of changed labels. This is the 'iterative algorithm'
-    non-SQL-expressible case — verified in tests on known clusters."""
+    Algorithm: min-label propagation accelerated with POINTER JUMPING — each
+    round a node takes min(own label, neighbors' labels), then labels are
+    short-circuited through their representatives (component := label of
+    component). The jump halves the remaining path each round, so convergence
+    is O(log(component diameter)) rounds (max_iter=20 covers diameters up to
+    ~2^20), not O(diameter) as plain propagation would be — near-dup chains
+    longer than max_iter hops converge regardless.
+
+    Scale notes (what keeps the loop bounded at 10^12 edges):
+    - per round: two shuffles keyed on node/label id (uniform keys);
+    - lineage is truncated with labels.localCheckpoint() every
+      `checkpoint_every` rounds, so the driver plan stays O(1)-deep instead
+      of growing two joins per round;
+    - each round's cache is unpersisted as soon as the next round's is
+      materialized — executor storage holds at most two label frames;
+    - convergence is an exact changed-label count; a loop that exhausts
+      max_iter without converging raises (strict=True) or logs a warning,
+      never returns wrong labels silently.
+    Verified in tests on known clusters, long chains (diameter >> rounds),
+    and a plan-depth bound (tests/test_dedup.py)."""
+    import logging
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -199,29 +219,60 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .persist()
     )
-    for _ in range(max_iter):
-        # each node's candidate label: min of its own and its neighbors'
+    prev = labels  # the persisted frame backing the current `labels`
+    converged = False
+    for it in range(max_iter):
+        # 1) propagate: min label in the closed neighborhood
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "id")
         )
+        stepped = labels.join(neighbor_labels, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component")))
+            .alias("component"),
+            F.col("component").alias("old_component"),
+        )
+        # 2) pointer jump: component := component's own label (halves paths)
+        jump = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("jumped")
+        )
         updated = (
-            labels.join(neighbor_labels, "id", "left")
+            stepped.join(jump, "component", "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component")))
-                .alias("new_component"),
-                "component",
+                F.least(F.col("component"), F.coalesce(F.col("jumped"), F.col("component")))
+                .alias("component"),
+                "old_component",
             )
-        ).persist()
-        changed = updated.where(F.col("new_component") != F.col("component")).count()
-        labels = updated.select("id", F.col("new_component").alias("component"))
+            .persist()
+        )
+        changed = updated.where(F.col("component") != F.col("old_component")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = updated, updated.select("id", "component")
         if changed == 0:
+            converged = True
             break
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage: the plan would otherwise deepen by ~4 joins
+            # per round and blow up driver planning time at scale
+            labels = labels.localCheckpoint(eager=True)
+            prev.unpersist()
+            prev = None
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 

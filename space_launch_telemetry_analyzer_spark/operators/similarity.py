@@ -70,6 +70,21 @@ def _hyperplane_weight(b: int, d: int) -> int:
     return ((b * 2654435761 + d * 40503) % 13) - 6
 
 
+def bits_for(n_vectors: int, target_bucket: int = 256, min_bits: int = 4,
+             max_bits: int = 32) -> int:
+    """Size the signature from the corpus: n_bits ≈ log2(n / target_bucket),
+    so the EXPECTED bucket holds ~target_bucket vectors and the within-bucket
+    self-join stays ~O(n · target_bucket) instead of O(n²/2^const). A fixed
+    n_bits=8 means 256 buckets forever — ~4M vectors/bucket at 10^9 rows,
+    i.e. a quadratic join; deriving bits from n keeps the bucket size flat as
+    the corpus grows. (Multiprobe cost grows only linearly with n_bits.)"""
+    import math
+
+    if n_vectors <= target_bucket:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
 def lsh_bits(vec: Column, n_bits: int, dim: int) -> Column:
     """Random-hyperplane signature: bit b = sign(Σ_d vec[d] * w(b,d)) > 0."""
     sig = None
@@ -91,12 +106,20 @@ def lsh_bits(vec: Column, n_bits: int, dim: int) -> Column:
 
 def embedding_near_dup(
     corpus: DataFrame, id_col: str, vec_col: str, dim: int,
-    threshold: float = 0.95, n_bits: int = 8,
+    threshold: float = 0.95, n_bits: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket by hyperplane bits (a
     near-identical pair agrees on every bit with high probability), then
     exact cosine within buckets — the O(n²)-free dedup path. Returns
-    (id_a, id_b, score) with id_a < id_b, score ≥ threshold."""
+    (id_a, id_b, score) with id_a < id_b, score ≥ threshold.
+
+    n_bits defaults to bits_for(corpus size): pass n_vectors when known
+    (at scale it always is — table stats / snapshot row count), else one
+    count() derives it. A fixed small n_bits does NOT survive corpus growth
+    (see bits_for)."""
+    if n_bits is None:
+        n_bits = bits_for(n_vectors if n_vectors is not None else corpus.count())
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -125,11 +148,15 @@ def embedding_near_dup(
 def lsh_ann_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     query_id_col: str, query_vec_col: str, dim: int,
-    k: int = 10, n_bits: int = 8, multiprobe: bool = True,
+    k: int = 10, n_bits: int | None = None, multiprobe: bool = True,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """ANN: bucket corpus by hyperplane bits once; look up each query's
     bucket (± 1-bit probes) and exact-re-rank candidates. The corpus side
-    shuffles once on the uniform bucket key; queries are broadcast."""
+    shuffles once on the uniform bucket key; queries are broadcast.
+    n_bits defaults to bits_for(corpus size) — see embedding_near_dup."""
+    if n_bits is None:
+        n_bits = bits_for(n_vectors if n_vectors is not None else corpus.count())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

@@ -96,21 +96,22 @@ def _anchor_fn(
     met, anchor_id = state.get if state.exists else (False, None)
     for pdf in pdfs:
         pdf = pdf.sort_values("row_id")
-        out_after = []
-        out_anchor = []
-        for _, row in pdf.iterrows():
-            is_anchor = bool(row["is_zero"]) and not met
-            if is_anchor:
-                met = True
-                anchor_id = int(row["row_id"])
-            out_anchor.append(is_anchor)
-            out_after.append(met)
+        zero = pdf["is_zero"].fillna(False).to_numpy(dtype=bool)
+        # vectorized running state: after_anchor = carry-in OR cumulative max
+        # of the zero flags; the anchor row is the first zero row when the
+        # carry-in flag was not yet set (no per-row Python)
+        after = met | zero.cumsum().astype(bool)
+        if not met and zero.any():
+            first = int(zero.argmax())
+            anchor_id = int(pdf["row_id"].iloc[first])
+            met = True
+        is_anchor = pdf["row_id"].to_numpy() == (anchor_id if anchor_id is not None else -1)
         yield pd.DataFrame(
             {
                 "series": key[0],
                 "row_id": pdf["row_id"].values,
-                "is_anchor": out_anchor,
-                "after_anchor": out_after,
+                "is_anchor": is_anchor,
+                "after_anchor": after,
             }
         )
     state.update((met, anchor_id))

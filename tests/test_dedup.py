@@ -97,6 +97,40 @@ def test_connected_components(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain(spark):
+    """A 200-hop chain (diameter >> rounds): plain min-propagation would need
+    200 rounds; pointer jumping must converge in O(log n)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    rows = D.connected_components(pairs, max_iter=12).collect()
+    assert len(rows) == 201
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_plan_depth_bounded(spark):
+    """Lineage truncation: the returned frame's plan must not grow by joins
+    per round (localCheckpoint every few rounds keeps it O(1)-deep)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    comp = D.connected_components(pairs, max_iter=20)
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    # an unbounded loop accumulates ~4 joins/round; a truncated plan is flat
+    assert plan.count("Join") <= 10, f"plan kept {plan.count('Join')} joins"
+
+
+def test_connected_components_strict_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=1, strict=True)
+    # non-strict returns (possibly unconverged) labels with a warning
+    out = D.connected_components(pairs, max_iter=1, strict=False).collect()
+    assert len(out) == 51
+
+
 def test_dedup_survivors(spark, corpus):
     pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5)
     survivors = {r["doc_id"] for r in D.dedup_survivors(corpus, "doc_id", pairs).collect()}

@@ -81,6 +81,35 @@ def test_embedding_near_dup(spark, vectors):
     assert all(a % 100 == b % 100 for a, b in pairs)
 
 
+def test_bits_for_scales_with_corpus():
+    """n_bits must grow with the corpus so expected bucket size stays flat —
+    the fix for the fixed-256-buckets quadratic join at 10^9 vectors."""
+    assert S.bits_for(100) == 4  # tiny corpus -> floor
+    assert S.bits_for(1_000_000, target_bucket=256) == 12
+    assert S.bits_for(10**9, target_bucket=256) == 22
+    # expected bucket size bounded by ~target for every corpus size
+    for n in (10**4, 10**6, 10**9, 10**12):
+        bits = S.bits_for(n, target_bucket=256)
+        assert n / (2**bits) <= 256 * 1.0 + 1e-9
+    assert S.bits_for(10**12) <= 32  # cap
+
+
+def test_near_dup_default_bits_bound_buckets(spark, vectors):
+    """Default path derives n_bits from the corpus; max observed bucket stays
+    within a small multiple of the target on a random corpus."""
+    df, _ = vectors
+    bits = S.bits_for(N, target_bucket=16)
+    sig = df.select(S.lsh_bits(F.col("embedding"), bits, DIM).alias("bucket"))
+    top = sig.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    assert top <= 16 * 4  # random-data spread; pathological skew documented
+    # the derived-default path still finds the planted duplicates
+    pairs = {(r["id_a"], r["id_b"])
+             for r in S.embedding_near_dup(df, "vec_id", "embedding", dim=DIM,
+                                           threshold=0.99, n_vectors=N).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs
+
+
 def test_lsh_bits_deterministic(spark, vectors):
     df, _ = vectors
     a = df.select(S.lsh_bits(F.col("embedding"), 6, DIM).alias("b")).collect()
