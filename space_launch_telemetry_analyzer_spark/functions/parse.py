@@ -88,58 +88,74 @@ def convert_measurement(value: float | None, measurement_type: str, from_unit: s
     raise ValueError(f"Unsupported measurement type: {measurement_type}")
 
 
-def seconds_to_hhmmss(seconds: float) -> str:
-    """'h:mm:ss' label (flight_plotting.py:145-156)."""
-    sign = "-" if seconds < 0 else ""
-    s = abs(int(seconds))
-    return f"{sign}{s // 3600}:{(s % 3600) // 60:02d}:{s % 60:02d}"
-
-
-_EVENT_PATTERNS = (
-    # 'Label@hh:mm:ss' / 'Label@seconds'
-    re.compile(r"^(?P<label>.+?)@(?P<time>[\d:.]+)$"),
-    # 'hh:mm:ss=Label' / 'seconds=Label'
-    re.compile(r"^(?P<time>[\d:.]+)=(?P<label>.+)$"),
-    # 'hh:mm:ss Label' / 'seconds Label'
-    re.compile(r"^(?P<time>[\d:.]+)\s+(?P<label>.+)$"),
-)
-
-
-def _time_token_to_seconds(tok: str) -> float | None:
-    """'hh:mm:ss' / 'mm:ss' / plain seconds -> seconds (flight_plotting.py:49-58)."""
-    if ":" in tok:
-        parts = tok.split(":")
-        try:
-            nums = [float(p) for p in parts]
-        except ValueError:
-            return None
-        if len(nums) == 3:
-            return nums[0] * 3600 + nums[1] * 60 + nums[2]
-        if len(nums) == 2:
-            return nums[0] * 60 + nums[1]
-        return None
+def seconds_to_hhmmss(sec: float) -> str:
+    """Exact port of seconds_to_hhmmss (flight_plotting.py:145-156): round to
+    int (Python half-even), zero-pad every field, DROP the hour field when
+    zero; negatives fall through Python floor-div/positive-mod, so
+    -75 -> '-1:58:45' (the reference has no explicit sign handling)."""
     try:
-        return float(tok)
-    except ValueError:
-        return None
+        sec_int = int(round(sec))
+        h = sec_int // 3600
+        m = (sec_int % 3600) // 60
+        s = sec_int % 60
+        if h:
+            return f"{h:02d}:{m:02d}:{s:02d}"
+        return f"{m:02d}:{s:02d}"
+    except Exception:
+        return str(sec)
 
 
-def parse_event_time(event: str) -> tuple[float, str] | None:
-    """One event string -> (seconds, label); formats per
-    plot/flight_plotting.py:27-142 ('hh:mm:ss', 'Label@time', 'time=Label',
-    'time Label', bare numeric)."""
-    event = event.strip()
-    if not event:
+# a time token is 1-3 colon-separated 1-2 digit integer groups — note the
+# 2-digit cap: a bare '150' is NOT a valid token in the reference
+_TIME_TOKEN_RE = re.compile(r"^\d{1,2}(:\d{1,2}){0,2}$")
+
+
+def _is_time_token(tok: str) -> bool:
+    """is_time_token, flight_plotting.py:46-47."""
+    return bool(_TIME_TOKEN_RE.match(tok.strip()))
+
+
+def _token_to_seconds(tok: str) -> int:
+    """token_to_seconds, flight_plotting.py:49-58 (integer parts only)."""
+    parts = [int(p) for p in tok.split(":")]
+    if len(parts) == 3:
+        return parts[0] * 3600 + parts[1] * 60 + parts[2]
+    if len(parts) == 2:
+        return parts[0] * 60 + parts[1]
+    if len(parts) == 1:
+        return parts[0]
+    raise ValueError("Invalid time token")
+
+
+def parse_event_time(event) -> tuple[float, str | None] | None:
+    """One entry of parse_event_times (flight_plotting.py:27-142), exact
+    semantics: numeric -> (float, None); '@' then '=' splits on the FIRST
+    separator with the time token accepted on EITHER side (label = other
+    side, empty -> None); two space-separated tokens with the time on either
+    side; bare time token -> (t, None); anything else -> None (skipped)."""
+    if event is None:
         return None
-    for pat in _EVENT_PATTERNS:
-        m = pat.match(event)
-        if m:
-            t = _time_token_to_seconds(m.group("time"))
-            if t is not None:
-                return (t, m.group("label").strip())
-    t = _time_token_to_seconds(event)
-    if t is not None:
-        return (t, "")
+    if isinstance(event, (int, float)) and not isinstance(event, bool):
+        return (float(event), None)
+    s = str(event).strip()
+    if not s:
+        return None
+    for sep in ("@", "="):
+        if sep in s:
+            left, right = (p.strip() for p in s.split(sep, 1))
+            if _is_time_token(left):
+                return (float(_token_to_seconds(left)), right or None)
+            if _is_time_token(right):
+                return (float(_token_to_seconds(right)), left or None)
+    parts = s.split()
+    if len(parts) == 2:
+        a, b = parts
+        if _is_time_token(a):
+            return (float(_token_to_seconds(a)), b)
+        if _is_time_token(b):
+            return (float(_token_to_seconds(b)), a)
+    if _is_time_token(s):
+        return (float(_token_to_seconds(s)), None)
     return None
 
 
@@ -186,14 +202,72 @@ def convert_altitude_expr(value: Column, unit: Column) -> Column:
 
 
 def seconds_to_hhmmss_expr(seconds: Column) -> Column:
-    """seconds_to_hhmmss as an expression (inverse of time parse)."""
-    sign = F.when(seconds < 0, F.lit("-")).otherwise(F.lit(""))
-    s = F.abs(seconds.cast("long"))
-    return F.concat(
-        sign,
-        (s / 3600).cast("long").cast("string"),
-        F.lit(":"),
-        F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
-        F.lit(":"),
-        F.lpad((s % 60).cast("string"), 2, "0"),
+    """seconds_to_hhmmss (flight_plotting.py:145-156) as an expression, in
+    lockstep with the python port: bround == Python round (half-even),
+    floor/pmod == Python '//'/'%', '%02d' == Python f'{x:02d}' (the sign
+    counts toward the width in both), hour field dropped when zero."""
+    si = F.bround(seconds, 0).cast("long")
+    h = F.floor(si / F.lit(3600.0)).cast("long")
+    m = F.floor(F.pmod(si, 3600) / F.lit(60.0)).cast("long")
+    s = F.pmod(si, 60).cast("long")
+    return F.when(h != 0, F.format_string("%02d:%02d:%02d", h, m, s)).otherwise(
+        F.format_string("%02d:%02d", m, s)
+    )
+
+
+_TIME_TOKEN_SQL_RE = r"^\d{1,2}(:\d{1,2}){0,2}$"
+
+
+def _token_seconds_expr(tok: Column) -> Column:
+    p = F.split(tok, ":")
+    n = F.size(p)
+    return (
+        F.when(n == 3, p[0].cast("int") * 3600 + p[1].cast("int") * 60 + p[2].cast("int"))
+        .when(n == 2, p[0].cast("int") * 60 + p[1].cast("int"))
+        .otherwise(p[0].cast("int"))
+    ).cast("double")
+
+
+def parse_event_expr(col: Column) -> Column:
+    """parse_event_times (flight_plotting.py:27-142) as an expression ->
+    struct(seconds double, label string); unparseable -> both fields NULL.
+    Same precedence as the python port: '@' split, '=' split (first
+    separator, time on either side), two space tokens, bare token."""
+
+    def out(sec: Column, lab: Column) -> Column:
+        return F.struct(sec.alias("seconds"), lab.alias("label"))
+
+    s = F.trim(col)
+    branches: list[tuple[Column, Column]] = []
+    for sep in ("@", "="):
+        pos = F.instr(s, sep)
+        left = F.trim(F.substring_index(s, sep, 1))
+        right = F.trim(s.substr(pos + 1, F.length(s)))
+        for tok, lab in ((left, right), (right, left)):
+            branches.append(
+                (
+                    (pos > 0) & tok.rlike(_TIME_TOKEN_SQL_RE),
+                    out(_token_seconds_expr(tok), F.nullif(lab, F.lit(""))),
+                )
+            )
+    parts = F.split(s, r"\s+")
+    two = F.size(parts) == 2
+    for i, j in ((0, 1), (1, 0)):
+        branches.append(
+            (
+                two & parts[i].rlike(_TIME_TOKEN_SQL_RE),
+                out(_token_seconds_expr(parts[i]), parts[j]),
+            )
+        )
+    branches.append(
+        (
+            s.rlike(_TIME_TOKEN_SQL_RE),
+            out(_token_seconds_expr(s), F.lit(None).cast("string")),
+        )
+    )
+    expr = None
+    for cond, val in branches:
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(
+        out(F.lit(None).cast("double"), F.lit(None).cast("string"))
     )

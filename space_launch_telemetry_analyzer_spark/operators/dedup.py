@@ -298,6 +298,51 @@ def minhash_dedup(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+# --- decontamination ----------------------------------------------------------
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id_col: str,
+    doc_text_col: str,
+    bench_text_col: str,
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-overlap check for training corpora: fraction of each
+    document's distinct k-token shingles that appear ANYWHERE in the
+    benchmark set. Returns (id, n_shingles, n_matched, contamination,
+    contaminated>=threshold).
+
+    Scale shape: the benchmark shingle set is distinct-ed and BROADCAST
+    (benchmark suites are tiny next to the corpus); the corpus side is one
+    scan + explode + broadcast-hash semi-count — no shuffle of corpus rows,
+    aggregation key is the uniform doc id."""
+    bench_sh = (
+        benchmark.select(F.explode(token_shingles(F.col(bench_text_col), k)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.explode(token_shingles(F.col(doc_text_col), k)).alias("sh"),
+    )
+    matched = (
+        doc_sh.join(F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+        )
+    )
+    contamination = F.col("n_matched").cast("double") / F.col("n_shingles")
+    return matched.select(
+        "id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.col("n_matched").cast("int").alias("n_matched"),
+        contamination.alias("contamination"),
+        (contamination >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 # --- SimHash ------------------------------------------------------------------
 #
 # Performance note (measured, BENCH.md): 64 per-bit HOF aggregates over the

@@ -247,23 +247,25 @@ def apply_data_allowlist(text: str) -> str:
 
 
 def _selector_index(blocks: list[Block]) -> dict:
-    """One pass over the block array -> first block per (tag, class-token)
-    and per bare tag — O(1) rule lookups instead of a scan per rule."""
+    """One pass over the block array -> first block per (tag, class-token),
+    per bare tag, AND per bare class-token (('', token) — a class-only
+    selector like '.speed' is valid per ExtractionRule.matches, where an
+    empty tag matches anything) — O(1) rule lookups instead of a scan per
+    rule, covering every selector form matches() accepts."""
     idx: dict = {}
     for b in blocks[1:]:
         idx.setdefault((b.tag, ""), b)
+        idx.setdefault(("", ""), b)
         for token in (b.css_class or "").split():
             idx.setdefault((b.tag, token), b)
+            idx.setdefault(("", token), b)
     return idx
 
 
 def _first_match(index: dict, rule) -> Block | None:
-    sel = rule.selector
-    if "." in sel:
-        tag, cls = sel.split(".", 1)
-    else:
-        tag, cls = sel, ""
-    return index.get((tag, cls))
+    from ..rules import parse_selector
+
+    return index.get(parse_selector(rule.selector))
 
 
 def _children(blocks: list[Block], parent: Block) -> list[Block]:

@@ -174,3 +174,22 @@ def time_window_filter(df: DataFrame, t_col: str, start: float, end: float | Non
     if end is not None and end != -1:
         out = out.where(F.col(t_col) <= F.lit(end))
     return out
+
+
+# --- P17: event range filter (flight_plotting.py:243-267) ---------------------
+def event_range_filter(events: DataFrame, t_col: str, data: DataFrame,
+                       data_t_col: str) -> DataFrame:
+    """Discard event rows outside [min(x), max(x)] of the plotted data
+    (flight_plotting.py:243-267; same pattern at engine_plotting.py:88-115,
+    fuel_plotting.py:102-129). The bounds are a 1-row aggregate broadcast
+    into a crossJoin — one scan of `data`, one filter over `events`, no
+    per-row driver logic; at scale the agg is a partial-aggregated 1-row
+    shuffle and the join side is trivially broadcastable."""
+    bounds = data.agg(
+        F.min(data_t_col).alias("__lo"), F.max(data_t_col).alias("__hi")
+    )
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .where(F.col(t_col).between(F.col("__lo"), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

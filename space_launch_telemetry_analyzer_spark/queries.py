@@ -351,12 +351,57 @@ def q_hhmmss_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_HHMMSS_FORMAT = """
-WITH s AS (SELECT event_id, value * 100 - 5000 AS t FROM events)
+WITH s AS (SELECT event_id,
+                  CAST(round_even(value * 100 - 5000, 0) AS BIGINT) AS si
+           FROM events),
+d AS (SELECT event_id,
+             CAST(floor(si / 3600.0) AS BIGINT) AS h,
+             CAST(floor((((si % 3600) + 3600) % 3600) / 60.0) AS BIGINT) AS m,
+             ((si % 60) + 60) % 60 AS sec
+      FROM s)
 SELECT event_id,
-       concat(CASE WHEN t < 0 THEN '-' ELSE '' END,
-              CAST(CAST(floor(abs(CAST(trunc(t) AS BIGINT)) / 3600) AS BIGINT) AS VARCHAR), ':',
-              lpad(CAST(CAST(floor((abs(CAST(trunc(t) AS BIGINT)) % 3600) / 60) AS BIGINT) AS VARCHAR), 2, '0'), ':',
-              lpad(CAST(abs(CAST(trunc(t) AS BIGINT)) % 60 AS VARCHAR), 2, '0')) AS hhmmss
+       CASE WHEN h <> 0 THEN printf('%02d:%02d:%02d', h, m, sec)
+            ELSE printf('%02d:%02d', m, sec) END AS hhmmss
+FROM d
+"""
+
+
+def q_event_forms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 full-parity event parse: all accepted entry forms of
+    parse_event_times ('Label@time', 'time=Label', 'time Label', bare time,
+    unparseable) constructed per row and parsed with the expression twin."""
+    ev = load(spark, sf_dir, "events")
+    m = (F.col("event_id") * 3 % 60).cast("string")
+    s2 = F.lpad((F.col("event_id") * 7 % 60).cast("string"), 2, "0")
+    h = (F.col("event_id") % 10).cast("string")
+    form = F.col("event_id") % 5
+    evstr = (
+        F.when(form == 0, F.concat(F.col("event_type"), F.lit("@"), m, F.lit(":"), s2))
+        .when(form == 1, F.concat(h, F.lit(":"), m, F.lit(":"), s2, F.lit("="), F.col("event_type")))
+        .when(form == 2, F.concat(m, F.lit(":"), s2, F.lit(" "), F.col("event_type")))
+        .when(form == 3, s2)
+        .otherwise(F.lit("at liftoff"))
+    )
+    p = P.parse_event_expr(evstr)
+    return ev.select(
+        "event_id",
+        p.getField("seconds").alias("seconds"),
+        p.getField("label").alias("label"),
+    )
+
+
+ORACLE_EVENT_FORMS_PARSE = """
+WITH s AS (SELECT event_id, event_type,
+                  event_id % 5 AS form,
+                  event_id % 10 AS h, (event_id * 3) % 60 AS m, (event_id * 7) % 60 AS sec
+           FROM events)
+SELECT event_id,
+       CASE WHEN form = 0 THEN CAST(m * 60 + sec AS DOUBLE)
+            WHEN form = 1 THEN CAST(h * 3600 + m * 60 + sec AS DOUBLE)
+            WHEN form = 2 THEN CAST(m * 60 + sec AS DOUBLE)
+            WHEN form = 3 THEN CAST(sec AS DOUBLE)
+            END AS seconds,
+       CASE WHEN form IN (0, 1, 2) THEN event_type END AS label
 FROM s
 """
 
@@ -526,6 +571,21 @@ def q_time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TIME_WINDOW_FILTER = """
 SELECT event_id FROM events WHERE epoch(ts) >= 1704153600 AND epoch(ts) <= 1704326400
+"""
+
+
+def q_event_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: keep events whose time lies inside [min, max] of the plotted
+    subset (purchases) — scalar-bounds semi-filter via broadcast crossJoin."""
+    ev = load(spark, sf_dir, "events").withColumn("t", epoch_seconds("ts"))
+    data = ev.where(F.col("event_type") == "purchase")
+    return W.event_range_filter(ev, "t", data, "t").select("event_id")
+
+
+ORACLE_EVENT_RANGE_FILTER = """
+WITH b AS (SELECT min(epoch(ts)) AS lo, max(epoch(ts)) AS hi
+           FROM events WHERE event_type = 'purchase')
+SELECT event_id FROM events, b WHERE epoch(ts) BETWEEN lo AND hi
 """
 
 
@@ -801,6 +861,39 @@ s AS (
   FROM q, embeddings WHERE qid <> vec_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
 SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE rank <= 3
+"""
+
+
+_SQL_SHINGLES = r"""list_distinct(
+  list_transform(
+    range(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 3, 0) + 1),
+    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+3], ' ')
+  ))"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: shingle overlap of every document against a
+    broadcast benchmark set (docs with doc_id%13==0 stand in as the held-out
+    suite; they score contamination 1.0 against themselves)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 13 == 0).select("text")
+    return D.decontaminate(docs, bench, "doc_id", "text", "text", threshold=0.5)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh FROM documents WHERE doc_id % 13 = 0),
+ds AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents),
+m AS (SELECT doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+      FROM ds LEFT JOIN bench b USING (sh) GROUP BY doc_id)
+SELECT doc_id AS id,
+       CAST(n_shingles AS INT) AS n_shingles,
+       CAST(n_matched AS INT) AS n_matched,
+       CAST(n_matched AS DOUBLE) / n_shingles AS contamination,
+       CAST(n_matched AS DOUBLE) / n_shingles >= 0.5 AS contaminated
+FROM m
 """
 
 
@@ -1219,6 +1312,9 @@ QUERIES = {
     "unit_convert": q_unit_convert,
     "hhmmss_format": q_hhmmss_format,
     "event_label_parse": q_event_label_parse,
+    "event_forms_parse": q_event_forms_parse,
+    "event_range_filter": q_event_range_filter,
+    "decontaminate": q_decontaminate,
     "outlier_nulling": q_outlier_nulling,
     "lead_acceleration": q_lead_acceleration,
     "g_force": q_g_force,
@@ -1267,6 +1363,9 @@ ORACLES = {
     "unit_convert": ORACLE_UNIT_CONVERT,
     "hhmmss_format": ORACLE_HHMMSS_FORMAT,
     "event_label_parse": ORACLE_EVENT_LABEL_PARSE,
+    "event_forms_parse": ORACLE_EVENT_FORMS_PARSE,
+    "event_range_filter": ORACLE_EVENT_RANGE_FILTER,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "outlier_nulling": ORACLE_OUTLIER_NULLING,
     "lead_acceleration": ORACLE_LEAD_ACCELERATION,
     "g_force": ORACLE_G_FORCE,

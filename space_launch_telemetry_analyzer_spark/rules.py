@@ -26,6 +26,18 @@ from pathlib import Path
 DEFAULT_TIME_REGEX = r"[+-]\d{2}:\d{2}:\d{2}"
 
 
+def parse_selector(sel: str) -> tuple[str, str]:
+    """'tag.class' -> (tag, class); 'tag' -> (tag, ''); '.class' -> ('', class).
+    The ONE selector grammar — ExtractionRule.matches and the O(1) index in
+    operators/extract.py both use it, so the slow and fast paths cannot
+    drift."""
+    if "." in sel:
+        tag, cls = sel.split(".", 1)
+    else:
+        tag, cls = sel, ""
+    return tag, cls
+
+
 @dataclass(frozen=True)
 class ExtractionRule:
     """One rule ≅ one ROI (ocr/roi_manager.py:10-43)."""
@@ -50,11 +62,7 @@ class ExtractionRule:
         return True
 
     def matches(self, tag: str, css_class: str) -> bool:
-        sel = self.selector
-        if "." in sel:
-            want_tag, want_class = sel.split(".", 1)
-        else:
-            want_tag, want_class = sel, ""
+        want_tag, want_class = parse_selector(self.selector)
         if want_tag and want_tag != tag:
             return False
         if want_class and want_class not in (css_class or "").split():

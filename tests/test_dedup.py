@@ -140,6 +140,18 @@ def test_dedup_survivors(spark, corpus):
     assert len(survivors) == 3
 
 
+def test_decontaminate(spark, corpus):
+    """Docs sharing shingles with the benchmark score high; disjoint docs 0."""
+    bench = spark.createDataFrame([(BASE,)], "text string")
+    out = {r["id"]: r for r in
+           D.decontaminate(corpus, bench, "doc_id", "text", "text").collect()}
+    assert out[1]["contamination"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["contamination"] == 1.0  # exact dup of benchmark text
+    assert out[3]["contamination"] > 0.8  # near dup
+    assert out[4]["contamination"] == 0.0 and not out[4]["contaminated"]
+    assert out[1]["n_shingles"] == out[1]["n_matched"]
+
+
 def test_ngram_jaccard_pairs_with_candidates(spark, corpus):
     cand = spark.createDataFrame([(1, 3), (1, 4)], "id_a long, id_b long")
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in

@@ -278,3 +278,29 @@ def test_extract_pages_null_html(spark):
     res = extract_pages(df, row_idx_col=None).orderBy("url").collect()
     assert res[0]["error"] == "null html"
     assert res[1]["extracted_text"] == "good page with sufficiently many words"
+
+
+def test_class_only_selector_matches():
+    """A '.speed' (class-only) selector is valid per ExtractionRule.matches —
+    the O(1) selector index must serve it too (ADVICE r01: it used to
+    silently never match)."""
+    from space_launch_telemetry_analyzer_spark.rules import RuleConfig
+
+    cfg = RuleConfig.from_dict(
+        {
+            "version": 1,
+            "series": ["primary"],
+            "rules": [
+                {"id": "speed", "series": "primary", "selector": ".speed",
+                 "measurement_unit": "km/h"},
+                {"id": "altitude", "series": "primary", "selector": "",
+                 "measurement_unit": "km"},  # empty selector = first block
+            ],
+        }
+    )
+    html = b'<html><body><div class="x speed">123 km/h</div><p>more</p></body></html>'
+    out = extract_page(html, cfg, None)
+    assert out["error"] is None
+    assert out["speed"] == 123.0
+    # empty selector matched the first block ('123 km/h' -> 123 as altitude)
+    assert out["altitude"] == 123.0

@@ -68,23 +68,54 @@ def test_convert_measurement():
         P.convert_measurement(1.0, "mass", "kg")
 
 
-# --- hh:mm:ss formatting (flight_plotting.py:145-156)
-def test_seconds_to_hhmmss():
-    assert P.seconds_to_hhmmss(0) == "0:00:00"
-    assert P.seconds_to_hhmmss(90) == "0:01:30"
-    assert P.seconds_to_hhmmss(3661) == "1:01:01"
-    assert P.seconds_to_hhmmss(-75) == "-0:01:15"
+# --- hh:mm:ss formatting (flight_plotting.py:145-156, exact semantics:
+# --- round half-even, hour dropped when 0, zero-padded, Python floor-div
+# --- fall-through for negatives)
+HHMMSS_CASES = [
+    (0.0, "00:00"),
+    (90.0, "01:30"),
+    (3661.0, "01:01:01"),
+    (5400.0, "01:30:00"),
+    (-75.0, "-1:58:45"),  # -75//3600=-1, -75%3600=3525 -> 58, -75%60=45
+    (59.5, "01:00"),  # half-even rounds to 60
+    (58.5, "00:58"),  # half-even rounds to 58
+    (-0.4, "00:00"),
+]
 
 
-# --- event-string parse (flight_plotting.py:27-142)
-def test_parse_event_time():
-    assert P.parse_event_time("01:02:03") == (3723.0, "")
-    assert P.parse_event_time("MECO@00:02:30") == (150.0, "MECO")
-    assert P.parse_event_time("150=MECO") == (150.0, "MECO")
-    assert P.parse_event_time("150 MECO") == (150.0, "MECO")
-    assert P.parse_event_time("42.5") == (42.5, "")
-    assert P.parse_event_time("not an event") is None
-    assert P.parse_event_time("") is None
+@pytest.mark.parametrize("sec,expected", HHMMSS_CASES)
+def test_seconds_to_hhmmss(sec, expected):
+    assert P.seconds_to_hhmmss(sec) == expected
+
+
+# --- event-string parse (flight_plotting.py:27-142, exact semantics)
+EVENT_CASES = [
+    ("01:02:03", (3723.0, None)),
+    ("05:30", (330.0, None)),
+    ("42", (42.0, None)),
+    ("150", None),  # bare 3-digit token is NOT a time in the reference
+    ("MECO@2:30", (150.0, "MECO")),
+    ("2:30@MECO", (150.0, "MECO")),  # time accepted on either side
+    ("90=MECO", (90.0, "MECO")),
+    ("MECO=1:30", (90.0, "MECO")),
+    ("1:30 MECO", (90.0, "MECO")),
+    ("MECO 1:30", (90.0, "MECO")),
+    ("42.5", None),  # numeric STRING is not a token (only int/float entries)
+    ("not an event", None),
+    ("", None),
+    ("a@b=3", (3.0, "a@b")),  # '@' fails both sides -> '=' split wins
+]
+
+
+@pytest.mark.parametrize("ev,expected", EVENT_CASES)
+def test_parse_event_time(ev, expected):
+    assert P.parse_event_time(ev) == expected
+
+
+def test_parse_event_time_numeric():
+    assert P.parse_event_time(42) == (42.0, None)
+    assert P.parse_event_time(42.5) == (42.5, None)
+    assert P.parse_event_time(None) is None
 
 
 # --- expression twins stay in lockstep with the python kernels -------------
@@ -126,6 +157,20 @@ def test_convert_exprs(spark):
 
 
 def test_seconds_to_hhmmss_expr(spark):
-    df = spark.createDataFrame([(0.0,), (90.0,), (3661.0,), (-75.0,)], "s double")
-    got = [r["f"] for r in df.select(P.seconds_to_hhmmss_expr(F.col("s")).alias("f")).collect()]
-    assert got == ["0:00:00", "0:01:30", "1:01:01", "-0:01:15"]
+    """Expression twin stays in lockstep with the python port on every case."""
+    df = spark.createDataFrame([(s,) for s, _ in HHMMSS_CASES], "s double")
+    got = [r["f"] for r in df.select("s", P.seconds_to_hhmmss_expr(F.col("s")).alias("f"))
+           .orderBy("s").collect()]
+    exp = [e for _, e in sorted(HHMMSS_CASES)]
+    assert got == exp
+
+
+def test_parse_event_expr(spark):
+    """Expression twin of parse_event_times on every string case."""
+    df = spark.createDataFrame([(i, ev) for i, (ev, _) in enumerate(EVENT_CASES)],
+                               "i int, ev string")
+    rows = df.select("i", P.parse_event_expr(F.col("ev")).alias("p")).collect()
+    got = {r["i"]: (r["p"]["seconds"], r["p"]["label"]) for r in rows}
+    for i, (_, expected) in enumerate(EVENT_CASES):
+        exp = (None, None) if expected is None else expected
+        assert got[i] == exp, EVENT_CASES[i]

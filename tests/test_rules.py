@@ -79,10 +79,16 @@ def test_single_value_matches_reference_semantics(text):
 @settings(max_examples=200, deadline=None)
 @given(st.integers(min_value=-359999, max_value=359999))
 def test_hhmmss_roundtrip(seconds):
+    """Reference semantics (flight_plotting.py:145-156): hour dropped when 0
+    ('MM:SS'), negatives via floor-div ('-1:58:45'), so the roundtrip is
+    h*3600 + m*60 + s with a SIGNED hour field."""
     s = seconds_to_hhmmss(float(seconds))
-    sign = -1 if s.startswith("-") else 1
-    h, m, sec = s.lstrip("-").split(":")
-    assert sign * (int(h) * 3600 + int(m) * 60 + int(sec)) == seconds
+    parts = s.split(":")
+    if len(parts) == 2:
+        val = int(parts[0]) * 60 + int(parts[1])
+    else:
+        val = int(parts[0]) * 3600 + int(parts[1]) * 60 + int(parts[2])
+    assert val == seconds
 
 
 @settings(max_examples=200, deadline=None)

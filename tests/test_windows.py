@@ -209,3 +209,17 @@ def test_summarize_and_sampling_and_window(series_df, spark):
     assert r[0] >= 10.0 and r[1] <= 20.0
     open_end = W.time_window_filter(df, "real_time_seconds", 10.0, -1)
     assert open_end.agg(F.max("real_time_seconds")).first()[0] == 99.5
+
+
+def test_event_range_filter(spark):
+    """P17: events outside [min, max] of the data's x-range are discarded
+    (flight_plotting.py:243-267)."""
+    events = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 150.0), (4, 250.0)], "event_id long, t double"
+    )
+    data = spark.createDataFrame([(10.0,), (200.0,), (120.0,)], "x double")
+    kept = sorted(
+        r["event_id"]
+        for r in W.event_range_filter(events, "t", data, "x").collect()
+    )
+    assert kept == [2, 3]  # 5 < min(10), 250 > max(200)
