@@ -79,9 +79,19 @@ def run_extraction(
     salt_mod: int = 4,
     row_idx_col: str | None = "row_idx",
     input_is_bucketed: bool = False,
+    audit: bool = True,
 ) -> dict:
     """Execute the flagship job; returns a small summary dict (counts only —
-    no data is collected to the driver)."""
+    no data is collected to the driver).
+
+    Metrics/lineage design: global totals ride the WRITE action itself via
+    df.observe() (zero extra scans) and a collect_set('bucket') observation
+    supplies the checkpoint marks, so with audit=False the job is exactly one
+    pass over the input and zero passes over the output. audit=True (default)
+    adds ONE column-pruned read-back of the rows this run actually wrote —
+    write-audit, not plan-audit — to produce per-(partition, bucket) lineage
+    rows; results carry a run_id column so a shared store root never leaks
+    other runs' rows into this run's metrics or checkpoint marks."""
     cfg = cfg or default_config()
     run_id = run_id or uuid.uuid4().hex[:12]
     if num_partitions is None:
@@ -120,40 +130,78 @@ def run_extraction(
         arranged = salted_repartition(bucketed, num_partitions, ["bucket"], salt_mod)
 
     # -- the one Python stage; results keep (partition_id, input_bytes,
-    # proc_seconds) as lineage columns so metrics can be derived from what
-    # actually landed (write-audit, not plan-audit)
+    # proc_seconds) as lineage columns and are stamped with run_id so every
+    # downstream audit/metric/checkpoint is scoped to THIS run
+    from pyspark.sql import Observation
+
+    obs = Observation("extract-metrics")
     t0 = time.time()
-    results = extract_pages(arranged, cfg, row_idx_col=row_idx_col, n_buckets=n_buckets)
+    results = (
+        extract_pages(arranged, cfg, row_idx_col=row_idx_col, n_buckets=n_buckets)
+        .withColumn("run_id", F.lit(run_id))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.length("extracted_text") == 0, 1).otherwise(0)).alias("n_empty"),
+            F.sum("input_bytes").alias("input_bytes"),
+            F.sum(F.coalesce(F.length("extracted_text"), F.lit(0))).alias("output_chars"),
+            F.sum("proc_seconds").alias("wall_seconds"),
+            F.collect_set("bucket").alias("buckets"),
+        )
+    )
     store.write_results(results)
     wall = time.time() - t0
+    # observation resolved by the write action — no extra scan (values are
+    # None when the resume filter left zero rows to write)
+    g = {k: v for k, v in obs.get.items()}
+    n_rows, n_errors = int(g.get("n_rows") or 0), int(g.get("n_errors") or 0)
 
-    # -- lineage/metrics per (extraction partition, bucket); reading back the
-    # written table is a cheap column-pruned parquet scan, never a re-extract
-    written = store.read_results(spark)
-    fresh = written.join(F.broadcast(done), "bucket", "left_anti") if n_skipped_buckets else written
-    metrics = fresh.groupBy("partition_id", "bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-        F.sum(F.when(F.length("extracted_text") == 0, 1).otherwise(0)).alias("n_empty"),
-        F.sum("input_bytes").alias("input_bytes"),
-        F.sum(F.coalesce(F.length("extracted_text"), F.lit(0))).alias("output_chars"),
-        F.sum("proc_seconds").alias("wall_seconds"),
-    ).select(
-        F.lit(run_id).alias("run_id"), "partition_id", "bucket", "n_rows",
-        "n_errors", "n_empty", "input_bytes", "output_chars", "wall_seconds",
-    )
-    store.write_metrics(metrics)
+    if audit:
+        # ONE column-pruned read-back of this run's rows (write-audit): per-
+        # (extraction partition, bucket) lineage; metrics is tiny — persist it
+        # and derive the checkpoint marks from it instead of re-scanning
+        fresh = store.read_results(spark).where(F.col("run_id") == run_id)
+        if n_skipped_buckets:
+            fresh = fresh.join(F.broadcast(done), "bucket", "left_anti")
+        metrics = fresh.groupBy("partition_id", "bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.length("extracted_text") == 0, 1).otherwise(0)).alias("n_empty"),
+            F.sum("input_bytes").alias("input_bytes"),
+            F.sum(F.coalesce(F.length("extracted_text"), F.lit(0))).alias("output_chars"),
+            F.sum("proc_seconds").alias("wall_seconds"),
+        ).select(
+            F.lit(run_id).alias("run_id"), "partition_id", "bucket", "n_rows",
+            "n_errors", "n_empty", "input_bytes", "output_chars", "wall_seconds",
+        ).persist()
+        store.write_metrics(metrics)
+        store.write_checkpoint(
+            metrics.groupBy("bucket").agg(F.sum("n_rows").alias("n_rows"))
+            .select(F.lit(run_id).alias("run_id"), "bucket", "n_rows")
+        )
+        metrics.unpersist()
+    else:
+        # zero read-back: one global metrics row from the observation
+        # (partition_id = -1 sentinel: whole run), checkpoint marks from the
+        # observed bucket set (n_rows = -1 sentinel: not tracked per bucket)
+        metrics_row = [(run_id, -1, None, n_rows, n_errors,
+                        int(g.get("n_empty") or 0), int(g.get("input_bytes") or 0),
+                        int(g.get("output_chars") or 0),
+                        float(g.get("wall_seconds") or 0.0))]
+        from ..schema import METRICS_SCHEMA
 
-    # -- checkpoint marks: every bucket now present in results ------------------
-    store.write_checkpoint(
-        written.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(F.lit(run_id).alias("run_id"), "bucket", "n_rows")
-    )
+        store.write_metrics(spark.createDataFrame(metrics_row, METRICS_SCHEMA))
+        marks = [(run_id, int(b), -1) for b in (g.get("buckets") or [])]
+        if marks:
+            from ..schema import CHECKPOINT_SCHEMA
 
-    n_written = written.count()
+            store.write_checkpoint(spark.createDataFrame(marks, CHECKPOINT_SCHEMA))
+
     return {
         "run_id": run_id,
-        "n_results": n_written,
+        "n_results": n_rows,
+        "n_errors": n_errors,
         "n_skipped_buckets": n_skipped_buckets,
         "wall_seconds": wall,
     }

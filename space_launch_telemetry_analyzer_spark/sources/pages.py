@@ -164,3 +164,73 @@ def synth_pages_df(spark: SparkSession, n_rows: int, partitions: int | None = No
 
 def write_synth_pages(spark: SparkSession, path: str, n_rows: int) -> None:
     synth_pages_df(spark, n_rows).write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Real-input ingest: WARC-derived exports -> PAGES_SCHEMA
+# ---------------------------------------------------------------------------
+
+def load_pages(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    validate: bool = True,
+    require_unique_url: bool = True,
+) -> DataFrame:
+    """Load an external pages table (parquet or JSON-lines — the two shapes
+    WARC-derived exports usually land in; the engine-side analog of the
+    reference's S6 ingest boundary, download/downloader.py:10-120) and coerce
+    it to PAGES_SCHEMA:
+
+    - html: string -> utf-8 binary (binary passes through);
+    - warc_ts: string -> to_timestamp, integral -> epoch-seconds timestamp;
+    - missing optional columns (text, lang) -> typed NULLs;
+    - url: required, cast to string.
+
+    With validate=True the one-pass constraint check (sources/validate.py)
+    runs and a failing report raises ValueError, so a bad input dies at job
+    start instead of 40 stages in."""
+    from ..schema import PAGES_SCHEMA
+
+    if fmt == "parquet":
+        raw = spark.read.parquet(path)
+    elif fmt in ("json", "jsonl"):
+        raw = spark.read.json(path)
+    else:
+        raise ValueError(f"unsupported pages format: {fmt}")
+
+    have = {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+    if "url" not in have:
+        raise ValueError(f"input at {path} has no 'url' column (got {sorted(have)})")
+
+    cols = [F.col("url").cast("string").alias("url")]
+    if "warc_ts" in have:
+        if have["warc_ts"].startswith("timestamp"):
+            ts = F.col("warc_ts").cast("timestamp")
+        elif have["warc_ts"] in ("bigint", "int", "long", "double"):
+            ts = F.col("warc_ts").cast("double").cast("timestamp")  # epoch secs
+        else:
+            ts = F.to_timestamp(F.col("warc_ts"))
+        cols.append(ts.alias("warc_ts"))
+    else:
+        cols.append(F.lit(None).cast("timestamp").alias("warc_ts"))
+    if "html" in have:
+        html = F.col("html") if have["html"] == "binary" else F.encode(F.col("html"), "UTF-8")
+        cols.append(html.alias("html"))
+    else:
+        cols.append(F.lit(None).cast("binary").alias("html"))
+    for opt in ("text", "lang"):
+        cols.append(
+            (F.col(opt).cast("string") if opt in have else F.lit(None).cast("string")).alias(opt)
+        )
+    # passthrough extras (e.g. row_idx) after the canonical five
+    extras = [c for c in raw.columns if c not in {f.name for f in PAGES_SCHEMA.fields}]
+    pages = raw.select(*cols, *extras)
+
+    if validate:
+        from .validate import validate_pages
+
+        report = validate_pages(pages, require_unique_url=require_unique_url)
+        if not report.ok:
+            raise ValueError(f"pages input failed validation: {report.reasons()}")
+    return pages
