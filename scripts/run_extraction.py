@@ -30,25 +30,34 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=4)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--no-audit", action="store_true",
+                    help="skip the per-bucket lineage read-back: metrics come "
+                         "from df.observe() on the write action (zero passes "
+                         "over the output)")
+    ap.add_argument("--input-format", default="parquet", choices=["parquet", "jsonl"],
+                    help="pages input format (jsonl is coerced to PAGES_SCHEMA)")
     args = ap.parse_args()
 
     from space_launch_telemetry_analyzer_spark.plans.pipeline import run_extraction
     from space_launch_telemetry_analyzer_spark.rules import RuleConfig, default_config
     from space_launch_telemetry_analyzer_spark.session import get_spark
     from space_launch_telemetry_analyzer_spark.sources.io import ResultStore, iceberg_available
+    from space_launch_telemetry_analyzer_spark.sources.pages import load_pages
 
     spark = get_spark(app_name="sla-extract", master=args.master)
     cfg = RuleConfig.load(args.rules) if args.rules else default_config()
     store = ResultStore(args.out, use_iceberg=False if "/" in args.out else iceberg_available(spark))
+    pages = load_pages(spark, args.pages, fmt=args.input_format)
     summary = run_extraction(
         spark,
-        spark.read.parquet(args.pages),
+        pages,
         store,
         cfg=cfg,
         run_id=args.run_id,
         n_buckets=args.buckets,
         num_partitions=args.partitions,
         salt_mod=args.salt,
+        audit=not args.no_audit,
     )
     print(json.dumps(summary))
     spark.stop()
