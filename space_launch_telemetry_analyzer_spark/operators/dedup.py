@@ -67,13 +67,21 @@ def jaccard(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_SHINGLE,
     candidates: DataFrame | None = None,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Jaccard over candidate pairs. `candidates` (id_a, id_b) comes from an
-    LSH stage; without it this is only safe on small/windowed inputs —
-    at corpus scale ALWAYS generate candidates first (minhash_lsh_candidates),
-    never a cross join."""
+    LSH stage; without it the all-pairs form is O(n²) and only sane on
+    small/windowed inputs, so it must be opted into EXPLICITLY with
+    allow_cross_join=True — at corpus scale ALWAYS generate candidates first
+    (minhash_lsh_candidates)."""
     sh = df.select(F.col(id_col).alias("id"), token_shingles(F.col(text_col), k).alias("sh"))
     if candidates is None:
+        if not allow_cross_join:
+            raise ValueError(
+                "ngram_jaccard_pairs without `candidates` is an O(n²) cross "
+                "join; pass candidates from minhash_lsh_candidates (or "
+                "allow_cross_join=True for a small, bounded input)"
+            )
         a, b = sh.alias("a"), sh.alias("b")
         return a.join(b, F.col("a.id") < F.col("b.id")).select(
             F.col("a.id").alias("id_a"),
@@ -264,15 +272,22 @@ def connected_components(
             labels = labels.localCheckpoint(eager=True)
             prev.unpersist()
             prev = None
-    edges.unpersist()
     if not converged:
         msg = (
             f"connected_components did not converge within max_iter={max_iter} "
             f"rounds ({changed} labels still changing)"
         )
         if strict:
+            edges.unpersist()
             raise RuntimeError(msg)
         logging.getLogger(__name__).warning(msg)
+    # hand consumers a lineage-free frame: labels otherwise re-embeds the
+    # full candidate-generation subtree (minhash/banding joins) at EVERY
+    # downstream reference — plans blow up and any recompute re-runs LSH
+    labels = labels.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    edges.unpersist()
     return labels
 
 

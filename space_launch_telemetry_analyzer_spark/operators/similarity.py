@@ -145,6 +145,76 @@ def embedding_near_dup(
     return pairs.where(F.col("score") >= F.lit(threshold))
 
 
+# --- IVF (inverted-file) ANN ---------------------------------------------------
+def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
+               centroids: DataFrame, centroid_id_col: str,
+               centroid_vec_col: str) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    centroid id as deterministic tie-break). Centroids are SMALL and
+    broadcast; the corpus is scanned once (n x n_centroids scored rows before
+    the per-id argmax window — the standard IVF build cost)."""
+    scored = corpus.alias("c").join(
+        F.broadcast(centroids.alias("k"))
+    ).select(
+        F.col(f"c.{id_col}").alias("id"),
+        F.col(f"c.{vec_col}").alias("vec"),
+        F.col(f"k.{centroid_id_col}").alias("centroid_id"),
+        cosine(F.col(f"c.{vec_col}"), F.col(f"k.{centroid_vec_col}")).alias("cscore"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cscore"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "vec", "centroid_id")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, query_vec_col: str,
+    centroids: DataFrame, centroid_id_col: str, centroid_vec_col: str,
+    k: int = 10, n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are inverted-listed under their nearest
+    centroid; each query probes its `n_probe` nearest centroids and
+    exact-re-ranks only those lists. Complements the hyperplane-LSH path:
+    IVF adapts to clustered data (lists follow density), LSH needs no
+    training data.
+
+    Scale shape: ONE corpus shuffle keyed on centroid_id (list sizes follow
+    cluster sizes — for pathological skew, split hot lists by salting or
+    raise n_centroids); queries and centroids are broadcast. The centroid
+    set itself is caller-provided (k-means at scale, any deterministic
+    sample for tests) — the engine's plumbing is identical either way."""
+    lists = ivf_assign(corpus, id_col, vec_col, centroids,
+                       centroid_id_col, centroid_vec_col)
+    qscored = queries.alias("q").join(
+        F.broadcast(centroids.alias("k"))
+    ).select(
+        F.col(f"q.{query_id_col}").alias("query_id"),
+        F.col(f"q.{query_vec_col}").alias("qvec"),
+        F.col(f"k.{centroid_id_col}").alias("centroid_id"),
+        cosine(F.col(f"q.{query_vec_col}"), F.col(f"k.{centroid_vec_col}")).alias("cscore"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(qw))
+        .where(F.col("__rn") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cand = lists.join(F.broadcast(probes), "centroid_id")
+    scored = cand.select(
+        "query_id", F.col("id").alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col("vec")).alias("score"),
+    ).where(F.col("query_id") != F.col("neighbor_id")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     query_id_col: str, query_vec_col: str, dim: int,

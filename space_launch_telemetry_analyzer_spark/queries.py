@@ -1001,6 +1001,49 @@ SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE ra
 """
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: inverted lists under the nearest of 8 deterministic centroids
+    (the lowest vec_ids stand in for k-means output — identical plumbing),
+    2-probe query, exact re-rank. Oracle is a full structural twin."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    topk = S.ivf_ann_topk(emb, queries, "vec_id", "embedding", "qid", "qvec",
+                          centroids, "centroid_id", "cvec", k=3, n_probe=2)
+    return topk.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+
+
+ORACLE_IVF_ANN_TOPK = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+               FROM embeddings WHERE vec_id < 8),
+a0 AS (SELECT e.vec_id AS id, e.embedding AS vec, k.centroid_id,
+              {_sql_cosine('e.embedding', 'k.cvec', _ANN_DIM)} AS cscore
+       FROM embeddings e, cents k),
+assign AS (SELECT id, vec, centroid_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+                                          ORDER BY cscore DESC, centroid_id) AS rn
+             FROM a0) WHERE rn = 1),
+q0 AS (SELECT q.vec_id AS query_id, q.embedding AS qvec, k.centroid_id,
+              {_sql_cosine('q.embedding', 'k.cvec', _ANN_DIM)} AS cscore
+       FROM embeddings q, cents k WHERE q.vec_id >= 10 AND q.vec_id < 15),
+qprobe AS (SELECT query_id, qvec, centroid_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cscore DESC, centroid_id) AS rn
+             FROM q0) WHERE rn <= 2),
+cand AS (SELECT DISTINCT query_id, a.id AS neighbor_id,
+                {_sql_cosine('qprobe.qvec', 'a.vec', _ANN_DIM)} AS score
+         FROM assign a JOIN qprobe USING (centroid_id) WHERE query_id <> a.id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
@@ -1338,6 +1381,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -1389,6 +1433,7 @@ ORACLES = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "token_counts": ORACLE_TOKEN_COUNTS,

@@ -158,3 +158,11 @@ def test_ngram_jaccard_pairs_with_candidates(spark, corpus):
            D.ngram_jaccard_pairs(corpus, "doc_id", "text", candidates=cand).collect()}
     assert out[(1, 3)] > 0.8
     assert out[(1, 4)] == 0.0
+
+
+def test_ngram_jaccard_cross_join_guard(spark, corpus):
+    with pytest.raises(ValueError, match="cross"):
+        D.ngram_jaccard_pairs(corpus, "doc_id", "text")
+    # explicit opt-in still works for small inputs
+    out = D.ngram_jaccard_pairs(corpus, "doc_id", "text", allow_cross_join=True)
+    assert out.where((F.col("id_a") == 1) & (F.col("id_b") == 2)).first()["jaccard"] == 1.0

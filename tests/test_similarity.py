@@ -116,3 +116,34 @@ def test_lsh_bits_deterministic(spark, vectors):
     b = df.select(S.lsh_bits(F.col("embedding"), 6, DIM).alias("b")).collect()
     assert [r["b"] for r in a] == [r["b"] for r in b]
     assert len({r["b"] for r in a}) > 4  # buckets actually spread
+
+
+def test_ivf_ann_recall(spark, vectors):
+    """IVF with deterministic centroids: the planted ~identical neighbor
+    shares the query's nearest centroid, so it must always be found."""
+    df, vecs = vectors
+    centroids = df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ann = S.ivf_ann_topk(df, queries, "vec_id", "embedding", "qid", "qvec",
+                         centroids, "centroid_id", "cvec", k=3, n_probe=2)
+    got = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in range(5):
+        assert (100 + q) in got.get(q, set()), f"query {q} missed planted neighbor"
+
+
+def test_ivf_assign_partitions_corpus(spark, vectors):
+    """Every corpus vector lands in exactly one inverted list."""
+    df, _ = vectors
+    centroids = df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    lists = S.ivf_assign(df, "vec_id", "embedding", centroids, "centroid_id", "cvec")
+    assert lists.count() == N
+    assert lists.select("id").distinct().count() == N
+    assert lists.select("centroid_id").distinct().count() > 1
