@@ -302,14 +302,30 @@ def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
 
 
 def minhash_dedup(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7,
+    shingle_k: int = DEFAULT_SHINGLE, **kw
 ) -> DataFrame:
     """Full near-dup pass: LSH candidates -> exact Jaccard verify -> pairs
     above threshold (the caller picks survivors, e.g. keep min id per
     connected component; at corpus scale component-joining is an iterative
-    job — here we emit verified pairs, the expensive part)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, **kw)
-    verified = ngram_jaccard_pairs(df, id_col, text_col, candidates=cand)
+    job — here we emit verified pairs, the expensive part).
+
+    The verify step computes Jaccard over NUMERIC shingle-hash sets — the
+    same distinct-set cardinalities as string shingles (xxhash64 collisions
+    aside), so the value is identical, but the per-doc cost skips re-split +
+    per-shingle string concatenation (measured: the string form was the
+    single heaviest expression in the suite)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, shingle_k=shingle_k, **kw)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        token_hash_col(F.col(text_col)).alias("th"),
+    ).select("id", shingle_hash_col(F.col("th"), shingle_k).alias("sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
     return verified.where(F.col("jaccard") >= threshold)
 
 

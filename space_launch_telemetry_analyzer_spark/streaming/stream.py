@@ -129,6 +129,23 @@ def stream_anchor_flags(events: DataFrame) -> DataFrame:
     )
 
 
+# --- streaming exact dedup -----------------------------------------------------
+
+def stream_exact_dedup(pages: DataFrame, text_col: str = "text",
+                       ts_col: str = "warc_ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each normalized
+    content fingerprint within the watermark horizon
+    (dropDuplicatesWithinWatermark — state per retained key is one
+    fingerprint + expiry, evicted by event time, so state size is bounded by
+    the dedup horizon rather than growing with the stream). The batch twin
+    is operators.dedup.exact_dedup."""
+    from ..operators.text_analysis import fingerprint
+
+    keyed = pages.withColumn("fp", fingerprint(F.col(text_col)))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
 # --- ST4: watermarked per-host metrics ---------------------------------------
 
 def stream_host_metrics(pages: DataFrame, watermark: str = "10 minutes",

@@ -121,3 +121,45 @@ def test_stream_host_metrics(spark, tmp_path):
     assert set(out.columns) == {"window", "host", "n_pages", "bytes"}
     total = out.agg(F.sum("n_pages")).first()[0]
     assert total is None or total <= 200
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Duplicates within the watermark horizon are dropped across micro-
+    batches; the first occurrence survives."""
+    from space_launch_telemetry_analyzer_spark.streaming.stream import stream_exact_dedup
+
+    in_path = tmp_path / "pages"
+    in_path.mkdir()
+    base = synth_pages_df(spark, 50, partitions=1).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    base.coalesce(1).write.parquet(str(in_path / "f1"))
+    # second file: same texts under new urls (exact dups) + 10 fresh docs
+    dups = base.limit(20).withColumn("url", F.concat(F.lit("dup://"), F.col("url")))
+    fresh = synth_pages_df(spark, 60, partitions=1).where(F.col("row_idx") >= 50).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    dups.unionByName(fresh).coalesce(1).write.parquet(str(in_path / "f2"))
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, html binary, "
+                                "text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_path / "*"))
+    )
+    out_path = str(tmp_path / "out")
+    q = (
+        stream_exact_dedup(stream, watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    out = spark.read.parquet(out_path)
+    # 50 originals + 10 fresh; the 20 cross-batch duplicates dropped
+    assert out.count() == 60
+    assert out.select("fp").distinct().count() == 60
+    assert out.where(F.col("url").startswith("dup://")).count() == 0
