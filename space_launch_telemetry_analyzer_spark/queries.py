@@ -214,6 +214,69 @@ FROM documents
 """
 
 
+def q_single_row_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: single-row identity lookup (the 'process one frame' path,
+    processing/frame_processing.py:23) — a pushdown-able point filter."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") == 42).select("doc_id", "text", "lang")
+
+
+ORACLE_SINGLE_ROW_LOOKUP = "SELECT doc_id, text, lang FROM documents WHERE doc_id = 42"
+
+
+def q_flatten_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16/A17 end-to-end: real extraction output -> flatten_results hoists
+    the nested time struct to flat columns and drops the raw struct
+    (plot/data_processing.py:79-112 semantics)."""
+    from .plans.analysis import flatten_results
+
+    pages = _telemetry_pages(load(spark, sf_dir, "documents"))
+    flat = flatten_results(extract_pages(pages, row_idx_col=None))
+    return flat.select(
+        "url",
+        F.round("speed", 6).alias("speed"),
+        F.round("altitude", 6).alias("altitude"),
+        "time_sign", "time_hours", "time_minutes", "time_seconds",
+        "error",
+    )
+
+
+ORACLE_FLATTEN_RESULTS = f"""
+SELECT concat('doc://', doc_id) AS url,
+       round({_SPEED_EXPR}, 6) AS speed,
+       round({_ALT_EXPR}, 6) AS altitude,
+       {_SIGN_EXPR} AS time_sign,
+       {_TH_EXPR} AS time_hours,
+       {_TM_EXPR} AS time_minutes,
+       {_TS_EXPR} AS time_seconds,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+
+def q_validate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/A18: the one-pass input-constraint aggregation over a pages table
+    with planted defects (null html every 9th doc, one duplicated url)."""
+    from .sources.validate import validation_agg
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.when(F.col("doc_id") % 50 == 1, F.lit("doc://dup")).otherwise(_doc_url()).alias("url"),
+        F.when(F.col("doc_id") % 9 != 0, F.col("text").cast("binary")).alias("html"),
+    )
+    return validation_agg(pages)
+
+
+ORACLE_VALIDATE_REPORT = """
+SELECT count(*) AS n,
+       0 AS null_url,
+       sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS null_html,
+       count(*) - count(DISTINCT CASE WHEN doc_id % 50 = 1 THEN 'doc://dup'
+                                      ELSE concat('doc://', doc_id) END) AS dups
+FROM documents
+"""
+
+
 # ===========================================================================
 # Relational showcase: star-schema agg + broadcast join (Catalyst layer)
 # ===========================================================================
@@ -1348,6 +1411,9 @@ QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
+    "single_row_lookup": q_single_row_lookup,
+    "flatten_results": q_flatten_results,
+    "validate_report": q_validate_report,
     "pricing_summary": q_pricing_summary,
     "nation_revenue": q_nation_revenue,
     "first_number": q_first_number,
@@ -1400,6 +1466,9 @@ ORACLES = {
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
+    "single_row_lookup": ORACLE_SINGLE_ROW_LOOKUP,
+    "flatten_results": ORACLE_FLATTEN_RESULTS,
+    "validate_report": ORACLE_VALIDATE_REPORT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "nation_revenue": ORACLE_NATION_REVENUE,
     "first_number": ORACLE_FIRST_NUMBER,

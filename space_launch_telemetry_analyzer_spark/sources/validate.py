@@ -35,6 +35,19 @@ class ValidationReport:
         return out
 
 
+def validation_agg(pages: DataFrame) -> DataFrame:
+    """The ONE-pass constraint aggregation as a 1-row DataFrame (S3/A18
+    analog): row count, null identities, null payloads, duplicate urls.
+    Driver-verifiable (queries.q_validate_report) and the engine half of
+    validate_pages."""
+    return pages.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("url").isNull(), 1).otherwise(0)).alias("null_url"),
+        F.sum(F.when(F.col("html").isNull(), 1).otherwise(0)).alias("null_html"),
+        (F.count("url") - F.countDistinct("url")).alias("dups"),  # count(url) skips NULLs
+    )
+
+
 def validate_pages(pages: DataFrame, require_unique_url: bool = True) -> ValidationReport:
     """Existence/openability become schema checks; frame_count>0 becomes a
     row-count check; NULL html is reported but allowed (it flows to the
@@ -47,12 +60,7 @@ def validate_pages(pages: DataFrame, require_unique_url: bool = True) -> Validat
         elif have[name] != typ and not (typ, have[name]) == ("timestamp", "timestamp_ntz"):
             schema_errors.append(f"column {name} is {have[name]}, expected {typ}")
 
-    row = pages.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("url").isNull(), 1).otherwise(0)).alias("null_url"),
-        F.sum(F.when(F.col("html").isNull(), 1).otherwise(0)).alias("null_html"),
-        (F.count("url") - F.countDistinct("url")).alias("dups"),  # count(url) skips NULLs
-    ).first()
+    row = validation_agg(pages).first()
 
     n_dup = int(row["dups"]) if require_unique_url else 0
     ok = not schema_errors and row["n"] > 0 and row["null_url"] == 0 and n_dup == 0
