@@ -109,7 +109,10 @@ class Block:
         raw = "".join(self.pieces)
         self.text = raw.strip()
         self.n_chars = len(self.text)
-        self.n_words = len(self.text.split())
+        # capped word count: classification consumes only the >=5 and >=1
+        # thresholds, so splitting past 6 words is pure allocation waste on
+        # long paragraphs (hot path: ~60 blocks/page)
+        self.n_words = len(self.text.split(None, 6))
         self.link_density = (
             min(1.0, self.n_link_chars / self.n_chars) if self.n_chars else 0.0
         )
@@ -146,12 +149,13 @@ def parse_blocks(html_text: str) -> list[Block]:
             cur.n_link_chars += len(txt.strip())
 
     for m in _TAG_RE.finditer(html_text):
-        if m.start() > pos:
+        start = m.start()
+        if start > pos:
             if skip_tag is None:
-                emit_text(html_text[pos : m.start()])
+                emit_text(html_text[pos:start])
         pos = m.end()
-        token = m.group(1)
-        if token.startswith("!"):
+        token = m[1]
+        if token[0] == "!":
             continue  # comment / doctype
         closing = token[0] == "/"
         body = token[1:] if closing else token
@@ -246,26 +250,33 @@ def apply_data_allowlist(text: str) -> str:
     return "".join(c for c in text if c in _DATA_ALLOWLIST)
 
 
-def _selector_index(blocks: list[Block]) -> dict:
-    """One pass over the block array -> first block per (tag, class-token),
-    per bare tag, AND per bare class-token (('', token) — a class-only
-    selector like '.speed' is valid per ExtractionRule.matches, where an
-    empty tag matches anything) — O(1) rule lookups instead of a scan per
-    rule, covering every selector form matches() accepts."""
-    idx: dict = {}
+def _match_selectors(blocks: list[Block], wanted: set) -> dict:
+    """One scan -> first matching block per wanted (tag, class-token) key,
+    early-exiting once every key is resolved. Covers every selector form
+    ExtractionRule.matches accepts: bare tag ('span'), tag.class
+    ('span.speed'), class-only ('.speed' — empty tag matches any tag), and
+    empty ('' — first block). Only the config's own keys are tracked, so the
+    per-block work is a handful of set probes instead of dict inserts for
+    every (tag, class) combination on the page."""
+    found: dict = {}
+    remaining = set(wanted)
+    if not remaining:
+        return found
     for b in blocks[1:]:
-        idx.setdefault((b.tag, ""), b)
-        idx.setdefault(("", ""), b)
-        for token in (b.css_class or "").split():
-            idx.setdefault((b.tag, token), b)
-            idx.setdefault(("", token), b)
-    return idx
-
-
-def _first_match(index: dict, rule) -> Block | None:
-    from ..rules import parse_selector
-
-    return index.get(parse_selector(rule.selector))
+        tag = b.tag
+        keys = [(tag, ""), ("", "")]
+        css = b.css_class
+        if css:
+            for token in css.split():
+                keys.append((tag, token))
+                keys.append(("", token))
+        for k in keys:
+            if k in remaining:
+                found[k] = b
+                remaining.discard(k)
+        if not remaining:
+            break
+    return found
 
 
 def _children(blocks: list[Block], parent: Block) -> list[Block]:
@@ -290,10 +301,13 @@ def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None,
         "engines": None,
         "spans": [],
     }
+    from ..rules import parse_selector
+
     fuel_extracted = False
-    index = _selector_index(blocks)
-    for rule in cfg.get_active_rules(row_idx):
-        blk = _first_match(index, rule)
+    active = [(rule, parse_selector(rule.selector)) for rule in cfg.get_active_rules(row_idx)]
+    index = _match_selectors(blocks, {key for _, key in active})
+    for rule, key in active:
+        blk = index.get(key)
         if blk is None:
             continue
         if rule.id in ("speed", "altitude"):
