@@ -1,0 +1,76 @@
+"""Corpus sampling operators for training-data preparation.
+
+Two scale-critical primitives a 100-TB pipeline needs beyond `TABLESAMPLE`:
+
+- `hash_sample`: deterministic, engine-independent Bernoulli sampling keyed
+  on a stable id. The same row set is selected on every run, on every
+  cluster size, and by the DuckDB oracle — because the hash is md5 of the
+  id string, not a framework-private hash. Pure scan-stage filter (pushes
+  past the exchange, prunes work before any shuffle).
+
+- `quota_sample`: stratified top-k per group (e.g. per-domain caps so no
+  single site dominates a training mix). One shuffle on the strata key +
+  window row_number; skewed strata are bounded by k so the window state
+  stays small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets): first 8 hex chars of md5(id) mod n.
+    conv() of 8 hex chars fits in a long; identical formula runs in ANSI
+    SQL, which keeps oracle checks and cross-engine reproducibility exact."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(n_buckets))
+
+
+def hash_sample(df: DataFrame, id_col: str, pct: int, n_buckets: int = 100) -> DataFrame:
+    """Keep rows whose stable hash bucket < pct (≈ pct/n_buckets of the
+    corpus). Deterministic: re-runs, retries, and downstream joins see the
+    identical sample — unlike `df.sample()`, whose row set depends on
+    partitioning."""
+    return df.where(hash_bucket(F.col(id_col), n_buckets) < pct)
+
+
+def quota_sample(df: DataFrame, strata_cols: list[str], order_col: str,
+                 k: int, id_col: str, descending: bool = True) -> DataFrame:
+    """Top-k rows per strata (quality-ranked quota per domain/source).
+    Deterministic ordering: (order_col, id_col) so ties never flap between
+    runs. Adds `strata_rank` (1-based).
+
+    Scale note: the window sorts each strata in full (output is bounded by
+    k, the sort is not). Fine when no single strata dominates; for a corpus
+    where one domain holds billions of rows, use `quota_sample_two_phase`,
+    which salts the hot strata across reducers first."""
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*strata_cols).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("strata_rank", F.row_number().over(w))
+        .where(F.col("strata_rank") <= k)
+    )
+
+
+def quota_sample_two_phase(df: DataFrame, strata_cols: list[str], order_col: str,
+                           k: int, id_col: str, descending: bool = True,
+                           n_salts: int = 64) -> DataFrame:
+    """`quota_sample` for skewed strata: phase 1 ranks within
+    (strata, salt) — a hot strata is split across `n_salts` reducers, each
+    sorting 1/n_salts of it — and keeps the per-salt top-k; phase 2 ranks
+    the surviving ≤ k·n_salts rows per strata. The global top-k is a subset
+    of the union of per-salt top-k's, so the result is IDENTICAL to the
+    single-phase operator (asserted in tests), while the biggest single
+    sort shrinks by n_salts×."""
+    order = (F.col(order_col).desc() if descending else F.col(order_col).asc())
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(*strata_cols, "_salt").orderBy(order, F.col(id_col))
+    pruned = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    return quota_sample(pruned, strata_cols, order_col, k, id_col, descending)

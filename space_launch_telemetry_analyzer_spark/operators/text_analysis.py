@@ -178,6 +178,49 @@ def noindex_flag(html: Column) -> Column:
     return s.rlike(r'<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*content\s*=\s*["\']?[^>"\']*noindex')
 
 
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
+                     top_ratio_max: float = 0.2,
+                     distinct_ratio_min: float = 0.3):
+    """Gopher-style repetition filters: per-document most-frequent-token
+    ratio and distinct-token ratio, plus the keep/drop flag. A document
+    dominated by one token (top_token_ratio > top_ratio_max) or with a
+    collapsed vocabulary (distinct_ratio < distinct_ratio_min) is flagged
+    `repetitive`.
+
+    Distributed shape: explode tokens -> two-level partial aggregation
+    (map-side combine on (id, token), then on id). One shuffle keyed by the
+    document id; no token list ever sits on the driver. Deterministic
+    tie-break: the lexicographically smallest among equally-frequent top
+    tokens."""
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    per_tok = (
+        df.select(F.col(id_col), toks)
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("int").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_distinct"),
+        F.max(F.struct(F.col("c"), F.col("tok").alias("t"))).alias("_top"),
+    )
+    # struct max orders by (count, token): highest count, then the
+    # lexicographically LARGEST token — mirror that exact tie-break in SQL
+    top_ratio = (F.col("_top.c") / F.col("n_tokens")).alias("top_token_ratio")
+    distinct_ratio = (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio")
+    return stats.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        F.col("_top.t").alias("top_token"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        (
+            (F.col("_top.c") / F.col("n_tokens") > F.lit(top_ratio_max))
+            | (F.col("n_distinct") / F.col("n_tokens") < F.lit(distinct_ratio_min))
+        ).alias("repetitive"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash variant lives in dedup.simhash/minhash; this is the

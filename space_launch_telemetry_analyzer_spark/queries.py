@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from .functions import parse as P
 from .operators import dedup as D
 from .operators import multimodal as M
+from .operators import pii as PII
+from .operators import sampling as SA
 from .operators import similarity as S
 from .operators import text_analysis as TA
 from .operators import windows as W
@@ -1403,6 +1405,132 @@ FROM documents
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction at scan speed: deterministic emails/IPs/phones planted
+    on modular doc_id classes, replaced by typed tokens + per-category
+    counts. Patterns live in the Java-regex/RE2 common subset so the oracle's
+    regexp_replace(..., 'g') is bit-exact."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" contact user.name+tag@example.co.uk now")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" server at 192.168.10.1 port open")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit(" call +1 555-0142 today")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return PII.redact_pii(planted).select(
+        "doc_id", "redacted_text", "n_email", "n_ip", "n_phone", "n_redacted"
+    )
+
+
+_SQL_PII_SRC = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user.name+tag@example.co.uk now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' server at 192.168.10.1 port open' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN ' call +1 555-0142 today' ELSE '' END AS text
+  FROM documents
+"""
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}([ -][0-9]{3,4})?"
+
+ORACLE_PII_REDACT = f"""
+WITH src AS ({_SQL_PII_SRC})
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+          + len(regexp_extract_all(text, '{_PII_IP}'))
+          + len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_redacted
+FROM src
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats with planted degenerate docs
+    (doc_id%6==0 becomes 50x one token): top-token ratio, distinct-token
+    ratio, repetitive flag. Distributed explode -> two-level agg (one
+    shuffle on doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    spam = F.concat_ws(" ", F.array_repeat(F.lit("spam"), 50))
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, spam).otherwise(F.col("text")).alias("text"),
+    )
+    return TA.repetition_stats(planted, "doc_id", "text")
+
+
+ORACLE_REPETITION_FILTER = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN trim(repeat('spam ', 50)) ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM src),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+ranked AS (
+  SELECT doc_id, tok, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok DESC) AS rn,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS INT) AS n_tokens,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_distinct
+  FROM pt)
+SELECT doc_id, n_tokens, n_distinct, tok AS top_token,
+       round(CAST(c AS DOUBLE) / n_tokens, 6) + 0 AS top_token_ratio,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) + 0 AS distinct_ratio,
+       (CAST(c AS DOUBLE) / n_tokens > 0.2
+        OR CAST(n_distinct AS DOUBLE) / n_tokens < 0.3) AS repetitive
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed on md5(doc_id) — the exact
+    same row set on every run, cluster size, and engine (the oracle
+    recomputes the bucket from the same hash)."""
+    docs = load(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 10).select("doc_id", "lang", "source")
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 < 10
+"""
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-(lang, source) quota: top-5 docs by n_chars with a
+    deterministic (n_chars DESC, doc_id) tie-break — the per-domain cap of a
+    training-mix builder."""
+    docs = load(spark, sf_dir, "documents")
+    return SA.quota_sample(docs, ["lang", "source"], "n_chars", 5, "doc_id").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("int").alias("n_chars"),
+        "strata_rank",
+    )
+
+
+ORACLE_QUOTA_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, lang, source, CAST(n_chars AS INT) AS n_chars,
+         CAST(row_number() OVER (PARTITION BY lang, source
+                                 ORDER BY n_chars DESC, doc_id) AS INT) AS strata_rank
+  FROM documents)
+SELECT * FROM r WHERE strata_rank <= 5
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1460,6 +1588,10 @@ QUERIES = {
     "layout_reading_order": q_layout_reading_order,
     "url_canonicalize": q_url_canonicalize,
     "noindex_filter": q_noindex_filter,
+    "pii_redact": q_pii_redact,
+    "repetition_filter": q_repetition_filter,
+    "hash_sample": q_hash_sample,
+    "quota_sample": q_quota_sample,
 }
 
 ORACLES = {
@@ -1515,4 +1647,8 @@ ORACLES = {
     "layout_reading_order": ORACLE_LAYOUT_READING_ORDER,
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
     "noindex_filter": ORACLE_NOINDEX_FILTER,
+    "pii_redact": ORACLE_PII_REDACT,
+    "repetition_filter": ORACLE_REPETITION_FILTER,
+    "hash_sample": ORACLE_HASH_SAMPLE,
+    "quota_sample": ORACLE_QUOTA_SAMPLE,
 }

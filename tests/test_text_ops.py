@@ -1,0 +1,121 @@
+"""Unit tests for the training-data text operators added in round 2:
+PII redaction, Gopher-style repetition stats, deterministic sampling.
+(Their oracle parity runs in test_entry_parity; these cover edge cases the
+synthetic fixtures can't plant.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from space_launch_telemetry_analyzer_spark.operators import pii
+from space_launch_telemetry_analyzer_spark.operators import sampling as sa
+from space_launch_telemetry_analyzer_spark.operators import text_analysis as ta
+
+
+# --- PII redaction ---------------------------------------------------------
+
+def test_redact_all_categories(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.org or x@y.io, ip 10.0.0.1, call +44 20-7946-0958 ok")],
+        "id long, text string",
+    )
+    row = pii.redact_pii(df).first()
+    assert row.redacted_text == "mail <EMAIL> or <EMAIL>, ip <IP>, call <PHONE> ok"
+    assert (row.n_email, row.n_ip, row.n_phone, row.n_redacted) == (2, 1, 1, 4)
+
+
+def test_redact_clean_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "no pii here at all"), (2, "")], "id long, text string"
+    )
+    rows = {r.id: r for r in pii.redact_pii(df).collect()}
+    assert rows[1].redacted_text == "no pii here at all"
+    assert rows[1].n_redacted == 0
+    assert rows[2].redacted_text == ""
+    assert rows[2].n_redacted == 0
+
+
+def test_redact_counts_use_pre_redaction_text(spark):
+    # an email whose domain part contains digits-with-dots must count as ONE
+    # email, not later as an IP (the <EMAIL> token hides it from the IP rule)
+    df = spark.createDataFrame([(1, "u@10.0.0.1.example.com end")], "id long, text string")
+    row = pii.redact_pii(df).first()
+    assert row.n_email == 1
+    # the email rule runs first and consumes the whole address
+    assert row.redacted_text == "<EMAIL> end"
+    # counts come from the original text: the IP substring IS counted there
+    assert row.n_ip == 1
+
+
+# --- repetition stats ------------------------------------------------------
+
+def test_repetition_flags_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 50),
+            (2, "a healthy document with a wide and varied vocabulary overall"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ta.repetition_stats(df).collect()}
+    assert rows[1].repetitive and rows[1].top_token == "spam"
+    assert rows[1].top_token_ratio == 1.0 and rows[1].n_distinct == 1
+    assert not rows[2].repetitive
+    assert rows[2].top_token == "a"  # 2 of 10 tokens
+
+
+def test_repetition_tie_break_is_largest_token(spark):
+    # equal counts: struct-max picks the lexicographically largest token
+    df = spark.createDataFrame([(1, "bb aa bb aa")], "doc_id long, text string")
+    row = ta.repetition_stats(df).first()
+    assert row.top_token == "bb"
+    assert row.n_tokens == 4 and row.n_distinct == 2
+
+
+# --- sampling --------------------------------------------------------------
+
+def test_hash_sample_is_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in sa.hash_sample(df, "doc_id", 10).collect())
+    b = sorted(
+        r.doc_id
+        for r in sa.hash_sample(df.repartition(17), "doc_id", 10).collect()
+    )
+    assert a == b and 100 < len(a) < 300  # ~10% of 2000
+
+
+def test_hash_sample_buckets_partition_the_corpus(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    n = df.count()
+    taken = sa.hash_sample(df, "doc_id", 100).count()  # pct=100 -> everything
+    assert taken == n
+    none = sa.hash_sample(df, "doc_id", 0).count()
+    assert none == 0
+
+
+def test_quota_sample_caps_each_strata(spark):
+    rows = [(i, "en", f"site{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, q double")
+    out = sa.quota_sample(df, ["lang", "source"], "q", 4, "doc_id")
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] == 4 for r in per)
+    # highest-q rows survive: source 'site0' holds ids 0,3,...,27 -> top4 by q
+    ids = sorted(r.doc_id for r in out.where(F.col("source") == "site0").collect())
+    assert ids == [18, 21, 24, 27]
+
+
+def test_quota_sample_two_phase_matches_single_phase(spark):
+    # heavily skewed strata: one source holds 90% of rows
+    rows = [(i, "en", "hot" if i % 10 else "cold", float(i % 97)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, q double")
+    one = sa.quota_sample(df, ["source"], "q", 7, "doc_id")
+    two = sa.quota_sample_two_phase(df, ["source"], "q", 7, "doc_id", n_salts=8)
+    key = lambda r: (r.source, r.strata_rank, r.doc_id)  # noqa: E731
+    assert sorted(map(key, one.collect())) == sorted(map(key, two.collect()))
+
+
+def test_quota_sample_deterministic_ties(spark):
+    rows = [(i, "en", "s", 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, q double")
+    out = sa.quota_sample(df, ["lang", "source"], "q", 3, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
