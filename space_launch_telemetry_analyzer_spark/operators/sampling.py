@@ -42,10 +42,12 @@ def quota_sample(df: DataFrame, strata_cols: list[str], order_col: str,
     Deterministic ordering: (order_col, id_col) so ties never flap between
     runs. Adds `strata_rank` (1-based).
 
-    Scale note: the window sorts each strata in full (output is bounded by
-    k, the sort is not). Fine when no single strata dominates; for a corpus
-    where one domain holds billions of rows, use `quota_sample_two_phase`,
-    which salts the hot strata across reducers first."""
+    Scale note: Spark plans a rank<=k filter as WindowGroupLimit — a
+    per-map-task top-k prune BEFORE the exchange (verified in PLANS.md), so
+    the shuffle carries at most k rows per strata per map task. If a single
+    strata still overwhelms one reducer's sort (billions of rows in one
+    domain across millions of map tasks), `quota_sample_two_phase` salts it
+    across reducers first."""
     order = F.col(order_col).desc() if descending else F.col(order_col).asc()
     w = Window.partitionBy(*strata_cols).orderBy(order, F.col(id_col))
     return (

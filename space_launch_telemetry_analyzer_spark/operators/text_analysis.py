@@ -221,6 +221,23 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def doc_frequency(df, id_col: str = "doc_id", text_col: str = "text",
+                  min_df: int = 2):
+    """Corpus document frequency per token (IDF feedstock): distinct tokens
+    per document, counted across the corpus. `array_distinct` BEFORE the
+    explode keeps the shuffle at one row per (doc, distinct token) instead of
+    one per occurrence — on web text that's a 3-5x shuffle-volume cut. One
+    aggregation keyed by token; min_df prunes the hapax tail (typically half
+    the vocabulary) before it ever hits the output."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    per_doc = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    return (
+        per_doc.groupBy("tok")
+        .agg(F.count("*").cast("int").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash variant lives in dedup.simhash/minhash; this is the

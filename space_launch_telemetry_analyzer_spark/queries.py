@@ -1531,6 +1531,25 @@ SELECT * FROM r WHERE strata_rank <= 5
 """
 
 
+def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency (IDF feedstock): distinct-per-doc tokens
+    counted corpus-wide, hapax tail pruned (min_df=2). Deterministic order
+    for the driver hash: sorted output is unnecessary (hash is
+    order-insensitive); the filter keeps the result compact."""
+    docs = load(spark, sf_dir, "documents")
+    return TA.doc_frequency(docs, "doc_id", "text", min_df=2)
+
+
+ORACLE_DOC_FREQUENCY = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents)
+SELECT tok, CAST(count(*) AS INT) AS df
+FROM toks GROUP BY tok HAVING count(*) >= 2
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1592,6 +1611,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "hash_sample": q_hash_sample,
     "quota_sample": q_quota_sample,
+    "doc_frequency": q_doc_frequency,
 }
 
 ORACLES = {
@@ -1651,4 +1671,5 @@ ORACLES = {
     "repetition_filter": ORACLE_REPETITION_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
+    "doc_frequency": ORACLE_DOC_FREQUENCY,
 }
