@@ -146,6 +146,7 @@ def minhash_lsh_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = DEFAULT_SHINGLE,
+    persist_banded: bool = True,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join candidate pairs (id_a < id_b).
 
@@ -176,6 +177,17 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
+    if persist_banded:
+        # the self-join otherwise evaluates the full shingle->minhash
+        # subtree once PER SIDE (ReuseExchange does not fire across the
+        # aliased sides). Warm-JIT A/B at sf0.1: 2.2 s -> 0.8-1.4 s. The
+        # cached frame is `bands` small rows/doc (~30 B) and spills to disk
+        # at corpus scale; it stays cached until evicted/session end —
+        # long-lived sessions doing many passes should clearCache() between
+        # corpora or pass persist_banded=False.
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -191,6 +203,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_every: int = 3,
     strict: bool = True,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs (id_a, id_b) -> (id,
     component) where component = min id reachable.
@@ -217,12 +230,16 @@ def connected_components(
     and a plan-depth bound (tests/test_dedup.py)."""
     import logging
 
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .persist()
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    if dedup_edges:
+        # skippable when the caller guarantees distinct (id_a < id_b) pairs —
+        # e.g. minhash_dedup output — since the two directions can't collide
+        # and the min-aggregation below tolerates duplicates anyway; saves a
+        # full shuffle of the edge list
+        edges = edges.distinct()
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -293,8 +310,11 @@ def connected_components(
 
 def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Given verified near-dup pairs, keep one row per component (min id) and
-    pass through rows not in any component: the full corpus-dedup output."""
-    comp = connected_components(pairs)
+    pass through rows not in any component: the full corpus-dedup output.
+
+    Pairs from minhash_dedup are already distinct with id_a < id_b, so the
+    edge-dedup shuffle inside connected_components is skipped."""
+    comp = connected_components(pairs, dedup_edges=False)
     keep = comp.where(F.col("id") == F.col("component")).select(F.col("id").alias(id_col))
     in_graph = comp.select(F.col("id").alias(id_col))
     loners = df.select(id_col).join(in_graph, id_col, "left_anti")
