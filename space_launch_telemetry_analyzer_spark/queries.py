@@ -44,6 +44,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition to cluster width before a compute-heavy
+    projection. The small-SF parquet files arrive as ONE input split
+    (single row group), so without this the expensive per-row expressions
+    (shingling) run on one core while 31 idle — measured 7.8 s -> 0.9 s on
+    ngram_jaccard at sf0.1. Only worth it for a heavy PURE-PROJECTION tail:
+    A/B showed it REGRESSES iterative/join pipelines at small scale
+    (dedup_survivors 6 -> 13 s — the persisted frames keep 64 partitions
+    through every CC round instead of AQE's coalesced 2). At production
+    scale inputs already have many splits and this is a no-op decision;
+    values are unaffected either way."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * factor)
+
+
 def epoch_seconds(c):
     """TIMESTAMP_NTZ -> epoch seconds (double). Session TZ is UTC, so the
     wall-clock interpretation matches DuckDB's epoch() on naive timestamps."""
@@ -785,7 +800,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
                     F.col("text").alias("text_b"))
-    pairs = a.join(b, "id_a")
+    pairs = spread(a.join(b, "id_a"))
     sh_a = D.token_shingles(F.col("text_a"), 3)
     sh_b = D.token_shingles(F.col("text_b"), 3)
     return pairs.select("id_a", "id_b", F.round(D.jaccard(sh_a, sh_b), 6).alias("jaccard"))
