@@ -204,6 +204,7 @@ def connected_components(
     checkpoint_every: int = 3,
     strict: bool = True,
     dedup_edges: bool = True,
+    driver_cutoff: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs (id_a, id_b) -> (id,
     component) where component = min id reachable.
@@ -226,9 +227,47 @@ def connected_components(
     - convergence is an exact changed-label count; a loop that exhausts
       max_iter without converging raises (strict=True) or logs a warning,
       never returns wrong labels silently.
+    Size-adaptive execution (the AQE-broadcast-join pattern applied to graph
+    connectivity): the verified pair list is persisted and counted ONCE —
+    that count both materializes the expensive upstream (LSH + verify)
+    exactly once (the edge union's two directions would otherwise evaluate
+    it twice) and picks the path. At or below `driver_cutoff` edges the
+    components are solved with an exact union-find on the driver (a ≤100k-row
+    collect — the same order as a broadcast-join build side) and returned as
+    a flat DataFrame; above it the distributed loop below runs. Both paths
+    produce identical labels (min id per component) and both are tested —
+    pass driver_cutoff=0 to force the distributed loop.
+
     Verified in tests on known clusters, long chains (diameter >> rounds),
     and a plan-depth bound (tests/test_dedup.py)."""
     import logging
+
+    from pyspark import StorageLevel
+
+    pairs = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()  # eager: upstream computed once, and the switch stat
+    if n_pairs <= driver_cutoff:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative IS the min id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        pairs.unpersist()
+        return spark.createDataFrame(rows, "id long, component long")
 
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -296,6 +335,7 @@ def connected_components(
         )
         if strict:
             edges.unpersist()
+            pairs.unpersist()
             raise RuntimeError(msg)
         logging.getLogger(__name__).warning(msg)
     # hand consumers a lineage-free frame: labels otherwise re-embeds the
@@ -305,6 +345,7 @@ def connected_components(
     if prev is not None:
         prev.unpersist()
     edges.unpersist()
+    pairs.unpersist()
     return labels
 
 

@@ -957,7 +957,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite; they score contamination 1.0 against themselves)."""
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 13 == 0).select("text")
-    return D.decontaminate(docs, bench, "doc_id", "text", "text", threshold=0.5)
+    return D.decontaminate(spread(docs), bench, "doc_id", "text", "text", threshold=0.5)
 
 
 ORACLE_DECONTAMINATE = f"""

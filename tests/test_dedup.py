@@ -94,6 +94,10 @@ def test_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
     )
     comp = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    # both execution paths must agree
+    dist = {r["id"]: r["component"]
+            for r in D.connected_components(pairs, driver_cutoff=0).collect()}
+    assert comp == dist
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
@@ -103,7 +107,7 @@ def test_connected_components_long_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
-    rows = D.connected_components(pairs, max_iter=12).collect()
+    rows = D.connected_components(pairs, max_iter=12, driver_cutoff=0).collect()
     assert len(rows) == 201
     assert all(r["component"] == 0 for r in rows)
 
@@ -114,7 +118,7 @@ def test_connected_components_plan_depth_bounded(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
-    comp = D.connected_components(pairs, max_iter=20)
+    comp = D.connected_components(pairs, max_iter=20, driver_cutoff=0)
     plan = comp._jdf.queryExecution().optimizedPlan().toString()
     # an unbounded loop accumulates ~4 joins/round; a truncated plan is flat
     assert plan.count("Join") <= 10, f"plan kept {plan.count('Join')} joins"
@@ -125,9 +129,9 @@ def test_connected_components_strict_raises(spark):
         [(i, i + 1) for i in range(50)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(pairs, max_iter=1, strict=True)
+        D.connected_components(pairs, max_iter=1, strict=True, driver_cutoff=0)
     # non-strict returns (possibly unconverged) labels with a warning
-    out = D.connected_components(pairs, max_iter=1, strict=False).collect()
+    out = D.connected_components(pairs, max_iter=1, strict=False, driver_cutoff=0).collect()
     assert len(out) == 51
 
 
