@@ -238,6 +238,52 @@ def doc_frequency(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, min_df: int = 1):
+    """Top-k characteristic terms per document by tf·idf. The idf factor is
+    the RATIONAL form N/df (not log(N/df)): scores order identically for
+    ranking purposes, and double division+multiplication is IEEE-exact in
+    the same order on every engine, so the oracle matches bitwise — log()
+    can differ by 1 ulp between libm implementations.
+
+    Distributed shape: token explode -> (doc, tok) counts (one doc-keyed
+    shuffle), document frequency as a second agg over distinct (doc, tok)
+    rows (token-keyed shuffle of one row per distinct token per doc), a
+    token-keyed join to attach df, then a rank<=k window per doc — which
+    Spark executes with WindowGroupLimit (per-map-task top-k prune before
+    the exchange). No driver collection; N is a scalar broadcast from a
+    count aggregate via a cross join of one row."""
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    per_tok = (
+        df.select(F.col(id_col), toks)
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dfreq = (
+        per_tok.groupBy("tok")
+        .agg(F.count("*").cast("int").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    n_docs = df.select(F.countDistinct(id_col).cast("int").alias("n_docs"))
+    scored = (
+        per_tok.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "tok", "tf", "df", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling-hash variant lives in dedup.simhash/minhash; this is the

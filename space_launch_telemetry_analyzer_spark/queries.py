@@ -1565,6 +1565,61 @@ FROM toks GROUP BY tok HAVING count(*) >= 2
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by tf·(N/df) — rational idf
+    so the double arithmetic is engine-exact (log() is not)."""
+    docs = load(spark, sf_dir, "documents")
+    return TA.tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+pt AS (SELECT doc_id, tok, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, CAST(count(*) AS INT) AS df FROM pt GROUP BY tok),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS INT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, pt.tok, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+  FROM pt JOIN dfreq USING (tok) CROSS JOIN n),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, tok) AS INT) AS rank
+      FROM scored)
+SELECT doc_id, tok, tf, df, round(score, 6) + 0 AS score, rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus length-distribution stats per language: count, min, max,
+    and exact p50/p90/p99 of n_chars (percentile_disc semantics — the
+    deterministic choice; approx sketches have no cross-engine twin)."""
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.min("n_chars").cast("int").alias("min_chars"),
+        F.max("n_chars").cast("int").alias("max_chars"),
+        # floor() explicitly: Spark's int cast truncates but DuckDB's rounds,
+        # so the twin must not rely on cast semantics at interpolated .5s
+        F.floor(F.expr("percentile(n_chars, 0.5, 1)")).cast("int").alias("p50"),
+        F.floor(F.expr("percentile(n_chars, 0.9, 1)")).cast("int").alias("p90"),
+        F.floor(F.expr("percentile(n_chars, 0.99, 1)")).cast("int").alias("p99"),
+    )
+    return stats
+
+
+ORACLE_CORPUS_STATS = """
+SELECT lang, CAST(count(*) AS INT) AS n_docs,
+       CAST(min(n_chars) AS INT) AS min_chars,
+       CAST(max(n_chars) AS INT) AS max_chars,
+       CAST(floor(quantile_cont(n_chars, 0.5)) AS INT) AS p50,
+       CAST(floor(quantile_cont(n_chars, 0.9)) AS INT) AS p90,
+       CAST(floor(quantile_cont(n_chars, 0.99)) AS INT) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1627,6 +1682,8 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "quota_sample": q_quota_sample,
     "doc_frequency": q_doc_frequency,
+    "tfidf_topk": q_tfidf_topk,
+    "corpus_stats": q_corpus_stats,
 }
 
 ORACLES = {
@@ -1687,4 +1744,6 @@ ORACLES = {
     "hash_sample": ORACLE_HASH_SAMPLE,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "doc_frequency": ORACLE_DOC_FREQUENCY,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
+    "corpus_stats": ORACLE_CORPUS_STATS,
 }

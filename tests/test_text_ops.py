@@ -47,6 +47,55 @@ def test_redact_counts_use_pre_redaction_text(spark):
     assert row.n_ip == 1
 
 
+def test_redact_cross_engine_fuzz(spark):
+    """The PII patterns claim to live in the Java-regex/RE2 common subset —
+    fuzz that claim: 300 seeded adversarial strings (regex metachars, partial
+    matches, planted PII in odd positions) through Spark AND DuckDB; the
+    redacted text and every count must agree exactly."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260816)
+    alphabet = "ab z.09@+-()#:/\\[]{}*?^$|%_'\"\n\t"
+    pii_bits = [
+        "x.y@z.io", "a@b.cd", "not@an@email", "1.2.3.4", "999.999.999.999",
+        "1.2.3.4.5", "+1 23-456", "+123 4567 890", "++1 23-45", "@.", "0..1",
+        "user+tag@multi.part.domain.org", " +44 20-7946-0958 ",
+    ]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 40)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        if i % 3 == 0:
+            pos = rng.randint(0, len(s))
+            s = s[:pos] + rng.choice(pii_bits) + s[pos:]
+        rows.append((i, s))
+
+    from space_launch_telemetry_analyzer_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.redacted_text, r.n_email, r.n_ip, r.n_phone)
+        for r in redact_pii(df).collect()
+    }
+
+    from space_launch_telemetry_analyzer_spark.operators.pii import (
+        EMAIL_RE, IPV4_RE, PHONE_RE,
+    )
+
+    con = duckdb.connect()
+    for i, s in rows:
+        want = con.execute(
+            """SELECT regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),
+                                                    ?, '<IP>', 'g'), ?, '<PHONE>', 'g'),
+                      len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),
+                      len(regexp_extract_all(?, ?))""",
+            [s, EMAIL_RE, IPV4_RE, PHONE_RE, s, EMAIL_RE, s, IPV4_RE, s, PHONE_RE],
+        ).fetchone()
+        assert got[i] == want, f"row {i}: spark={got[i]!r} duckdb={want!r} input={s!r}"
+
+
 # --- repetition stats ------------------------------------------------------
 
 def test_repetition_flags_degenerate_doc(spark):
