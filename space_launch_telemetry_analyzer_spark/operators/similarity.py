@@ -169,6 +169,51 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def kmeans_lloyd(corpus: DataFrame, id_col: str, vec_col: str,
+                 centroids: DataFrame, centroid_id_col: str,
+                 centroid_vec_col: str, n_iter: int = 2) -> DataFrame:
+    """Distributed Lloyd k-means (cosine assignment) producing the real
+    centroids for an IVF index — upgrades ivf_ann_topk's seed centroids to
+    fitted ones.
+
+    Per iteration: broadcast-assign every vector to its nearest centroid
+    (ivf_assign — one corpus scan, no shuffle of vectors), then recompute
+    each centroid as the per-dimension mean of its members. The mean is
+    DECIMAL-exact: component sums run in DECIMAL(27,12) (associative, so
+    partial-aggregation order can't wiggle bits — the same trick the
+    monetary aggregates use), and only the final sum/count division happens
+    in doubles. That makes every iteration bit-reproducible across
+    partitionings AND engines, which is what lets the driver oracle unroll
+    the same iterations in SQL. Feed inputs with components that are exact
+    at 12 decimals (e.g. round(x, 6)) and the DECIMAL casts never round.
+
+    Empty clusters drop out (standard simple Lloyd behavior; the join that
+    builds the next assignment simply has one fewer centroid). One shuffle
+    per iteration, keyed by (centroid_id, dim) — at most k·dim groups."""
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"),
+        F.col(centroid_vec_col).alias("cvec"),
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, id_col, vec_col, cents, "centroid_id", "cvec")
+        dims = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("dim", "val")
+        )
+        means = dims.groupBy("centroid_id", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        cents = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    return cents
+
+
 def ivf_ann_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     query_id_col: str, query_vec_col: str,

@@ -1124,6 +1124,54 @@ SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE ra
 """
 
 
+def _sql_kmeans_iter(prev_cents: str, emb: str, out: str, dim: int) -> str:
+    """One unrolled Lloyd iteration as SQL CTEs: assign (cosine argmax,
+    centroid-id tie-break) -> per-dim DECIMAL-exact mean -> rebuilt centroid
+    arrays. Mirrors similarity.kmeans_lloyd bit-for-bit."""
+    return f"""
+a_{out} AS (SELECT e.vec_id AS id, e.vec, k.centroid_id,
+            {_sql_cosine('e.vec', 'k.cvec', dim)} AS s
+        FROM {emb} e, {prev_cents} k),
+r_{out} AS (SELECT id, vec, centroid_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, centroid_id) AS rn
+          FROM a_{out}) WHERE rn = 1),
+d_{out} AS (SELECT centroid_id, unnest(range(len(vec))) AS dim, unnest(vec) AS val
+        FROM r_{out}),
+m_{out} AS (SELECT centroid_id, dim,
+            CAST(sum(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+        FROM d_{out} GROUP BY centroid_id, dim),
+{out} AS (SELECT centroid_id, list(m ORDER BY dim) AS cvec FROM m_{out} GROUP BY centroid_id)"""
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations over the embeddings table (seeds = first 8
+    vectors, components quantized to 6 decimals so the DECIMAL casts never
+    round): the fitted-centroid path of the IVF index. Output is the final
+    per-(centroid, dim) mean — every intermediate iteration is reproduced
+    bit-exactly by the unrolled SQL oracle."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 6)).alias("vec"),
+    )
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    cents = S.kmeans_lloyd(emb, "vec_id", "vec", seeds, "centroid_id", "cvec", n_iter=2)
+    return cents.select(
+        "centroid_id", F.posexplode("cvec").alias("dim", "val")
+    ).select("centroid_id", "dim", F.round("val", 6).alias("val"))
+
+
+ORACLE_KMEANS_CENTROIDS = f"""
+WITH emb AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS vec
+             FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, vec AS cvec FROM emb WHERE vec_id < 8),
+{_sql_kmeans_iter('c0', 'emb', 'c1', _ANN_DIM)},
+{_sql_kmeans_iter('c1', 'emb', 'c2', _ANN_DIM)}
+SELECT centroid_id, CAST(dim AS INT) AS dim, round(m, 6) + 0 AS val FROM m_c2
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
@@ -1665,6 +1713,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "kmeans_centroids": q_kmeans_centroids,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -1727,6 +1776,7 @@ ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
+    "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "token_counts": ORACLE_TOKEN_COUNTS,

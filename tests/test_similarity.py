@@ -147,3 +147,40 @@ def test_ivf_assign_partitions_corpus(spark, vectors):
     assert lists.count() == N
     assert lists.select("id").distinct().count() == N
     assert lists.select("centroid_id").distinct().count() > 1
+
+
+def test_kmeans_lloyd_separable_clusters(spark):
+    """Two tight, well-separated direction clusters + seeds one-per-cluster:
+    after 2 iterations each centroid must sit near its cluster's mean
+    direction and every member must assign to its own centroid."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, [1.0 + 0.01 * (i % 5), 0.0, 0.01 * (i % 3), 0.0]))
+        else:
+            rows.append((i, [0.0, 1.0 + 0.01 * (i % 5), 0.0, 0.01 * (i % 3)]))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    seeds = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    cents = S.kmeans_lloyd(df, "vec_id", "vec", seeds, "centroid_id", "cvec", n_iter=2)
+    got = {r.centroid_id: r.cvec for r in cents.collect()}
+    assert set(got) == {0, 1}
+    assert got[0][0] > 0.9 and got[0][1] < 0.05   # x-cluster centroid
+    assert got[1][1] > 0.9 and got[1][0] < 0.05   # y-cluster centroid
+    assigned = S.ivf_assign(df, "vec_id", "vec", cents, "centroid_id", "cvec")
+    for r in assigned.collect():
+        assert r.centroid_id == r.id % 2
+
+
+def test_kmeans_lloyd_drops_empty_clusters(spark):
+    """A seed that attracts no members disappears from the next round."""
+    rows = [(i, [1.0, 0.001 * i]) for i in range(10)]
+    # seed 99 points the opposite way: nothing assigns to it
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (99, [-1.0, 0.0])],
+        "centroid_id long, cvec array<double>",
+    )
+    cents = S.kmeans_lloyd(df, "vec_id", "vec", seeds, "centroid_id", "cvec", n_iter=1)
+    assert [r.centroid_id for r in cents.collect()] == [0]
