@@ -170,6 +170,28 @@ def canonicalize_urls(df, url_col: str):
     return df.withColumn("canonical_url", canon)
 
 
+def extract_links(html: Column) -> Column:
+    """href targets of absolute http(s) anchors, straight off the html bytes
+    at scan speed (JVM regexp, no DOM build — link-graph construction wants
+    throughput, not fidelity; the full parser path is operators/extract)."""
+    return F.regexp_extract_all(
+        html.cast("string"), F.lit(r'<a[^>]*\shref="(https?://[^"]+)"'), F.lit(1)
+    )
+
+
+def link_graph(df, id_col: str = "doc_id", html_col: str = "html"):
+    """(src, dst_url, dst_host) edge table: the feedstock for host-level
+    PageRank/reputation and crawl frontier dedup. One scan + explode; the
+    edge list shuffles nowhere here — downstream graph aggs key by host
+    (uniform enough; salt a mega-host if degree skew shows up)."""
+    edges = df.select(
+        F.col(id_col).alias("src"),
+        F.explode(extract_links(F.col(html_col))).alias("dst_url"),
+    )
+    host = F.lower(F.regexp_extract(F.col("dst_url"), r"^https?://([^/:?#]*)", 1))
+    return edges.withColumn("dst_host", host)
+
+
 def noindex_flag(html: Column) -> Column:
     """robots/noindex detection straight off the html bytes — a scan-speed
     pre-filter that prunes pages BEFORE the Python extraction stage ever sees

@@ -193,3 +193,25 @@ def event_range_filter(events: DataFrame, t_col: str, data: DataFrame,
         .where(F.col(t_col).between(F.col("__lo"), F.col("__hi")))
         .drop("__lo", "__hi")
     )
+
+
+def sessionize(df: DataFrame, series_col: str, ts_col: str, id_col: str,
+               gap_seconds: float = 30.0) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the series
+    clock jumps more than `gap_seconds` past the previous row. Adds
+    `session_id` (0-based per series) via the canonical lag-diff → boundary
+    flag → running-sum composition — one shuffle on the series key shared
+    with every other window in this module, no state beyond the window
+    frame. (The streaming analog lives in streaming.stream_sessionize;
+    this batch form is the oracle-checkable twin.)"""
+    w = series_window(series_col, ts_col).orderBy(F.col(ts_col), F.col(id_col))
+    prev = F.lag(ts_col).over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        (F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.lit(1)).cast("int"),
+    )

@@ -1668,6 +1668,96 @@ FROM documents GROUP BY lang
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (60 s gap, per user):
+    lag-diff boundary flags -> running sum. One shuffle on the series key.
+    The streaming twin (streaming.stream_sessionize) carries the same state
+    across micro-batches and is asserted equal in tests/test_streaming."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("series"),
+        epoch_seconds("ts").alias("tsec"),
+    )
+    out = W.sessionize(ev, "series", "tsec", "event_id", gap_seconds=60.0)
+    return out.select("event_id", "series", "session_id")
+
+
+ORACLE_SESSIONIZE = """
+WITH e AS (SELECT event_id, CAST(user_id AS VARCHAR) AS series, epoch(ts) AS tsec
+           FROM events),
+l AS (SELECT *, lag(tsec) OVER (PARTITION BY series ORDER BY tsec, event_id) AS prev
+      FROM e),
+b AS (SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 60.0 THEN 1 ELSE 0 END AS boundary
+      FROM l)
+SELECT event_id, series,
+       CAST(sum(boundary) OVER (PARTITION BY series ORDER BY tsec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+FROM b
+"""
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph edges from html at scan speed: each synthesized page links
+    to two deterministic hosts; output (src, dst_url, dst_host)."""
+    docs = load(spark, sf_dir, "documents")
+    h1 = F.concat(F.lit("host"), (F.col("doc_id") % 11).cast("string"), F.lit(".example"))
+    h2 = F.concat(F.lit("Host"), (F.col("doc_id") % 3).cast("string"), F.lit(".ORG"))
+    html = F.concat(
+        F.lit('<html><body><a class="x" href="http://'), h1,
+        F.lit('/p/'), F.col("doc_id").cast("string"), F.lit('">a</a><p>'),
+        F.col("text"),
+        F.lit('</p><a href="https://'), h2, F.lit('/q">b</a>'),
+        F.lit('<a href="/relative/skipped">c</a></body></html>'),
+    )
+    pages = docs.select("doc_id", html.cast("binary").alias("html"))
+    return TA.link_graph(pages, "doc_id", "html")
+
+
+ORACLE_LINK_GRAPH = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><body><a class="x" href="http://host' || (doc_id % 11)
+         || '.example/p/' || doc_id || '">a</a><p>' || text
+         || '</p><a href="https://Host' || (doc_id % 3)
+         || '.ORG/q">b</a><a href="/relative/skipped">c</a></body></html>' AS html
+  FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         unnest(regexp_extract_all(html, '<a[^>]*\shref="(https?://[^"]+)"', 1)) AS dst_url
+  FROM pages)
+SELECT src, dst_url,
+       lower(regexp_extract(dst_url, '^https?://([^/:?#]*)', 1)) AS dst_host
+FROM edges
+"""
+
+
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL dedup: keep the LATEST capture per canonical url
+    (97 urls, each captured by several docs at deterministic timestamps) —
+    quota_sample with k=1 ordered by capture time; ties broken by doc_id."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("doc://"), (F.col("doc_id") % 97).cast("string")).alias("url"),
+        (F.lit(1_700_000_000) + (F.col("doc_id") % 5) * 86_400
+         + F.col("doc_id")).alias("capture_ts"),
+    )
+    return SA.quota_sample(docs, ["url"], "capture_ts", 1, "doc_id").select(
+        "doc_id", "url", "capture_ts"
+    )
+
+
+ORACLE_LATEST_CAPTURE = """
+WITH caps AS (
+  SELECT doc_id, 'doc://' || (doc_id % 97) AS url,
+         1700000000 + (doc_id % 5) * 86400 + doc_id AS capture_ts
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY url
+                                   ORDER BY capture_ts DESC, doc_id) AS rn
+      FROM caps)
+SELECT doc_id, url, capture_ts FROM r WHERE rn = 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1733,6 +1823,9 @@ QUERIES = {
     "doc_frequency": q_doc_frequency,
     "tfidf_topk": q_tfidf_topk,
     "corpus_stats": q_corpus_stats,
+    "sessionize": q_sessionize,
+    "link_graph": q_link_graph,
+    "latest_capture": q_latest_capture,
 }
 
 ORACLES = {
@@ -1796,4 +1889,7 @@ ORACLES = {
     "doc_frequency": ORACLE_DOC_FREQUENCY,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "corpus_stats": ORACLE_CORPUS_STATS,
+    "sessionize": ORACLE_SESSIONIZE,
+    "link_graph": ORACLE_LINK_GRAPH,
+    "latest_capture": ORACLE_LATEST_CAPTURE,
 }

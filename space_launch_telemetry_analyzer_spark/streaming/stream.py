@@ -162,3 +162,64 @@ def stream_host_metrics(pages: DataFrame, watermark: str = "10 minutes",
         .groupBy(F.window("warc_ts", window), "host")
         .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_bytes").alias("bytes"))
     )
+
+
+# --- streaming sessionization ---------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("row_id", T.LongType()),
+    T.StructField("ts", T.DoubleType()),
+    T.StructField("session_id", T.IntegerType()),
+])
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts", T.DoubleType()),
+    T.StructField("last_session", T.IntegerType()),
+])
+
+
+def _session_fn(gap_seconds: float):
+    def fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        """Per-series gap sessionization across micro-batches: the previous
+        batch's (last_ts, last_session) carries in via GroupState; within a
+        batch everything is a vectorized diff + cumsum (no per-row Python).
+        Rows are processed in series-clock order WITHIN each micro-batch;
+        cross-batch disorder is the stream's usual contract (bound it
+        upstream with a watermark + sorted sink if arrival order matters)."""
+        import numpy as np
+
+        last_ts, last_session = (state.get if state.exists else (None, -1))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "row_id"])
+            ts = pdf["ts"].to_numpy(dtype=float)
+            prev = np.concatenate(([last_ts if last_ts is not None else -np.inf], ts[:-1]))
+            boundary = (ts - prev) > gap_seconds
+            if last_ts is None and len(ts):
+                boundary[0] = True
+            session = last_session + np.cumsum(boundary.astype(np.int64))
+            if len(ts):
+                last_ts = float(ts[-1])
+                last_session = int(session[-1])
+            yield pd.DataFrame({
+                "series": key[0],
+                "row_id": pdf["row_id"].values,
+                "ts": ts,
+                "session_id": session.astype("int32"),
+            })
+        state.update((last_ts, last_session))
+
+    return fn
+
+
+def stream_sessionize(events: DataFrame, gap_seconds: float = 30.0) -> DataFrame:
+    """events(series, row_id, ts) stream -> gap-based session ids with
+    cross-micro-batch state (the streaming twin of windows.sessionize;
+    state per series is two scalars, safe for millions of series)."""
+    return events.groupBy("series").applyInPandasWithState(
+        _session_fn(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

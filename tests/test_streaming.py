@@ -163,3 +163,55 @@ def test_stream_exact_dedup(spark, tmp_path):
     assert out.count() == 60
     assert out.select("fp").distinct().count() == 60
     assert out.where(F.col("url").startswith("dup://")).count() == 0
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Session ids must agree with the batch operator AND survive micro-batch
+    boundaries (a session spanning two files stays one session; a gap across
+    files opens a new one)."""
+    from space_launch_telemetry_analyzer_spark.operators.windows import sessionize
+    from space_launch_telemetry_analyzer_spark.streaming.stream import stream_sessionize
+
+    rows = [
+        ("u1", 1, 0.0), ("u1", 2, 10.0), ("u1", 3, 100.0),   # file 1
+        ("u1", 4, 105.0), ("u1", 5, 500.0), ("u2", 6, 0.0),  # file 2
+    ]
+    schema = "series string, row_id long, ts double"
+    in_path = tmp_path / "ev"
+    in_path.mkdir()
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(str(in_path / "f1"))
+
+    def run():
+        q = (
+            stream_sessionize(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(in_path / "*")),
+                gap_seconds=30.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+
+    run()
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.parquet(str(in_path / "f2"))
+    run()
+
+    got = {
+        r["row_id"]: r["session_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        r["row_id"]: r["session_id"]
+        for r in sessionize(batch, "series", "ts", "row_id", gap_seconds=30.0).collect()
+    }
+    assert got == want
+    # semantic spot checks: rows 3+4 share a session ACROSS the file
+    # boundary; row 5's 395 s gap opens a new one
+    assert got[3] == got[4] and got[5] == got[4] + 1 and got[1] == got[2]
