@@ -1,0 +1,73 @@
+"""Link-graph analytics: PageRank over (src, dst) edges.
+
+The iterative twin of dedup.connected_components for RANKED graph signals —
+host/page reputation for crawl prioritization and training-mix weighting.
+
+Determinism contract (what makes the driver oracle possible): per-iteration
+contributions are rounded to 12 decimals and summed as DECIMAL(38,12) —
+exact and associative, so partial-aggregation order can't wiggle bits — and
+only the final damping arithmetic runs in doubles. Every iteration is
+bit-reproducible across partitionings and engines; the oracle unrolls the
+same iterations in SQL (the kmeans_lloyd pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+
+
+def pagerank(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING,
+             checkpoint_every: int = 8) -> DataFrame:
+    """(src, dst) edges -> (node, rank). Uniform 1/N start; dangling nodes
+    (no out-edges) leak their mass — the simple variant; the oracle mirrors
+    it exactly.
+
+    Scale shape per iteration: one join of ranks to the edge list on src
+    (rank frame is small — one row per node — and broadcastable when it
+    fits; Spark's AQE decides), one shuffle keyed by dst for the
+    contribution sum. Edge list is persisted once up front; lineage on the
+    rank frame is truncated with localCheckpoint every `checkpoint_every`
+    iterations, same discipline as connected_components."""
+    edges = edges.select("src", "dst").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # also materializes nodes + edges exactly once
+    base = (1.0 - damping) / n
+    deg = out_degrees(edges)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(n_iter):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # exact at scale 12 -> the decimal cast below never rounds
+                F.round(F.col("rank") / F.col("out_deg"), 12).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(26,12)")).cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
+                .alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
+    return ranks

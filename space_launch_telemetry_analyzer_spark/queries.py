@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .functions import parse as P
 from .operators import dedup as D
+from .operators import graph as G
 from .operators import multimodal as M
 from .operators import pii as PII
 from .operators import sampling as SA
@@ -1758,6 +1759,56 @@ SELECT doc_id, url, capture_ts FROM r WHERE rn = 1
 """
 
 
+def _sql_pagerank_iter(prev: str, out: str, damping: float) -> str:
+    """One unrolled PageRank iteration (mirrors operators.graph.pagerank
+    bit-for-bit: round-to-12 contributions, DECIMAL-exact sum, double
+    damping arithmetic)."""
+    return f"""
+c_{out} AS (SELECT e.dst AS node, round(r.rank / d.out_deg, 12) AS c
+        FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src),
+s_{out} AS (SELECT node, CAST(sum(CAST(c AS DECIMAL(26,12))) AS DOUBLE) AS s
+        FROM c_{out} GROUP BY node),
+{out} AS (SELECT nodes.node,
+              (1.0 - {damping}) / n.n + {damping} * coalesce(s_{out}.s, 0.0) AS rank
+        FROM nodes LEFT JOIN s_{out} USING (node) CROSS JOIN n)"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation PageRank (2 iterations, damping 0.85) over a
+    two-layer host graph derived from the documents fixture: content hosts
+    h0..h10 link to org hosts o0..o2, which link back to h0..h4. Every
+    iteration is bit-reproducible (round-12 + DECIMAL sums), so the oracle
+    unrolls the same two iterations in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"))
+    o = F.concat(F.lit("o"), (F.col("doc_id") % 3).cast("string"))
+    o2 = F.concat(F.lit("o"), (F.col("doc_id") % 7 % 3).cast("string"))
+    h2 = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+    edges = (
+        docs.select(h.alias("src"), o.alias("dst"))
+        .unionByName(docs.select(o2.alias("src"), h2.alias("dst")))
+        .distinct()
+    )
+    ranks = G.pagerank(edges, n_iter=2)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+ORACLE_PAGERANK = """
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'h' || (doc_id % 11) AS src, 'o' || (doc_id % 3) AS dst FROM documents
+    UNION ALL
+    SELECT 'o' || (doc_id % 7 % 3) AS src, 'h' || (doc_id % 5) AS dst FROM documents)),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),""" + _sql_pagerank_iter(
+    "r0", "r1", 0.85
+) + "," + _sql_pagerank_iter("r1", "r2", 0.85) + """
+SELECT node, round(rank, 9) + 0 AS rank FROM r2
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1826,6 +1877,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "link_graph": q_link_graph,
     "latest_capture": q_latest_capture,
+    "pagerank": q_pagerank,
 }
 
 ORACLES = {
@@ -1892,4 +1944,5 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "link_graph": ORACLE_LINK_GRAPH,
     "latest_capture": ORACLE_LATEST_CAPTURE,
+    "pagerank": ORACLE_PAGERANK,
 }
