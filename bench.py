@@ -68,6 +68,13 @@ HEADLINE = [
     "quality_score",
     "token_counts",
     "fingerprint",
+    "pii_redact",
+    "repetition_filter",
+    "tfidf_topk",
+    "sessionize",
+    "link_graph",
+    "pagerank",
+    "kmeans_centroids",
 ]
 
 
