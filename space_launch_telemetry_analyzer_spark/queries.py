@@ -1809,6 +1809,31 @@ SELECT node, round(rank, 9) + 0 AS rank FROM r2
 """
 
 
+def q_results_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+S9 driver-verified end-to-end: a projection is written through
+    ResultStore (bucket-partitioned parquet, dynamic overwrite) and read
+    back through the same store; the oracle recomputes the projection from
+    the source table, so any write/read corruption (dropped rows, partition
+    value mangling, type drift) fails the hash. Bucket key is doc_id % 8 so
+    the oracle can reproduce it (xxhash64 has no SQL twin)."""
+    import tempfile
+
+    from .sources.io import ResultStore
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 8).cast("int").alias("bucket")
+    )
+    store = ResultStore(tempfile.mkdtemp(prefix="sla_roundtrip_"))
+    store.write_results(docs)
+    back = store.read_results(spark)
+    return back.select("doc_id", "lang", F.col("bucket").cast("int").alias("bucket"))
+
+
+ORACLE_RESULTS_ROUNDTRIP = """
+SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS bucket FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1878,6 +1903,7 @@ QUERIES = {
     "link_graph": q_link_graph,
     "latest_capture": q_latest_capture,
     "pagerank": q_pagerank,
+    "results_roundtrip": q_results_roundtrip,
 }
 
 ORACLES = {
@@ -1945,4 +1971,5 @@ ORACLES = {
     "link_graph": ORACLE_LINK_GRAPH,
     "latest_capture": ORACLE_LATEST_CAPTURE,
     "pagerank": ORACLE_PAGERANK,
+    "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
 }
