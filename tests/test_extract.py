@@ -304,3 +304,31 @@ def test_class_only_selector_matches():
     assert out["speed"] == 123.0
     # empty selector matched the first block ('123 km/h' -> 123 as altitude)
     assert out["altitude"] == 123.0
+
+
+def test_pathological_pages_stay_linear():
+    """Crawler-reality inputs must neither hang nor crash: the lexer is a
+    single forward regex scan, so multi-MB adversarial pages (deep nesting,
+    giant attributes, unterminated tags, binary noise) must complete in
+    time roughly linear in input size and still return a row."""
+    import time
+
+    cases = {
+        "deep_nesting": b"<div>" * 20_000 + b"hello world deep" + b"</div>" * 20_000,
+        "giant_attr": b'<p class="' + b"x" * 2_000_000 + b'">big attr page</p>',
+        "many_small_tags": b"<p>word</p>" * 100_000,
+        "unterminated": b"<div><p>never closed " + b"text " * 100_000,
+        "binary_noise": bytes(range(256)) * 4_000,
+        "comment_bomb": b"<!--" + b"-" * 1_000_000 + b"--><p>text after the comment bomb survives intact</p>",
+    }
+    for name, html in cases.items():
+        t0 = time.perf_counter()
+        r = extract_page(html, CFG, None)
+        dt = time.perf_counter() - t0
+        assert r["error"] is None or isinstance(r["error"], str), name
+        # multi-MB worst cases: a quadratic lexer would take minutes here
+        assert dt < 10.0, f"{name} took {dt:.1f}s on {len(html)/1e6:.1f} MB"
+    # spot-check content still extracted around the bombs
+    assert "text after the comment bomb survives intact" in (
+        extract_page(cases["comment_bomb"], CFG, None)["extracted_text"] or ""
+    )
