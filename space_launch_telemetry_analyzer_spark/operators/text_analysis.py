@@ -170,6 +170,19 @@ def canonicalize_urls(df, url_col: str):
     return df.withColumn("canonical_url", canon)
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text-normalization pass for training corpora: strip C0/C1
+    control characters (newline/tab become spaces first), collapse all
+    whitespace runs to single spaces, trim. Unicode NFC is deliberately NOT
+    applied here — Spark has no built-in NFC and a per-row Python pass is
+    the slow path; corpora needing it should normalize at ingest. Pure JVM
+    regexp chain, ANSI twin in the oracle."""
+    s = F.regexp_replace(text, r"[\t\n\r\f\v]", " ")
+    s = F.regexp_replace(s, r"[\x00-\x08\x0e-\x1f\x7f]", "")
+    s = F.regexp_replace(s, r" {2,}", " ")
+    return F.trim(s)
+
+
 def extract_links(html: Column) -> Column:
     """href targets of absolute http(s) anchors, straight off the html bytes
     at scan speed (JVM regexp, no DOM build — link-graph construction wants

@@ -1834,6 +1834,36 @@ SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS bucket FROM documents
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control normalization over text with planted mess
+    (tabs/newlines/controls/space runs injected by modular doc_id class)."""
+    docs = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\t lead\x01ing\n\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("  trail\x7fing  \r\n")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", TA.normalize_text(messy).alias("norm_text")
+    )
+
+
+ORACLE_NORMALIZE_TEXT = r"""
+WITH src AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN chr(9) || ' lead' || chr(1) || 'ing' || chr(10) || chr(10) ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 3 = 0 THEN '  trail' || chr(127) || 'ing  ' || chr(13) || chr(10) ELSE '' END) AS t
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(t,
+           '[\t\n\r\f\v]', ' ', 'g'),
+           '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+           ' {2,}', ' ', 'g')) AS norm_text
+FROM src
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1904,6 +1934,7 @@ QUERIES = {
     "latest_capture": q_latest_capture,
     "pagerank": q_pagerank,
     "results_roundtrip": q_results_roundtrip,
+    "normalize_text": q_normalize_text,
 }
 
 ORACLES = {
@@ -1972,4 +2003,5 @@ ORACLES = {
     "latest_capture": ORACLE_LATEST_CAPTURE,
     "pagerank": ORACLE_PAGERANK,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
+    "normalize_text": ORACLE_NORMALIZE_TEXT,
 }
