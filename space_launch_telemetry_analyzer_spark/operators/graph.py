@@ -69,5 +69,12 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING,
         )
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # hand back a lineage-free frame (same contract as connected_components):
+    # the loop builds a lazy plan that references the edge list ~3x per
+    # iteration, so materialize ONCE while the caches are still alive, then
+    # release them — otherwise the caller's collect would recompute the
+    # whole chain against unpersisted inputs
+    ranks = ranks.localCheckpoint(eager=True)
     edges.unpersist()
+    nodes.unpersist()
     return ranks
