@@ -171,7 +171,8 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
 
 def kmeans_lloyd(corpus: DataFrame, id_col: str, vec_col: str,
                  centroids: DataFrame, centroid_id_col: str,
-                 centroid_vec_col: str, n_iter: int = 2) -> DataFrame:
+                 centroid_vec_col: str, n_iter: int = 2,
+                 checkpoint_every: int = 4) -> DataFrame:
     """Distributed Lloyd k-means (cosine assignment) producing the real
     centroids for an IVF index — upgrades ivf_ann_topk's seed centroids to
     fitted ones.
@@ -194,7 +195,7 @@ def kmeans_lloyd(corpus: DataFrame, id_col: str, vec_col: str,
         F.col(centroid_id_col).alias("centroid_id"),
         F.col(centroid_vec_col).alias("cvec"),
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         assigned = ivf_assign(corpus, id_col, vec_col, cents, "centroid_id", "cvec")
         dims = assigned.select(
             "centroid_id", F.posexplode("vec").alias("dim", "val")
@@ -211,6 +212,12 @@ def kmeans_lloyd(corpus: DataFrame, id_col: str, vec_col: str,
                 lambda s: s["m"],
             ).alias("cvec")
         )
+        if (it + 1) % checkpoint_every == 0:
+            # the lazy plan re-embeds one corpus scan + window + two aggs per
+            # iteration; truncate periodically (cents is k tiny rows) so deep
+            # fits don't grow the plan unboundedly — same discipline as
+            # connected_components/pagerank
+            cents = cents.localCheckpoint(eager=True)
     return cents
 
 
