@@ -95,7 +95,10 @@ def run_extraction(
     cfg = cfg or default_config()
     run_id = run_id or uuid.uuid4().hex[:12]
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
+        # 5 partitions/core measured best for the Python-bound kernel stage
+        # (BENCH.md: 2/core leaves the tail of a 2-wave schedule idling
+        # cores; 2M-doc soak: 64 -> 160 partitions = 15.2k -> 17.2k docs/s)
+        num_partitions = spark.sparkContext.defaultParallelism * 5
 
     # Arrow batch sizing by BYTES, not rows: synthetic pages are ~3 KB but
     # real Common-Crawl html is ~100 KB — a fixed 8192-row batch would be
