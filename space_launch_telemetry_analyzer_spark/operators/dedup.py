@@ -266,8 +266,16 @@ def connected_components(
                 parent[rb] = ra
         rows = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
+        # id type follows the input pairs (long doc ids, string urls, ...)
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema["id_a"].dataType
+        schema = T.StructType([
+            T.StructField("id", id_type),
+            T.StructField("component", id_type),
+        ])
         pairs.unpersist()
-        return spark.createDataFrame(rows, "id long, component long")
+        return spark.createDataFrame(rows, schema)
 
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -287,6 +295,7 @@ def connected_components(
     )
     prev = labels  # the persisted frame backing the current `labels`
     converged = False
+    changed = -1  # "never iterated" sentinel for the non-convergence message
     for it in range(max_iter):
         # 1) propagate: min label in the closed neighborhood
         neighbor_labels = (

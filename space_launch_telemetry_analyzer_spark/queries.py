@@ -1500,9 +1500,11 @@ _SQL_PII_SRC = """
          || CASE WHEN doc_id % 9 = 0 THEN ' call +1 555-0142 today' ELSE '' END AS text
   FROM documents
 """
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-_PII_PHONE = r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}([ -][0-9]{3,4})?"
+# single source of truth: the oracle uses the operator's own patterns, so
+# an edit to either can't silently diverge the twin
+_PII_EMAIL = PII.EMAIL_RE
+_PII_IP = PII.IPV4_RE
+_PII_PHONE = PII.PHONE_RE
 
 ORACLE_PII_REDACT = f"""
 WITH src AS ({_SQL_PII_SRC})

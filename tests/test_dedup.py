@@ -170,3 +170,25 @@ def test_ngram_jaccard_cross_join_guard(spark, corpus):
     # explicit opt-in still works for small inputs
     out = D.ngram_jaccard_pairs(corpus, "doc_id", "text", allow_cross_join=True)
     assert out.where((F.col("id_a") == 1) & (F.col("id_b") == 2)).first()["jaccard"] == 1.0
+
+
+def test_connected_components_string_ids(spark):
+    """Non-long ids (canonical urls) must work on BOTH execution paths."""
+    pairs = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("x.org", "y.org")],
+        "id_a string, id_b string",
+    )
+    want = {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+            "x.org": "x.org", "y.org": "x.org"}
+    for cutoff in (100_000, 0):  # driver union-find / distributed loop
+        got = {r["id"]: r["component"]
+               for r in D.connected_components(pairs, driver_cutoff=cutoff).collect()}
+        assert got == want, f"cutoff={cutoff}"
+
+
+def test_connected_components_zero_max_iter(spark):
+    """max_iter=0 on the distributed path must raise the documented
+    non-convergence error, not a NameError."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=0, strict=True, driver_cutoff=0)
