@@ -343,6 +343,8 @@ def connected_components(
             f"rounds ({changed} labels still changing)"
         )
         if strict:
+            if prev is not None:
+                prev.unpersist()
             edges.unpersist()
             pairs.unpersist()
             raise RuntimeError(msg)

@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.parse import extract_single_value, extract_time, convert_measurement
-from ..rules import DEFAULT_TIME_REGEX, RuleConfig
+from ..rules import DEFAULT_TIME_REGEX, RuleConfig, parse_selector
 
 # ---------------------------------------------------------------------------
 # frozen constants
@@ -117,9 +117,11 @@ class Block:
         raw = "".join(self.pieces)
         self.text = raw.strip()
         self.n_chars = len(self.text)
-        # capped word count: classification consumes only the >=5 and >=1
-        # thresholds, so splitting past 6 words is pure allocation waste on
-        # long paragraphs (hot path: ~60 blocks/page)
+        # CAPPED word count (saturates at 7): classification consumes only
+        # the >=5 and >=1 thresholds, so splitting past 6 words is pure
+        # allocation waste on long paragraphs (hot path: ~60 blocks/page).
+        # NB this field deliberately deviates from BLOCK_SCHEMA's true
+        # n_words — anything emitting blocks per that schema must recount.
         self.n_words = len(self.text.split(None, 6))
         self.link_density = (
             min(1.0, self.n_link_chars / self.n_chars) if self.n_chars else 0.0
@@ -302,8 +304,6 @@ def extract_fields(blocks: list[Block], cfg: RuleConfig, row_idx: int | None,
         "engines": None,
         "spans": [],
     }
-    from ..rules import parse_selector
-
     fuel_extracted = False
     active = [(rule, parse_selector(rule.selector)) for rule in cfg.get_active_rules(row_idx)]
     index = _match_selectors(blocks, {key for _, key in active})

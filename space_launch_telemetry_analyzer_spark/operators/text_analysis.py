@@ -225,8 +225,9 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
     Distributed shape: explode tokens -> two-level partial aggregation
     (map-side combine on (id, token), then on id). One shuffle keyed by the
     document id; no token list ever sits on the driver. Deterministic
-    tie-break: the lexicographically smallest among equally-frequent top
-    tokens."""
+    tie-break: the lexicographically LARGEST among equally-frequent top
+    tokens (struct-max ordering; the SQL oracle mirrors it with
+    ORDER BY c DESC, tok DESC)."""
     toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     per_tok = (
         df.select(F.col(id_col), toks)

@@ -19,6 +19,7 @@ broadcast is the idiomatic equivalent).
 
 from __future__ import annotations
 
+import functools
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -26,11 +27,13 @@ from pathlib import Path
 DEFAULT_TIME_REGEX = r"[+-]\d{2}:\d{2}:\d{2}"
 
 
+@functools.lru_cache(maxsize=1024)
 def parse_selector(sel: str) -> tuple[str, str]:
     """'tag.class' -> (tag, class); 'tag' -> (tag, ''); '.class' -> ('', class).
     The ONE selector grammar — ExtractionRule.matches and the O(1) index in
     operators/extract.py both use it, so the slow and fast paths cannot
-    drift."""
+    drift. Cached: the extraction kernel calls it per rule per PAGE, and
+    configs hold a handful of distinct selector strings."""
     if "." in sel:
         tag, cls = sel.split(".", 1)
     else:
