@@ -332,3 +332,28 @@ def test_pathological_pages_stay_linear():
     assert "text after the comment bomb survives intact" in (
         extract_page(cases["comment_bomb"], CFG, None)["extracted_text"] or ""
     )
+
+
+def test_kernel_matches_local_function_on_random_soup(spark):
+    """The distributed mapInArrow kernel must equal the plain-Python
+    extract_page on arbitrary byte soup — any drift in the Arrow
+    serialization of nested results (spans/engines/fuel) shows up here."""
+    import random
+
+    from space_launch_telemetry_analyzer_spark.operators.extract import extract_pages
+
+    rng = random.Random(20260816)
+    alphabet = '<>/ab c="\'p1!-&;\n\t\x00é€'
+    rows = []
+    for i in range(300):
+        soup = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 400)))
+        rows.append((f"u{i}", soup.encode("utf-8", "surrogatepass")))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r.asDict(recursive=True) for r in extract_pages(df).collect()}
+    for url, html in rows:
+        want = extract_page(html, CFG, None)
+        g = got[url]
+        assert g["extracted_text"] == want["extracted_text"], url
+        assert g["error"] == want["error"], url
+        assert (g["speed"], g["altitude"]) == (want["speed"], want["altitude"]), url
+        assert len(g["spans"]) == len(want["spans"]), url
