@@ -75,3 +75,52 @@ def test_arrow_batch_sweep(spark, batch_rows):
     dt = time.perf_counter() - t0
     print(f"\nbatch={batch_rows}: {20_000/dt:.0f} docs/s")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+
+
+@pytest.mark.parametrize("n_edges", [1_000, 50_000, 500_000])
+def test_pagerank_scaling(spark, n_edges):
+    """PageRank wall time across edge scales: 2 iterations over a synthetic
+    power-law-ish host graph (hot dst hosts) — the contribution sum keys by
+    dst, so this exercises the skewed-reducer path too."""
+    from pyspark.sql import functions as F
+
+    from space_launch_telemetry_analyzer_spark.operators.graph import pagerank
+
+    edges = (
+        spark.range(n_edges)
+        .select(
+            F.concat(F.lit("s"), (F.col("id") % (n_edges // 10 + 1)).cast("string")).alias("src"),
+            # skew: 50% of edges point at 10 hot hosts
+            F.when(F.col("id") % 2 == 0,
+                   F.concat(F.lit("hot"), (F.col("id") % 10).cast("string")))
+            .otherwise(F.concat(F.lit("d"), (F.col("id") % (n_edges // 20 + 1)).cast("string")))
+            .alias("dst"),
+        )
+    )
+    t0 = time.perf_counter()
+    n = pagerank(edges, n_iter=2).count()
+    dt = time.perf_counter() - t0
+    print(f"\npagerank edges={n_edges}: {dt:.2f}s, {n} nodes")
+    assert dt < 120
+
+
+@pytest.mark.parametrize("n_vecs", [1_000, 10_000])
+def test_kmeans_scaling(spark, n_vecs):
+    """2 Lloyd iterations, 16 centroids, dim 32 — the IVF fit cost shape."""
+    from pyspark.sql import functions as F
+
+    from space_launch_telemetry_analyzer_spark.operators.similarity import kmeans_lloyd
+
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(32)),
+                    lambda d: F.sin(F.col("id") * d)).alias("vec"),
+    )
+    seeds = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    t0 = time.perf_counter()
+    n = kmeans_lloyd(vecs, "vec_id", "vec", seeds, "centroid_id", "cvec", n_iter=2).count()
+    dt = time.perf_counter() - t0
+    print(f"\nkmeans n={n_vecs}: {dt:.2f}s, {n} centroids")
+    assert n <= 16 and dt < 120
