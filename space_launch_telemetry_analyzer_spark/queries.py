@@ -286,11 +286,12 @@ def q_validate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_VALIDATE_REPORT = """
-SELECT count(*) AS n,
-       0 AS null_url,
-       sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS null_html,
-       count(*) - count(DISTINCT CASE WHEN doc_id % 50 = 1 THEN 'doc://dup'
-                                      ELSE concat('doc://', doc_id) END) AS dups
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS null_url,
+       CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_html,
+       CAST(count(*) - count(DISTINCT CASE WHEN doc_id % 50 = 1 THEN 'doc://dup'
+                                           ELSE concat('doc://', doc_id) END)
+            AS BIGINT) AS dups
 FROM documents
 """
 
@@ -678,7 +679,7 @@ def q_sort_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SORT_SERIES = f"""
-SELECT event_id, user_id, row_number() OVER ({_EVENT_WINDOW_SQL}) AS rn FROM events
+SELECT event_id, user_id, CAST(row_number() OVER ({_EVENT_WINDOW_SQL}) AS INT) AS rn FROM events
 """
 
 
@@ -940,7 +941,7 @@ s AS (
                     * sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))))
               ELSE 0.0 END AS score
   FROM q, embeddings WHERE qid <> vec_id),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM s)
 SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE rank <= 3
 """
 
@@ -1076,7 +1077,7 @@ c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
 cand AS (SELECT DISTINCT query_id, neighbor_id,
                 {_sql_cosine('qp.qvec', 'c.cvec', _ANN_DIM)} AS score
          FROM c JOIN qp USING (bucket) WHERE query_id <> neighbor_id),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
       FROM cand)
 SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE rank <= 3
 """
@@ -1118,8 +1119,8 @@ qprobe AS (SELECT query_id, qvec, centroid_id FROM (
 cand AS (SELECT DISTINCT query_id, a.id AS neighbor_id,
                 {_sql_cosine('qprobe.qvec', 'a.vec', _ANN_DIM)} AS score
          FROM assign a JOIN qprobe USING (centroid_id) WHERE query_id <> a.id),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, neighbor_id) AS rank
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
       FROM cand)
 SELECT query_id, neighbor_id, round(score, 6) + 0 AS score, rank FROM r WHERE rank <= 3
 """

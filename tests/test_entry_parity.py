@@ -75,6 +75,44 @@ def test_query_oracle_parity(spark, sf_dir, duck, name):
     )
 
 
+def _spark_to_arrow(t: str) -> str:
+    m = {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8", "double": "double", "float": "float",
+        "string": "string", "boolean": "bool", "date": "date32[day]",
+        "binary": "binary",
+    }
+    if t.startswith("decimal"):
+        return "decimal128" + t[7:]
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return m.get(t, t)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_oracle_arrow_types(spark, sf_dir, duck, name):
+    """The driver's value-hasher is type-sensitive at the Arrow level (r2's
+    validate_report red row was INTEGER/HUGEINT vs BIGINT with equal values).
+    Hold every oracle to exact Arrow-type parity with the Spark schema so the
+    drift can't recur. Spark side needs no execution — schema only."""
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        pytest.skip("rows-only query, no oracle")
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    stypes = {f.name: _spark_to_arrow(f.dataType.simpleString())
+              for f in sdf.schema.fields}
+    arrow_schema = duck.execute(oracles[name]).arrow().schema
+    otypes = {}
+    for f in arrow_schema:
+        t = str(f.type).replace("large_string", "string").replace("large_binary", "binary")
+        if t.startswith("timestamp"):
+            t = "timestamp"
+        otypes[f.name] = t
+    mismatches = {c: (stypes[c], otypes.get(c))
+                  for c in stypes if stypes[c] != otypes.get(c)}
+    assert not mismatches, f"{name}: arrow type drift {mismatches}"
+
+
 def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
