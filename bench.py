@@ -248,9 +248,17 @@ def main() -> None:
         # CPU with 0% steal — host memory-bandwidth contention). Best-of-N
         # on the WIDE leg estimates its true capability; extra lo-leg runs
         # could only raise the denominator, so only the hi leg is retried.
+        # This one-sided stopping rule targets the reported threshold, so it
+        # is a selection-biased estimator: the pre-retry efficiency and the
+        # retry count are recorded alongside (below) so the reader sees how
+        # much the targeted retries moved the number;
+        # scaling_efficiency_vs_control carries the unbiased noise argument.
+        pre_retry_eff = eff(legs, lo_w, hi_w)
+        threshold_retries = 0
         for _ in range(3):
             if (eff(legs, lo_w, hi_w) or 0) >= 0.8:
                 break
+            threshold_retries += 1
             legs[hi_w] = run_leg("--extract-worker", pages_path, hi_w, 1,
                                  best=legs[hi_w])
 
@@ -268,6 +276,8 @@ def main() -> None:
         sub = eff(legs, lo_s, hi_s)
         ctrl_full = eff(ctrl, lo_w, hi_w)
         extraction["scaling_efficiency"] = full
+        extraction["pre_retry_scaling_efficiency"] = pre_retry_eff
+        extraction["threshold_retries"] = threshold_retries
         extraction["scaling_efficiency_sub_ceiling"] = sub
         extraction["hardware_control_efficiency"] = ctrl_full
         extraction["scaling_efficiency_vs_control"] = (

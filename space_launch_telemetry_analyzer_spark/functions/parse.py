@@ -132,7 +132,14 @@ def parse_event_time(event) -> tuple[float, str | None] | None:
     semantics: numeric -> (float, None); '@' then '=' splits on the FIRST
     separator with the time token accepted on EITHER side (label = other
     side, empty -> None); two space-separated tokens with the time on either
-    side; bare time token -> (t, None); anything else -> None (skipped)."""
+    side; bare time token -> (t, None); anything else -> None (skipped).
+
+    Documented deviation: the reference's isinstance(e, (int, float)) check
+    (flight_plotting.py:33) accepts Python bools as numeric seconds (True ->
+    (1.0, None)); we exclude bool deliberately — a boolean event time is a
+    caller bug, and in the typed DataFrame pipeline the column is never
+    boolean — so bools fall through to str() ('True' is no time token ->
+    None)."""
     if event is None:
         return None
     if isinstance(event, (int, float)) and not isinstance(event, bool):

@@ -113,12 +113,17 @@ def token_hash_col(text: Column) -> Column:
 def shingle_hash_col(th: Column, k: int = DEFAULT_SHINGLE) -> Column:
     """k-gram shingle hashes from a MATERIALIZED token-hash column: shingle i
     = xxhash64(th[i], th[i+1], ..., th[i+k-1]) — no string concatenation.
-    `th` must be a plain column reference so it is computed once per row."""
+    `th` must be a plain column reference so it is computed once per row.
+
+    Docs with fewer than k tokens get ONE shingle hashing all their tokens:
+    try_element_at yields NULL past the end and xxhash64 skips NULL args
+    (plain element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI
+    mode, killing the whole dedup job on any 1-2-token doc)."""
     n = F.size(th)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.xxhash64(*[F.element_at(th, i + j + 1) for j in range(k)]),
+            lambda i: F.xxhash64(*[F.try_element_at(th, i + j + 1) for j in range(k)]),
         )
     )
 
@@ -137,6 +142,21 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = DEFAULT_NUM_HASH
     return F.array(
         *[F.array_min(F.transform(shingle_hashes, hash_with_seed(i))) for i in range(num_hashes)]
     )
+
+
+# Persisted banded-signature frames awaiting release. Unpersisting a frame
+# that downstream plans still need only costs recompute, never correctness,
+# so releasing is always safe once the caller's pairs are materialized.
+_BANDED_CACHES: list[DataFrame] = []
+
+
+def release_banded_caches() -> int:
+    """Unpersist every banded frame cached by minhash_lsh_candidates; returns
+    how many were released. Call after candidate pairs are materialized."""
+    n = len(_BANDED_CACHES)
+    while _BANDED_CACHES:
+        _BANDED_CACHES.pop().unpersist()
+    return n
 
 
 def minhash_lsh_candidates(
@@ -182,12 +202,15 @@ def minhash_lsh_candidates(
         # subtree once PER SIDE (ReuseExchange does not fire across the
         # aliased sides). Warm-JIT A/B at sf0.1: 2.2 s -> 0.8-1.4 s. The
         # cached frame is `bands` small rows/doc (~30 B) and spills to disk
-        # at corpus scale; it stays cached until evicted/session end —
-        # long-lived sessions doing many passes should clearCache() between
-        # corpora or pass persist_banded=False.
+        # at corpus scale. Lifetime: tracked in a module registry —
+        # long-lived sessions doing many dedup passes call
+        # release_banded_caches() once the candidate pairs are materialized
+        # (minhash_dedup(checkpoint_pairs=True) does this for you), or pass
+        # persist_banded=False.
         from pyspark import StorageLevel
 
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        _BANDED_CACHES.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -375,7 +398,7 @@ def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
 
 def minhash_dedup(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7,
-    shingle_k: int = DEFAULT_SHINGLE, **kw
+    shingle_k: int = DEFAULT_SHINGLE, checkpoint_pairs: bool = False, **kw
 ) -> DataFrame:
     """Full near-dup pass: LSH candidates -> exact Jaccard verify -> pairs
     above threshold (the caller picks survivors, e.g. keep min id per
@@ -386,7 +409,12 @@ def minhash_dedup(
     same distinct-set cardinalities as string shingles (xxhash64 collisions
     aside), so the value is identical, but the per-doc cost skips re-split +
     per-shingle string concatenation (measured: the string form was the
-    single heaviest expression in the suite)."""
+    single heaviest expression in the suite).
+
+    checkpoint_pairs=True eagerly materializes the (small) verified pairs
+    via localCheckpoint and releases the banded signature caches — the
+    right mode for long-lived sessions running many passes; the default
+    stays lazy for composition into a larger single-action plan."""
     cand = minhash_lsh_candidates(df, id_col, text_col, shingle_k=shingle_k, **kw)
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -398,7 +426,11 @@ def minhash_dedup(
         cand.join(sh_a, "id_a").join(sh_b, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
-    return verified.where(F.col("jaccard") >= threshold)
+    out = verified.where(F.col("jaccard") >= threshold)
+    if checkpoint_pairs:
+        out = out.localCheckpoint(eager=True)
+        release_banded_caches()
+    return out
 
 
 # --- decontamination ----------------------------------------------------------

@@ -25,6 +25,8 @@ construction:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1812,21 +1814,42 @@ SELECT node, round(rank, 9) + 0 AS rank FROM r2
 """
 
 
+_ROUNDTRIP_SCRATCH: list[str] = []
+
+
+def _roundtrip_scratch_dir() -> str:
+    if not _ROUNDTRIP_SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sla_roundtrip_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _ROUNDTRIP_SCRATCH.append(path)
+    return _ROUNDTRIP_SCRATCH[0]
+
+
 def q_results_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7+S9 driver-verified end-to-end: a projection is written through
     ResultStore (bucket-partitioned parquet, dynamic overwrite) and read
     back through the same store; the oracle recomputes the projection from
     the source table, so any write/read corruption (dropped rows, partition
     value mangling, type drift) fails the hash. Bucket key is doc_id % 8 so
-    the oracle can reproduce it (xxhash64 has no SQL twin)."""
-    import tempfile
+    the oracle can reproduce it (xxhash64 has no SQL twin).
 
+    The scratch directory is ONE per process, reused across invocations
+    (dynamic overwrite makes re-writes idempotent) and removed at exit —
+    a fresh mkdtemp per call leaked disk across repeated bench/correctness
+    runs."""
     from .sources.io import ResultStore
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", (F.col("doc_id") % 8).cast("int").alias("bucket")
     )
-    store = ResultStore(tempfile.mkdtemp(prefix="sla_roundtrip_"))
+    # one subdir per sf_dir: same-input re-writes are idempotent overwrites,
+    # while a still-lazy read from a DIFFERENT sf never sees them
+    sub = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    store = ResultStore(os.path.join(_roundtrip_scratch_dir(), sub))
     store.write_results(docs)
     back = store.read_results(spark)
     return back.select("doc_id", "lang", F.col("bucket").cast("int").alias("bucket"))

@@ -192,3 +192,54 @@ def test_connected_components_zero_max_iter(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iter=0, strict=True, driver_cutoff=0)
+
+
+def test_minhash_short_docs_no_ansi_crash(spark):
+    """Docs with fewer than k(=3) tokens must not kill the dedup job under
+    ANSI mode (element_at past the array end threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT). Short docs get one all-token shingle,
+    so identical short docs still pair and distinct ones don't."""
+    rows = [
+        (1, "hi"),                # 1 token
+        (2, "hi"),                # exact dup of 1
+        (3, "lone"),              # distinct 1-token doc
+        (4, "two tokens"),        # 2 tokens
+        (5, "two tokens"),        # exact dup of 4
+        (6, ""),                  # empty text
+        (7, BASE),                # normal-length doc, mixed in
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(
+            df, "doc_id", "text", persist_banded=False
+        ).collect()
+    }
+    assert (1, 2) in cand and (4, 5) in cand
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert verified[(1, 2)] == 1.0 and verified[(4, 5)] == 1.0
+    assert (1, 3) not in verified and (3, 1) not in verified
+
+
+def test_minhash_checkpoint_pairs_releases_banded_cache(spark, corpus):
+    """checkpoint_pairs=True materializes the verified pairs and unpersists
+    the banded signature cache, so long-lived sessions don't accumulate
+    executor storage across dedup passes."""
+    def storage_ids():
+        return {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = storage_ids()
+    out = D.minhash_dedup(corpus, "doc_id", "text", threshold=0.5,
+                          checkpoint_pairs=True)
+    # banded registry drained by the call itself
+    assert D._BANDED_CACHES == []
+    # pairs survive the release (checkpointed, not recomputed through the cache)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    # the only storage added is the (small) localCheckpoint of the pairs —
+    # the banded signature cache itself is gone
+    added = storage_ids() - before
+    assert len(added) <= 1, f"banded cache leaked: {len(added)} new entries"
