@@ -78,3 +78,71 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING,
     edges.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def pagerank_dangling(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING,
+                      checkpoint_every: int = 8) -> DataFrame:
+    """(src, dst) edges -> (node, rank), redistributing dangling-node mass.
+
+    The default a real web graph wants: pages with no out-links (a large
+    fraction of any crawl) hold rank that `pagerank` simply leaks, so ranks
+    stop summing to 1 and everything is under-weighted. Here each iteration
+    adds ONE extra 1-row aggregation — the total rank sitting on nodes with
+    no out-edges, DECIMAL-summed over round-12 ranks for cross-partition
+    determinism — broadcast back (1-row crossJoin) and shared uniformly:
+
+        rank'(v) = (1-d)/N + d * (contribs(v) + dangling_mass / N)
+
+    Same scale shape as `pagerank` (one src join + one dst shuffle per
+    iteration) plus the 1-row agg; same lineage discipline."""
+    edges = edges.select("src", "dst").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # also materializes nodes + edges exactly once
+    base = (1.0 - damping) / n
+    deg = out_degrees(edges)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(n_iter):
+        dang = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("rank"), 12).cast("decimal(26,12)")),
+                    F.lit(0).cast("decimal(26,12)"),
+                ).cast("double").alias("dang")
+            )
+        )
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("out_deg"), 12).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(26,12)")).cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0))
+                       + F.col("dang") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -1814,6 +1814,53 @@ SELECT node, round(rank, 9) + 0 AS rank FROM r2
 """
 
 
+def _sql_pagerank_dangling_iter(prev: str, out: str, damping: float) -> str:
+    """One unrolled dangling-redistribution PageRank iteration (mirrors
+    operators.graph.pagerank_dangling: round-12 DECIMAL dangling-mass sum,
+    uniform share added inside the damped term)."""
+    return f"""
+dang_{out} AS (SELECT CAST(coalesce(sum(CAST(round(r.rank, 12) AS DECIMAL(26,12))),
+                                    0) AS DOUBLE) AS dang
+        FROM {prev} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+c_{out} AS (SELECT e.dst AS node, round(r.rank / d.out_deg, 12) AS c
+        FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src),
+s_{out} AS (SELECT node, CAST(sum(CAST(c AS DECIMAL(26,12))) AS DOUBLE) AS s
+        FROM c_{out} GROUP BY node),
+{out} AS (SELECT nodes.node,
+              (1.0 - {damping}) / n.n
+              + {damping} * (coalesce(s_{out}.s, 0.0)
+                             + dang_{out}.dang / n.n) AS rank
+        FROM nodes LEFT JOIN s_{out} USING (node)
+        CROSS JOIN n CROSS JOIN dang_{out})"""
+
+
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-mass PageRank (2 iterations, damping 0.85) over the h->o
+    layer ONLY of the host graph: org hosts o0..o2 have no out-edges, so
+    the simple variant would leak their (large) mass; this query verifies
+    the redistribution term end-to-end against the unrolled SQL twin."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"))
+    o = F.concat(F.lit("o"), (F.col("doc_id") % 3).cast("string"))
+    edges = docs.select(h.alias("src"), o.alias("dst")).distinct()
+    ranks = G.pagerank_dangling(edges, n_iter=2)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+ORACLE_PAGERANK_DANGLING = """
+WITH edges AS (
+  SELECT DISTINCT 'h' || (doc_id % 11) AS src, 'o' || (doc_id % 3) AS dst
+  FROM documents),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),""" + _sql_pagerank_dangling_iter(
+    "r0", "r1", 0.85
+) + "," + _sql_pagerank_dangling_iter("r1", "r2", 0.85) + """
+SELECT node, round(rank, 9) + 0 AS rank FROM r2
+"""
+
+
 _ROUNDTRIP_SCRATCH: list[str] = []
 
 
@@ -1959,6 +2006,7 @@ QUERIES = {
     "link_graph": q_link_graph,
     "latest_capture": q_latest_capture,
     "pagerank": q_pagerank,
+    "pagerank_dangling": q_pagerank_dangling,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -2028,6 +2076,7 @@ ORACLES = {
     "link_graph": ORACLE_LINK_GRAPH,
     "latest_capture": ORACLE_LATEST_CAPTURE,
     "pagerank": ORACLE_PAGERANK,
+    "pagerank_dangling": ORACLE_PAGERANK_DANGLING,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
 }
@@ -2055,6 +2104,7 @@ _REGISTRY_ORDER = [
     "pagerank",
     "results_roundtrip",
     "normalize_text",
+    "pagerank_dangling",
     "layout_reading_order",
     "url_canonicalize",
     "noindex_filter",

@@ -36,3 +36,42 @@ def test_pagerank_partition_invariant(spark, star):
         for r in G.pagerank(star.repartition(7), n_iter=2).collect()
     )
     assert a == b  # decimal-exact sums: bit-identical under any partitioning
+
+
+@pytest.fixture(scope="module")
+def dangling_graph(spark):
+    # a -> b -> c ; c has no out-edges (dangling sink), plus isolated pair
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_pagerank_dangling_conserves_mass(spark, dangling_graph):
+    """The simple variant leaks the sink's mass; the redistribution variant
+    keeps total rank at ~1 on a graph where 2 of 5 nodes are dangling."""
+    leaky = sum(r.rank for r in G.pagerank(dangling_graph, n_iter=3).collect())
+    full = sum(
+        r.rank for r in G.pagerank_dangling(dangling_graph, n_iter=3).collect()
+    )
+    assert leaky < 0.9  # c and y hold mass that the simple variant drops
+    assert full == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_equals_simple_without_danglers(spark, star):
+    """On a graph with no dangling nodes the two variants are identical
+    (the redistribution term is exactly zero every iteration)."""
+    a = sorted((r.node, r.rank) for r in G.pagerank(star, n_iter=2).collect())
+    b = sorted(
+        (r.node, r.rank) for r in G.pagerank_dangling(star, n_iter=2).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_dangling_partition_invariant(spark, dangling_graph):
+    a = sorted(
+        (r.node, r.rank) for r in G.pagerank_dangling(dangling_graph, n_iter=2).collect()
+    )
+    b = sorted(
+        (r.node, r.rank)
+        for r in G.pagerank_dangling(dangling_graph.repartition(7), n_iter=2).collect()
+    )
+    assert a == b
