@@ -72,6 +72,51 @@ def analyze_series(
     )
 
 
+def metric_sweep(
+    df: DataFrame,
+    patterns: tuple[str, ...],
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """A14: dynamic metric-column sweep. Discovers metric columns by suffix
+    pattern over the SCHEMA (driver-side metadata only — the reference walks
+    df.columns the same way, comparison_plotting.py:283-304), derives the
+    series name from the column prefix (data_processing.py:16-49), and
+    unpivots every match into long (series, metric, value) rows.
+
+    Documented deviation: the reference derives the series via
+    col.rsplit('_', 1)[0], which mangles multi-token metrics
+    ('booster_g_force' -> series 'booster_g'); we strip the MATCHED pattern
+    plus its separator ('booster_g_force' -> 'booster'), the intended
+    semantics (same precedent as P8).
+
+    Scale shape: one narrow projection + explode — per-row fan-out only, no
+    shuffle, no UDF; at 100 TB this pipelines inside the scan stage."""
+    matches: list[tuple[str, str, str]] = []  # (column, series, metric)
+    for col in df.columns:
+        for pat in patterns:
+            if col == pat or col.endswith("_" + pat):
+                series = col[: -len(pat)].rstrip("_") or col
+                matches.append((col, series, pat))
+                break
+    if not matches:
+        raise ValueError(
+            f"no column matches any metric pattern {patterns}: {df.columns}"
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(series).alias("series"),
+                F.lit(metric).alias("metric"),
+                F.col(col).cast("double").alias("value"),
+            )
+            for col, series, metric in matches
+        ]
+    )
+    return df.select(*id_cols, F.explode(entries).alias("e")).select(
+        *id_cols, "e.series", "e.metric", "e.value"
+    )
+
+
 def compare_launches(labeled: list[tuple[str, DataFrame]]) -> DataFrame:
     """EP3: union per-launch analysis frames under a label column, sorted by
     label (comparison_plotting.py:193-196)."""

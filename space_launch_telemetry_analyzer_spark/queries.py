@@ -1814,6 +1814,40 @@ SELECT node, round(rank, 9) + 0 AS rank FROM r2
 """
 
 
+def q_metric_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 oracle-checked: a wide per-frame table (two vehicle series plus a
+    non-metric frame_number column) swept by schema introspection into long
+    (series, metric, value) rows. The oracle unpivots the SAME columns
+    explicitly, so a sweep that matches a wrong column (or misses one)
+    changes the row multiset and fails the hash."""
+    from .plans.analysis import metric_sweep
+
+    docs = load(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 97).cast("double").alias("booster_speed"),
+        ((F.col("doc_id") * 7) % 101).cast("double").alias("booster_altitude"),
+        ((F.col("doc_id") * 3) % 89).cast("double").alias("ship_speed"),
+        ((F.col("doc_id") * 13) % 23).cast("double").alias("ship_g_force"),
+        (F.col("doc_id") % 11).cast("int").alias("frame_number"),  # no match
+    )
+    return metric_sweep(
+        wide, patterns=("speed", "altitude", "g_force"), id_cols=("doc_id",)
+    )
+
+
+ORACLE_METRIC_SWEEP = """
+SELECT doc_id, 'booster' AS series, 'speed' AS metric,
+       CAST(doc_id % 97 AS DOUBLE) AS value FROM documents
+UNION ALL
+SELECT doc_id, 'booster', 'altitude', CAST((doc_id * 7) % 101 AS DOUBLE) FROM documents
+UNION ALL
+SELECT doc_id, 'ship', 'speed', CAST((doc_id * 3) % 89 AS DOUBLE) FROM documents
+UNION ALL
+SELECT doc_id, 'ship', 'g_force', CAST((doc_id * 13) % 23 AS DOUBLE) FROM documents
+"""
+
+
 def _sql_pagerank_dangling_iter(prev: str, out: str, damping: float) -> str:
     """One unrolled dangling-redistribution PageRank iteration (mirrors
     operators.graph.pagerank_dangling: round-12 DECIMAL dangling-mass sum,
@@ -2007,6 +2041,7 @@ QUERIES = {
     "latest_capture": q_latest_capture,
     "pagerank": q_pagerank,
     "pagerank_dangling": q_pagerank_dangling,
+    "metric_sweep": q_metric_sweep,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -2077,6 +2112,7 @@ ORACLES = {
     "latest_capture": ORACLE_LATEST_CAPTURE,
     "pagerank": ORACLE_PAGERANK,
     "pagerank_dangling": ORACLE_PAGERANK_DANGLING,
+    "metric_sweep": ORACLE_METRIC_SWEEP,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
 }
@@ -2105,6 +2141,7 @@ _REGISTRY_ORDER = [
     "results_roundtrip",
     "normalize_text",
     "pagerank_dangling",
+    "metric_sweep",
     "layout_reading_order",
     "url_canonicalize",
     "noindex_filter",

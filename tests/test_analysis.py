@@ -77,3 +77,33 @@ def test_validate_pages_catches_problems(spark):
     empty = spark.createDataFrame([], "url string, warc_ts timestamp, html binary, text string, lang string")
     rep2 = validate_pages(empty)
     assert not rep2.ok and any("empty table" in r for r in rep2.reasons())
+
+
+def test_metric_sweep_introspection(spark):
+    """A14: suffix-pattern discovery over the schema — matched columns
+    unpivot to (series, metric, value); non-matching columns are skipped;
+    multi-token metrics strip cleanly (not the reference's rsplit mangle)."""
+    from space_launch_telemetry_analyzer_spark.plans.analysis import metric_sweep
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, 3.5, 7)],
+        "fid long, booster_speed double, ship_altitude double, "
+        "ship_g_force double, frame_number int",
+    )
+    rows = {(r.series, r.metric): r.value
+            for r in metric_sweep(df, ("speed", "altitude", "g_force"),
+                                  id_cols=("fid",)).collect()}
+    assert rows == {("booster", "speed"): 10.0,
+                    ("ship", "altitude"): 20.0,
+                    ("ship", "g_force"): 3.5}
+
+
+def test_metric_sweep_exact_name_and_no_match(spark):
+    from space_launch_telemetry_analyzer_spark.plans.analysis import metric_sweep
+
+    df = spark.createDataFrame([(1.0,)], "speed double")
+    out = metric_sweep(df, ("speed",)).collect()
+    # a bare metric column is its own series (no prefix to strip)
+    assert [(r.series, r.metric, r.value) for r in out] == [("speed", "speed", 1.0)]
+    with pytest.raises(ValueError, match="no column matches"):
+        metric_sweep(df, ("altitude",))
