@@ -325,3 +325,46 @@ def fingerprint(text: Column) -> Column:
     (The rolling-hash variant lives in dedup.simhash/minhash; this is the
     canonical exact-dup key.)"""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def normalize_nfc(df, text_col: str = "text", out_col: str = "text_nfc"):
+    """Opt-in Unicode NFC normalization as a vectorized Arrow-batch kernel —
+    the in-engine answer to normalize_text's documented NFC deferral for
+    corpora that need it (e.g. mixed-provenance crawls with decomposed
+    accents).
+
+    Spark has no built-in NFC, so this is the sanctioned Python path: one
+    mapInArrow stage (same discipline as the extraction kernel — typed
+    arrays, no pandas object round trip), with a batch-level fast path:
+    unicodedata.is_normalized is a cheap scan, and for the dominant
+    already-NFC batch the original Arrow buffer is reused untouched, so the
+    common case costs one read-only pass and zero allocation. Per-row
+    fan-out only — pipelines inside the scan stage at corpus scale."""
+    import pyarrow as pa
+    import unicodedata
+
+    def kernel(batches):
+        for rb in batches:
+            idx = rb.schema.get_field_index(text_col)
+            col = rb.column(idx)
+            vals = col.to_pylist()
+            if all(v is None or unicodedata.is_normalized("NFC", v) for v in vals):
+                out = col
+            else:
+                out = pa.array(
+                    [None if v is None else unicodedata.normalize("NFC", v)
+                     for v in vals],
+                    type=pa.string(),
+                )
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [out], names=list(rb.schema.names) + [out_col]
+            )
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # NB: df.schema is cached on the DataFrame and StructType.add mutates in
+    # place — build a FRESH StructType or the input df grows a phantom column
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType())]
+    )
+    return df.mapInArrow(kernel, schema=out_schema)

@@ -1848,6 +1848,29 @@ SELECT doc_id, 'ship', 'g_force', CAST((doc_id * 13) % 23 AS DOUBLE) FROM docume
 """
 
 
+def q_normalize_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in NFC normalization (Arrow-batch kernel) end-to-end: every third
+    doc gets a decomposed 'e + COMBINING ACUTE' suffix, which NFC composes
+    to 'é'; the rest exercise the already-normalized zero-copy fast path.
+    Oracle: DuckDB's nfc_normalize (utf8proc) against Python's unicodedata —
+    both implement Unicode NFC, agreement is the cross-library check."""
+    docs = load(spark, sf_dir, "documents")
+    suffix = F.when(F.col("doc_id") % 3 == 0, F.lit("cafe\u0301")).otherwise(F.lit(""))
+    wide = docs.select(
+        "doc_id", F.concat(F.substring("text", 1, 40), suffix).alias("text")
+    )
+    return TA.normalize_nfc(wide, "text", "text_nfc").select("doc_id", "text_nfc")
+
+
+ORACLE_NORMALIZE_TEXT_NFC = """
+SELECT doc_id,
+       nfc_normalize(substring(text, 1, 40) ||
+                     CASE WHEN doc_id % 3 = 0 THEN 'cafe' || chr(769) ELSE '' END)
+           AS text_nfc
+FROM documents
+"""
+
+
 def _sql_pagerank_dangling_iter(prev: str, out: str, damping: float) -> str:
     """One unrolled dangling-redistribution PageRank iteration (mirrors
     operators.graph.pagerank_dangling: round-12 DECIMAL dangling-mass sum,
@@ -2042,6 +2065,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "pagerank_dangling": q_pagerank_dangling,
     "metric_sweep": q_metric_sweep,
+    "normalize_text_nfc": q_normalize_text_nfc,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -2113,6 +2137,7 @@ ORACLES = {
     "pagerank": ORACLE_PAGERANK,
     "pagerank_dangling": ORACLE_PAGERANK_DANGLING,
     "metric_sweep": ORACLE_METRIC_SWEEP,
+    "normalize_text_nfc": ORACLE_NORMALIZE_TEXT_NFC,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
 }
@@ -2142,6 +2167,7 @@ _REGISTRY_ORDER = [
     "normalize_text",
     "pagerank_dangling",
     "metric_sweep",
+    "normalize_text_nfc",
     "layout_reading_order",
     "url_canonicalize",
     "noindex_filter",

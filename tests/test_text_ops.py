@@ -168,3 +168,25 @@ def test_quota_sample_deterministic_ties(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, source string, q double")
     out = sa.quota_sample(df, ["lang", "source"], "q", 3, "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_normalize_nfc_composes_and_passes_through(spark):
+    """Decomposed sequences compose; already-NFC batches take the zero-copy
+    fast path; NULLs survive; non-text columns pass through untouched."""
+    import unicodedata
+
+    from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+        normalize_nfc,
+    )
+
+    decomposed = "café and Ångström"
+    rows = [(1, decomposed), (2, "plain ascii"), (3, None), (4, "café")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_nfc for r in normalize_nfc(df).collect()}
+    assert got[1] == unicodedata.normalize("NFC", decomposed)
+    assert got[1] == "café and Ångström"
+    assert got[2] == "plain ascii"
+    assert got[3] is None
+    assert got[4] == "café"
+    # input frame must NOT grow a phantom column (schema.add mutation trap)
+    assert df.columns == ["doc_id", "text"]
