@@ -112,11 +112,14 @@ def _extract_worker(pages_path: str, cores: int) -> None:
     # cores*2 partitions so worker startup/imports are excluded
     materialize(extract_pages(pages.limit(cores * 64).repartition(cores * 2)))
     t0 = time.perf_counter()
-    # 5 partitions/core: measured best at 32 cores (27.1k vs 22.8k docs/s at
-    # 2/core — the tail of a 2-wave schedule idles cores; 8/core regressed)
-    arranged = salted_repartition(with_bucket(pages), cores * 5, ["bucket"], 4)
-    res = extract_pages(arranged)
-    materialize(res.select("url", "bucket", "extracted_text", "speed", "error"))
+    # r3 plan shape: kernel on the scan splits, salted (bucket, salt)
+    # repartition AFTER it — the exchange then carries extracted columns
+    # instead of raw html and its write pipelines inside the Python-bound
+    # stage (measured warm A/B at local[32]/100k pages: 14.7k -> 21.4k
+    # docs/s). 5 partitions/core still sizes the post-kernel exchange.
+    res = extract_pages(with_bucket(pages))
+    out = res.select("url", "bucket", "extracted_text", "speed", "error")
+    materialize(salted_repartition(out, cores * 5, ["bucket"], 4))
     wall = time.perf_counter() - t0
     spark.stop()
     print(json.dumps({"cores": cores, "n_docs": n, "wall_seconds": round(wall, 3),
@@ -235,7 +238,14 @@ def main() -> None:
         gen.sparkContext.setLogLevel("ERROR")
         from space_launch_telemetry_analyzer_spark.sources.pages import write_synth_pages
 
-        write_synth_pages(gen, pages_path, N_PAGES)
+        # the kernel runs on SCAN SPLITS now (post-kernel shuffle), so the
+        # file count sets Python-stage width. Measured r3 sweep at 100k
+        # pages / 32 cores: 32 files 27.6k, 48 22.5k, 64 23.7k, 96 17.7k,
+        # 160 11.8k docs/s — each extra python task costs ~50 ms on this
+        # box, so one task wave at full width wins for a uniform corpus
+        # (at 10^12 rows tasks are maxPartitionBytes-sized and the per-task
+        # overhead is amortized to nothing).
+        write_synth_pages(gen, pages_path, N_PAGES, partitions=CPUS)
         gen.stop()
 
         # ---- scaling evidence: same job, same input, monotonicity-guarded --

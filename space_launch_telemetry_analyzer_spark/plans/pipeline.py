@@ -2,17 +2,23 @@
 
     scan pages (column-pruned: url, warc_ts, html [, row_idx])
       -> resume filter (anti-join vs checkpointed buckets — broadcast)
+      -> mapInArrow extraction kernel on the scan splits (the one Python stage)
       -> url-hash bucket + host-salt repartition        (explicit, north_rule)
-      -> mapInPandas extraction kernel                  (the one Python stage)
       -> write results (bucket-partitioned, overwrite-per-bucket)
       -> per-partition lineage/metrics rows             (ST4/A3 analog)
       -> checkpoint rows (resume marks)
 
 Scale design notes (the part that must hold at 10^12 rows / 1000 executors):
-- the ONLY wide shuffle is the explicit repartition before the kernel; its
-  key is (bucket, salt) — url-hash buckets are uniform by construction, and
-  the salt splits any residual heavy key (e.g. when callers bucket by host
-  for per-host series locality instead).
+- the ONLY wide shuffle is the explicit repartition AFTER the kernel (it
+  feeds the bucket-partitioned write); its key is (bucket, salt) — url-hash
+  buckets are uniform by construction, and the salt splits any residual
+  heavy key (e.g. when callers bucket by host for per-host series locality
+  instead). It runs after the kernel on purpose: raw html is the widest
+  column in the job, and shuffling it BEFORE the Python stage serializes a
+  full-corpus disk+memory pass; after, the exchange carries only the
+  extracted columns and its write pipelines inside the Python-bound stage
+  (r3 measured: 6.81 -> 4.67 s at local[32]/100k pages, kernel-only floor
+  4.59 s).
 - nothing aggregates globally: metrics are per-partition, checkpoints
   per-bucket; the anti-join side is ≤ n_buckets rows and broadcast.
 - resume cost is one scan-side filter (bucket pruning pushes to the reader
@@ -121,26 +127,41 @@ def run_extraction(
         if n_skipped_buckets:
             bucketed = bucketed.join(F.broadcast(done), "bucket", "left_anti")
 
-    # -- explicit partition layout: url-hash bucket + salt ---------------------
-    # When the input table is ALREADY bucket-clustered (Iceberg bucket(N,url)
-    # transform, or a bucket=NN parquet layout), the runtime shuffle is pure
-    # cost: scan splits are bucket-aligned, so skip it — at 10^12 rows this
-    # deletes a full-corpus network+disk pass. The checkpoint anti-join keeps
-    # working either way (bucket pruning pushes to the reader).
-    if input_is_bucketed:
-        arranged = bucketed
-    else:
-        arranged = salted_repartition(bucketed, num_partitions, ["bucket"], salt_mod)
-
-    # -- the one Python stage; results keep (partition_id, input_bytes,
-    # proc_seconds) as lineage columns and are stamped with run_id so every
-    # downstream audit/metric/checkpoint is scoped to THIS run
+    # -- the one Python stage runs directly on the SCAN splits; the explicit
+    # (bucket, salt) layout shuffle moves AFTER it (below). Measured r3,
+    # local[32], 100k pages, warm-vs-warm: pre-kernel html shuffle 6.81 s vs
+    # post-kernel result shuffle 4.67 s (kernel-only floor 4.59 s) — the raw
+    # html bytes are the widest thing in the job, and shuffling them before
+    # the kernel serializes a full-corpus disk+memory pass against the
+    # Python stage; shuffled AFTER, the exchange write pipelines inside the
+    # Python-bound stage (JVM threads overlap the busy workers) and carries
+    # the smaller extracted columns instead. The kernel is per-row, so its
+    # input layout is irrelevant; at 10^12 rows scan splits >> cores keeps
+    # the stage wide (below that, lower spark.sql.files.maxPartitionBytes).
+    # Results keep (partition_id, input_bytes, proc_seconds) as lineage
+    # columns and are stamped with run_id so every downstream audit/metric/
+    # checkpoint is scoped to THIS run.
     from pyspark.sql import Observation
 
     obs = Observation("extract-metrics")
     t0 = time.time()
+    extracted = extract_pages(
+        bucketed, cfg, row_idx_col=row_idx_col, n_buckets=n_buckets
+    )
+    # -- explicit partition layout: url-hash bucket + salt ---------------------
+    # Feeds the bucket-partitioned write. When the input table is ALREADY
+    # bucket-clustered (Iceberg bucket(N,url) transform, or a bucket=NN
+    # parquet layout), even this shuffle is pure cost: scan splits are
+    # bucket-aligned and the kernel preserves them, so skip it — at 10^12
+    # rows this deletes a full-corpus network+disk pass. The checkpoint
+    # anti-join keeps working either way (bucket pruning pushes to the
+    # reader).
+    if input_is_bucketed:
+        arranged = extracted
+    else:
+        arranged = salted_repartition(extracted, num_partitions, ["bucket"], salt_mod)
     results = (
-        extract_pages(arranged, cfg, row_idx_col=row_idx_col, n_buckets=n_buckets)
+        arranged
         .withColumn("run_id", F.lit(run_id))
         .observe(
             obs,

@@ -162,8 +162,16 @@ def synth_pages_df(spark: SparkSession, n_rows: int, partitions: int | None = No
     )
 
 
-def write_synth_pages(spark: SparkSession, path: str, n_rows: int) -> None:
-    synth_pages_df(spark, n_rows).write.mode("overwrite").parquet(path)
+def write_synth_pages(
+    spark: SparkSession, path: str, n_rows: int, partitions: int | None = None
+) -> None:
+    """`partitions` controls the FILE COUNT of the written table — with the
+    extraction kernel running on scan splits (no pre-kernel shuffle), single
+    row-group files are the split-width floor, so benchmarks should write at
+    least ~4-5 files per core (a real crawl table has thousands)."""
+    synth_pages_df(spark, n_rows, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 # ---------------------------------------------------------------------------
