@@ -299,16 +299,31 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         from space_launch_telemetry_analyzer_spark.queries import QUERIES
 
+        # r3: report WARM times (each query runs twice, second timed) — the
+        # first run in a session carries 2-7 s of codegen/JIT warmup that
+        # made r1-vs-r2 per-query comparisons read as phantom regressions
+        # (isolated fresh-session A/B confirmed: simhash_pairs warm 2.27 s
+        # vs the 2.86 s cold suite number). Cold times kept alongside.
         queries: dict[str, float] = {}
+        queries_cold: dict[str, float] = {}
         try:
             for name in HEADLINE:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, SF_DIR))
+                queries_cold[name] = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, SF_DIR))
                 queries[name] = round(time.perf_counter() - t0, 3)
+                # drop caches a query may have persisted (e.g. the banded
+                # minhash signatures) so later queries aren't timed under
+                # another query's storage pressure — the suspected source of
+                # r2's shared-session drift
+                spark.catalog.clearCache()
         finally:
             spark.stop()
 
         out["queries"] = queries
+        out["queries_cold"] = queries_cold
         out["extraction"] = extraction
         out["docs_per_sec"] = legs[hi_w]["docs_per_sec"]
         out["scaling_efficiency"] = full
