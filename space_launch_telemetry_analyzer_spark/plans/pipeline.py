@@ -101,9 +101,10 @@ def run_extraction(
     cfg = cfg or default_config()
     run_id = run_id or uuid.uuid4().hex[:12]
     if num_partitions is None:
-        # 5 partitions/core measured best for the Python-bound kernel stage
-        # (BENCH.md: 2/core leaves the tail of a 2-wave schedule idling
-        # cores; 2M-doc soak: 64 -> 160 partitions = 15.2k -> 17.2k docs/s)
+        # sizes the POST-KERNEL (bucket, salt) exchange feeding the
+        # partitioned write (r3: the kernel itself runs on scan splits —
+        # BENCH.md #17). 5/core keeps written files reasonably sized and the
+        # exchange tasks short; JVM-side only, so width here is cheap.
         num_partitions = spark.sparkContext.defaultParallelism * 5
 
     # Arrow batch sizing by BYTES, not rows: synthetic pages are ~3 KB but
