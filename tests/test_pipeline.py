@@ -299,3 +299,42 @@ def test_load_pages_roundtrip(spark, tmp_path_factory):
     ).write.parquet(bad)
     with pytest.raises(ValueError, match="duplicate"):
         load_pages(spark, bad, fmt="parquet")
+
+
+def test_no_exchange_below_kernel(spark, tmp_path):
+    """Plan-shape regression guard for the r3 perf change (BENCH.md #17):
+    raw html must never cross an exchange — MapInArrow sits directly on the
+    scan, and the salted (bucket, salt) layout exchange runs ABOVE it on the
+    extracted columns."""
+    import io
+    from contextlib import redirect_stdout
+
+    from space_launch_telemetry_analyzer_spark.operators.extract import extract_pages
+    from space_launch_telemetry_analyzer_spark.plans.pipeline import (
+        salted_repartition, with_bucket,
+    )
+
+    pages_path = str(tmp_path / "pages")
+    synth_pages_df(spark, 200, partitions=2).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    res = extract_pages(with_bucket(pages))
+    post = salted_repartition(
+        res.select("url", "bucket", "extracted_text", "error"), 8, ["bucket"], 4
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        post.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInArrow" in plan and "Exchange" in plan
+    # in the formatted tree, deeper operators print with MORE indentation;
+    # the kernel must be deeper (closer to the scan) than every exchange
+    tree = plan.split("== Physical Plan ==")[1].splitlines()
+    depth = {}
+    for line in tree:
+        if not line.strip() or line.startswith("("):
+            continue
+        for op in ("MapInArrow", "Exchange"):
+            if op in line:
+                depth.setdefault(op, []).append(len(line) - len(line.lstrip()))
+    assert depth["MapInArrow"] and depth["Exchange"]
+    assert min(depth["MapInArrow"]) > max(depth["Exchange"]), plan
