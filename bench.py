@@ -311,13 +311,18 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, SF_DIR))
                 queries_cold[name] = round(time.perf_counter() - t0, 3)
+                # clear BETWEEN cold and warm: queries that persist mid-plan
+                # frames (banded minhash signatures) register them with the
+                # CacheManager, which substitutes the cold run's
+                # InMemoryRelation into the warm run's identical plan — the
+                # warm number would time a cache read, not execution
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, SF_DIR))
                 queries[name] = round(time.perf_counter() - t0, 3)
-                # drop caches a query may have persisted (e.g. the banded
-                # minhash signatures) so later queries aren't timed under
-                # another query's storage pressure — the suspected source of
-                # r2's shared-session drift
+                # and again after, so later queries aren't timed under this
+                # query's storage pressure — the source of r2's
+                # shared-session drift
                 spark.catalog.clearCache()
         finally:
             spark.stop()

@@ -48,7 +48,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="sla_prof_")
     pages_path = os.path.join(tmp, "pages")
-    write_synth_pages(spark, pages_path, N)
+    # one file per core so every leg runs full-width (single-row-group
+    # files floor the scan-split width; bench does the same)
+    write_synth_pages(spark, pages_path, N, partitions=CORES)
     pages = spark.read.parquet(pages_path)
     pages.count()
 
@@ -87,6 +89,9 @@ def main():
     }
     print(json.dumps(out))
     spark.stop()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -152,10 +152,17 @@ _BANDED_CACHES: list[DataFrame] = []
 
 def release_banded_caches() -> int:
     """Unpersist every banded frame cached by minhash_lsh_candidates; returns
-    how many were released. Call after candidate pairs are materialized."""
+    how many were released. Call after candidate pairs are materialized.
+    Frames left over from a STOPPED session can't (and don't need to) be
+    unpersisted — their JVM state is gone with the session — so failures are
+    swallowed and the registry is always drained."""
     n = len(_BANDED_CACHES)
     while _BANDED_CACHES:
-        _BANDED_CACHES.pop().unpersist()
+        df = _BANDED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # stopped/stale session: storage already released with it
     return n
 
 

@@ -80,8 +80,8 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING,
     return ranks
 
 
-def pagerank_dangling(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING,
-                      checkpoint_every: int = 8) -> DataFrame:
+def pagerank_dangling(edges: DataFrame, n_iter: int = 2,
+                      damping: float = DAMPING) -> DataFrame:
     """(src, dst) edges -> (node, rank), redistributing dangling-node mass.
 
     The default a real web graph wants: pages with no out-links (a large
@@ -94,7 +94,13 @@ def pagerank_dangling(edges: DataFrame, n_iter: int = 2, damping: float = DAMPIN
         rank'(v) = (1-d)/N + d * (contribs(v) + dangling_mass / N)
 
     Same scale shape as `pagerank` (one src join + one dst shuffle per
-    iteration) plus the 1-row agg; same lineage discipline."""
+    iteration) plus the 1-row agg. Lineage discipline is STRICTER than the
+    simple variant: the previous ranks frame feeds TWO consumers per
+    iteration (dangling sum + contributions), so an unmaterialized plan
+    doubles per iteration instead of growing linearly — each iteration
+    therefore starts from an eagerly localCheckpoint'ed ranks frame (tiny:
+    one row per node), which also avoids the concurrent cache-fill race a
+    lazy persist would hit with two branches in one action."""
     edges = edges.select("src", "dst").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -107,6 +113,8 @@ def pagerank_dangling(edges: DataFrame, n_iter: int = 2, damping: float = DAMPIN
     deg = out_degrees(edges)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iter):
+        # materialize BEFORE the two consumers below read it (see docstring)
+        ranks = ranks.localCheckpoint(eager=True)
         dang = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
             .agg(
@@ -140,8 +148,6 @@ def pagerank_dangling(edges: DataFrame, n_iter: int = 2, damping: float = DAMPIN
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
     ranks = ranks.localCheckpoint(eager=True)
     edges.unpersist()
     nodes.unpersist()

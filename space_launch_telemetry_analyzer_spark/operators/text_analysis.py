@@ -343,6 +343,11 @@ def normalize_nfc(df, text_col: str = "text", out_col: str = "text_nfc"):
     import pyarrow as pa
     import unicodedata
 
+    if text_col not in df.columns:
+        # fail driver-side: Arrow's get_field_index returns -1 for unknown
+        # names, which would silently normalize the LAST column
+        raise ValueError(f"column {text_col!r} not in {df.columns}")
+
     def kernel(batches):
         for rb in batches:
             idx = rb.schema.get_field_index(text_col)

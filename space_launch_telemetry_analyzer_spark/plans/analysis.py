@@ -91,10 +91,24 @@ def metric_sweep(
 
     Scale shape: one narrow projection + explode — per-row fan-out only, no
     shuffle, no UDF; at 100 TB this pipelines inside the scan stage."""
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("double", "float", "int", "bigint", "smallint", "tinyint")
+        or f.dataType.simpleString().startswith("decimal")
+    }
     matches: list[tuple[str, str, str]] = []  # (column, series, metric)
     for col in df.columns:
         for pat in patterns:
             if col == pat or col.endswith("_" + pat):
+                if col not in numeric:
+                    # a string column matching a metric suffix would cast to
+                    # all-NULL doubles and silently corrupt downstream aggs
+                    raise TypeError(
+                        f"column {col!r} matches metric pattern {pat!r} but "
+                        f"is non-numeric ({dict(df.dtypes)[col]})"
+                    )
                 series = col[: -len(pat)].rstrip("_") or col
                 matches.append((col, series, pat))
                 break

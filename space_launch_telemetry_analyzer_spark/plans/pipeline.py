@@ -146,8 +146,22 @@ def run_extraction(
 
     obs = Observation("extract-metrics")
     t0 = time.time()
+    # width fallback: a compact input (one big file, a single-row-group
+    # ingest) can scan in fewer splits than cores, which would serialize
+    # the job's bottleneck stage — there, the OLD arrangement (pre-kernel
+    # salted repartition, no post exchange) is strictly better than a
+    # 1-core kernel. At corpus scale splits >> cores and this never fires.
+    kernel_input = bucketed
+    pre_shuffled = False
+    if not input_is_bucketed:
+        width = spark.sparkContext.defaultParallelism
+        if bucketed.rdd.getNumPartitions() < width:
+            kernel_input = salted_repartition(
+                bucketed, num_partitions, ["bucket"], salt_mod
+            )
+            pre_shuffled = True
     extracted = extract_pages(
-        bucketed, cfg, row_idx_col=row_idx_col, n_buckets=n_buckets
+        kernel_input, cfg, row_idx_col=row_idx_col, n_buckets=n_buckets
     )
     # -- explicit partition layout: url-hash bucket + salt ---------------------
     # Feeds the bucket-partitioned write. When the input table is ALREADY
@@ -157,7 +171,7 @@ def run_extraction(
     # rows this deletes a full-corpus network+disk pass. The checkpoint
     # anti-join keeps working either way (bucket pruning pushes to the
     # reader).
-    if input_is_bucketed:
+    if input_is_bucketed or pre_shuffled:
         arranged = extracted
     else:
         arranged = salted_repartition(extracted, num_partitions, ["bucket"], salt_mod)

@@ -1951,8 +1951,12 @@ def q_results_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", (F.col("doc_id") % 8).cast("int").alias("bucket")
     )
     # one subdir per sf_dir: same-input re-writes are idempotent overwrites,
-    # while a still-lazy read from a DIFFERENT sf never sees them
-    sub = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    # while a still-lazy read from a DIFFERENT sf never sees them. Keyed by
+    # a hash of the FULL path — two sf_dirs sharing a basename must not
+    # share a store
+    import hashlib
+
+    sub = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
     store = ResultStore(os.path.join(_roundtrip_scratch_dir(), sub))
     store.write_results(docs)
     back = store.read_results(spark)
@@ -2172,6 +2176,7 @@ _REGISTRY_ORDER = [
     "url_canonicalize",
     "noindex_filter",
     "validate_report",
+    "sort_series",
     "single_row_lookup",
     "flatten_results",
     "event_forms_parse",
@@ -2214,7 +2219,6 @@ _REGISTRY_ORDER = [
     "bucket_summarize",
     "sample_every_nth",
     "time_window_filter",
-    "sort_series",
     "union_compare",
     "detect_series",
     "fuel_pair_rule",

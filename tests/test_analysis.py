@@ -107,3 +107,11 @@ def test_metric_sweep_exact_name_and_no_match(spark):
     assert [(r.series, r.metric, r.value) for r in out] == [("speed", "speed", 1.0)]
     with pytest.raises(ValueError, match="no column matches"):
         metric_sweep(df, ("altitude",))
+
+
+def test_metric_sweep_rejects_non_numeric_match(spark):
+    from space_launch_telemetry_analyzer_spark.plans.analysis import metric_sweep
+
+    df = spark.createDataFrame([("high", 1.0)], "wind_speed string, alt double")
+    with pytest.raises(TypeError, match="non-numeric"):
+        metric_sweep(df, ("speed",))

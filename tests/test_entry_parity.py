@@ -107,6 +107,9 @@ def test_query_oracle_arrow_types(spark, sf_dir, duck, name):
         t = str(f.type).replace("large_string", "string").replace("large_binary", "binary")
         if t.startswith("timestamp"):
             t = "timestamp"
+        # pyarrow prints 'decimal128(26, 12)' with a space; Spark-side
+        # mapping produces 'decimal128(26,12)' — normalize before comparing
+        t = t.replace(", ", ",")
         otypes[f.name] = t
     mismatches = {c: (stypes[c], otypes.get(c))
                   for c in stypes if stypes[c] != otypes.get(c)}

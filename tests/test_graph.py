@@ -75,3 +75,12 @@ def test_pagerank_dangling_partition_invariant(spark, dangling_graph):
         for r in G.pagerank_dangling(dangling_graph.repartition(7), n_iter=2).collect()
     )
     assert a == b
+
+
+def test_pagerank_dangling_deep_iterations_bounded_plan(spark, dangling_graph):
+    """The previous ranks frame feeds two consumers per iteration; without
+    per-iteration materialization the plan doubles per iteration. 12
+    iterations must stay fast and finite (and still conserve mass)."""
+    ranks = G.pagerank_dangling(dangling_graph, n_iter=12)
+    total = sum(r.rank for r in ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-9)

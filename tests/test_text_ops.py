@@ -5,6 +5,7 @@ synthetic fixtures can't plant.)"""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from space_launch_telemetry_analyzer_spark.operators import pii
@@ -190,3 +191,13 @@ def test_normalize_nfc_composes_and_passes_through(spark):
     assert got[4] == "café"
     # input frame must NOT grow a phantom column (schema.add mutation trap)
     assert df.columns == ["doc_id", "text"]
+
+
+def test_normalize_nfc_unknown_column_raises(spark):
+    from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+        normalize_nfc,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not in"):
+        normalize_nfc(df, "txt")
