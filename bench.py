@@ -163,6 +163,44 @@ def _control_worker(pages_path: str, cores: int) -> None:
                       "docs_per_sec": round(n / wall, 1)}))
 
 
+def _control_full_chunk(htmls: list) -> list:
+    """Symmetric-control work unit: extraction WITH results shipped back."""
+    from space_launch_telemetry_analyzer_spark.operators.extract import extract_page
+    from space_launch_telemetry_analyzer_spark.rules import default_config
+
+    cfg = default_config()
+    return [extract_page(h, cfg, None) for h in htmls]
+
+
+def _control_full_worker(pages_path: str, cores: int) -> None:
+    """Symmetric no-Spark control: unlike _control_worker (which reads the
+    table OUTSIDE the timed region and discards results), this times the
+    WHOLE job a framework must do — parquet scan, fan-out, extraction, and
+    shipping the full result rows back to the parent. The Spark/control_full
+    ratio is the apples-to-apples framework-overhead number; the plain
+    control stays as the hardware-scaling ceiling."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    import pyarrow.dataset as ds
+
+    with ProcessPoolExecutor(max_workers=cores) as pool:
+        list(pool.map(_control_full_chunk, [[b"<p>warm up</p>"]] * cores * 2))
+        t0 = time.perf_counter()
+        htmls = (
+            ds.dataset(pages_path).head(N_CONTROL_PAGES, columns=["html"])
+            .column("html").to_pylist()
+        )
+        n = len(htmls)
+        chunks = [htmls[i::cores * 4] for i in range(cores * 4)]
+        results = []
+        for part in pool.map(_control_full_chunk, chunks):
+            results.extend(part)
+        wall = time.perf_counter() - t0
+    assert len(results) == n
+    print(json.dumps({"cores": cores, "n_docs": n, "wall_seconds": round(wall, 3),
+                      "docs_per_sec": round(n / wall, 1)}))
+
+
 def _run_child(mode: str, pages_path: str, cores: int) -> dict:
     import subprocess
 
@@ -275,6 +313,11 @@ def main() -> None:
         # ---- hardware control: identical kernel, no Spark ------------------
         ctrl = measure_scaling("--control-worker", pages_path, [lo_w, hi_w],
                                {lo_w: 2, hi_w: 2}, max_retries=2)
+        # symmetric control: times scan + extraction + result return — the
+        # apples-to-apples framework-overhead comparison (the plain control
+        # above stays as the pure hardware-scaling ceiling)
+        ctrl_full_legs = measure_scaling("--control-full-worker", pages_path,
+                                         [hi_w], {hi_w: 2}, max_retries=1)
 
         extraction: dict = {"n_pages": N_PAGES}
         for c in levels:
@@ -292,6 +335,14 @@ def main() -> None:
         extraction["hardware_control_efficiency"] = ctrl_full
         extraction["scaling_efficiency_vs_control"] = (
             round(full / ctrl_full, 3) if full and ctrl_full else None
+        )
+        extraction["control_full"] = {
+            f"proc{c}": ctrl_full_legs[c] for c in sorted(ctrl_full_legs)
+        }
+        # Spark throughput relative to the SYMMETRIC control at full width
+        # (both sides scan + extract + materialize results)
+        extraction["vs_control_full_throughput"] = round(
+            legs[hi_w]["docs_per_sec"] / ctrl_full_legs[hi_w]["docs_per_sec"], 3
         )
 
         # ---- headline registry queries at SF_DIR ---------------------------
@@ -347,5 +398,7 @@ if __name__ == "__main__":
         _extract_worker(sys.argv[2], int(sys.argv[3]))
     elif len(sys.argv) == 4 and sys.argv[1] == "--control-worker":
         _control_worker(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) == 4 and sys.argv[1] == "--control-full-worker":
+        _control_full_worker(sys.argv[2], int(sys.argv[3]))
     else:
         main()
