@@ -1,0 +1,120 @@
+"""WARC ingestion: framing, gzip members, HTTP payload strip, error channel,
+and the end-to-end load_warc -> extract_pages path on synthesized archives."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from space_launch_telemetry_analyzer_spark.sources import warc as W
+
+
+def _record(warc_type: str, uri: str | None, date: str, payload: bytes,
+            http: bool = True) -> bytes:
+    content = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        if http else payload
+    )
+    headers = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode()]
+    if uri is not None:
+        headers.append(b"WARC-Target-URI: " + uri.encode())
+    headers += [
+        b"WARC-Date: " + date.encode(),
+        b"Content-Length: " + str(len(content)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + content + b"\r\n\r\n"
+
+
+HTML1 = b"<html><body><p>first page content here</p></body></html>"
+HTML2 = b"<html><body><p>second page content here</p></body></html>"
+
+
+def _archive() -> bytes:
+    return (
+        _record("warcinfo", None, "2024-01-01T00:00:00Z", b"software: test", http=False)
+        + _record("request", "https://a.example/x", "2024-01-01T00:00:01Z",
+                  b"GET /x HTTP/1.1", http=False)
+        + _record("response", "https://a.example/x", "2024-01-01T00:00:01Z", HTML1)
+        + _record("response", "https://b.example/y", "2024-01-02T10:30:00Z", HTML2)
+    )
+
+
+def test_iter_records_and_page_filter():
+    pages = list(W.warc_pages(_archive()))
+    assert [p["error"] for p in pages] == [None, None]
+    assert [p["url"] for p in pages] == ["https://a.example/x", "https://b.example/y"]
+    assert pages[0]["html"] == HTML1  # HTTP headers stripped
+    assert pages[1]["warc_ts"] == "2024-01-02T10:30:00Z"
+
+
+def test_gzip_members_roundtrip():
+    # per-record gzip members concatenated — the Common Crawl layout
+    raw = _archive()
+    members = b""
+    for rec in (raw[: len(raw) // 2], raw[len(raw) // 2:]):
+        members += gzip.compress(rec)
+    # member split mid-record is fine: decompression restores the stream
+    pages = list(W.warc_pages(members))
+    assert [p["url"] for p in pages] == ["https://a.example/x", "https://b.example/y"]
+    assert pages[0]["html"] == HTML1
+
+
+def test_truncated_and_malformed_error_channel():
+    whole = _archive()
+    truncated = whole[: len(whole) - 40]
+    pages = list(W.warc_pages(truncated))
+    assert pages[-1]["error"] is not None and "truncated" in pages[-1]["error"]
+    # garbage input: one error record, no raise
+    bad = list(W.warc_pages(b"not a warc file at all"))
+    assert len(bad) == 1 and bad[0]["error"] is not None
+    # garbage WITH a header terminator fails on the version line check
+    bad2 = list(W.warc_pages(b"junk: header\r\n\r\nbody"))
+    assert len(bad2) == 1 and "WARC/" in bad2[0]["error"]
+    # response without a target URI
+    no_uri = _record("response", None, "2024-01-01T00:00:00Z", HTML1)
+    pages = list(W.warc_pages(no_uri))
+    assert pages[0]["error"] is not None and "Target-URI" in pages[0]["error"]
+
+
+def test_bare_payload_record():
+    # some writers store the payload without an HTTP envelope
+    rec = _record("response", "https://c.example/z", "2024-01-01T00:00:00Z",
+                  HTML1, http=False)
+    pages = list(W.warc_pages(rec))
+    assert pages[0]["html"] == HTML1
+
+
+def test_load_warc_end_to_end(spark, tmp_path):
+    """Two archive files (one gzipped) -> load_warc -> extract_pages: urls,
+    timestamps, and extracted text all survive; the kernel sees real bytes."""
+    from space_launch_telemetry_analyzer_spark.operators.extract import extract_pages
+    from space_launch_telemetry_analyzer_spark.sources.pages import (
+        expected_text, paragraphs_of, render_page,
+    )
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    # archive 1: synthetic golden pages (so byte-identity is checkable)
+    recs = b"".join(
+        _record("response", f"https://w.example/p/{i}",
+                f"2024-03-0{i + 1}T00:00:00Z",
+                render_page(i, paragraphs_of(i)).encode())
+        for i in range(3)
+    )
+    (d / "a.warc").write_bytes(recs)
+    (d / "b.warc.gz").write_bytes(gzip.compress(_archive()))
+
+    pages = W.load_warc(spark, str(d))
+    ok = pages.where(F.col("error").isNull())
+    assert pages.where(F.col("error").isNotNull()).count() == 0
+    assert ok.count() == 5
+    assert dict(ok.dtypes)["warc_ts"] == "timestamp"
+    assert ok.where(F.col("warc_ts") == "2024-01-02 10:30:00").count() == 1
+
+    res = extract_pages(ok.select("url", "warc_ts", "html"))
+    got = {r["url"]: r["extracted_text"] for r in res.collect()}
+    for i in range(3):
+        assert got[f"https://w.example/p/{i}"] == expected_text(i)
+    assert res.where(F.col("error").isNotNull()).count() == 0
