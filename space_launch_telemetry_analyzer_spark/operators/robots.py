@@ -1,0 +1,150 @@
+"""robots.txt exclusion: parse per-host robots bodies and filter a pages
+table by the Robots Exclusion Protocol decision rule.
+
+Companion to text_analysis.noindex_filter (meta-robots): that one reads the
+page's own html; this one applies the HOST's crawl policy — the op a crawl
+pipeline runs before fetch/extraction. Semantics are the literal-prefix
+subset of RFC 9309 (documented deviation: no `*`/`$` wildcards in rule
+paths — Common Crawl's own fetcher policy layer; wildcard rules are parsed
+but treated as literal prefixes):
+
+- group selection: consecutive `User-agent:` lines open a group; rules
+  apply to all agents of their group; if any group names the exact agent,
+  only exact groups apply, else `*` groups (RFC 9309 §2.2.1);
+- decision: the LONGEST matching rule path wins; tie -> allow; no matching
+  rule or no robots.txt for the host -> allow (§2.2.2).
+
+Everything is JVM-side (split/explode/window/agg — no UDFs): parsing a
+corpus of robots bodies is one explode + two window passes over lines, and
+the page-side decision is one broadcastable join on host (the rules table
+is tiny — one row per (host, rule)) plus a groupBy over matched rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """robots(host, body) -> (host, rule 'allow'|'disallow', prefix).
+
+    Only rules in the groups selected for `user_agent` survive (exact-name
+    groups shadow `*` groups per host). Empty-prefix Disallow lines are
+    RFC'd as allow-all and kept as zero-length allow rules (they only ever
+    lose the longest-match comparison)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("idx", "line"),
+    ).select(
+        "host", "idx",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+
+    kv = lines.select(
+        "host", "idx",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("idx")
+    blocks = kv.withColumn(
+        "new_block",
+        ((F.col("key") == "user-agent")
+         & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"))
+        .cast("int"),
+    ).withColumn("block_id", F.sum("new_block").over(w)).drop("new_block")
+
+    agents = (
+        blocks.where(F.col("key") == "user-agent")
+        .groupBy("host", "block_id")
+        .agg(
+            F.max((F.lower("value") == user_agent.lower()).cast("int")).alias("exact"),
+            F.max((F.col("value") == "*").cast("int")).alias("star"),
+        )
+    )
+    host_has_exact = agents.groupBy("host").agg(
+        F.max("exact").alias("host_exact")
+    )
+    selected = (
+        agents.join(host_has_exact, "host")
+        .where(
+            (F.col("exact") == 1)
+            | ((F.col("host_exact") == 0) & (F.col("star") == 1))
+        )
+        .select("host", "block_id")
+    )
+
+    return (
+        blocks.where(F.col("key").isin("allow", "disallow"))
+        .join(selected, ["host", "block_id"])
+        .select(
+            "host",
+            # empty Disallow == allow-all (RFC): flip it to a 0-length allow
+            F.when(
+                (F.col("key") == "disallow") & (F.col("value") == ""), F.lit("allow")
+            ).otherwise(F.col("key")).alias("rule"),
+            F.col("value").alias("prefix"),
+        )
+    )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Apply (host, rule, prefix) decisions to a pages table.
+
+    Scale shape: extract host+path at scan speed (regexp), LEFT join the
+    (tiny, broadcastable) rules table on host, longest-matching-rule
+    groupBy keyed by url — the only shuffle, keyed by the high-cardinality
+    url, so host skew cannot concentrate it. keep_blocked=True returns all
+    rows with a `robots_allowed` flag instead of filtering."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1), F.lit("")),
+        F.lit("/"),
+    )
+    keyed = pages.withColumn("__host", host).withColumn("__path", path)
+
+    matched = (
+        keyed.join(F.broadcast(rules), keyed["__host"] == rules["host"], "left")
+        .withColumn(
+            "__m",
+            F.when(
+                F.col("rule").isNotNull()
+                & F.col("__path").startswith(F.col("prefix")),
+                F.struct(
+                    F.length("prefix").alias("len"),
+                    # allow > disallow at equal length: allow sorts higher
+                    (F.col("rule") == "allow").cast("int").alias("is_allow"),
+                ),
+            ),
+        )
+    )
+    decided = matched.groupBy(url_col).agg(
+        F.max("__m").alias("__best"),
+        *[
+            F.first(c).alias(c)
+            for c in pages.columns
+            if c != url_col
+        ],
+    ).withColumn(
+        "robots_allowed",
+        F.coalesce(
+            (F.col("__best.is_allow") == 1) | F.col("__best.len").isNull(),
+            F.lit(True),
+        ),
+    ).drop("__best")
+
+    out = decided.select(*pages.columns, "robots_allowed")
+    if keep_blocked:
+        return out
+    return out.where(F.col("robots_allowed")).drop("robots_allowed")

@@ -1848,6 +1848,75 @@ SELECT doc_id, 'ship', 'g_force', CAST((doc_id * 13) % 23 AS DOUBLE) FROM docume
 """
 
 
+_ROBOTS_BODY_0 = (
+    "# crawl policy\nUser-agent: *\nDisallow: /d1/\nAllow: /d1/keep/\n"
+    "\nUser-agent: specialbot\nDisallow: /\n"
+)
+_ROBOTS_BODY_1 = "User-agent: otherbot\nDisallow: /\nUser-agent: *\nDisallow:\n"
+_ROBOTS_BODY_2 = "User-agent: otherbot\nDisallow: /\n"
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt exclusion end-to-end: per-host robots bodies (group
+    selection incl. an exact-agent group that must NOT shadow `*` for us,
+    an empty Disallow, and a host whose only group is another agent's) are
+    PARSED by the operator, then the longest-match decision runs over urls
+    spread across allowed/disallowed/tied paths. The oracle hardcodes the
+    analytically-known parse result for these fixed bodies and twins the
+    decision SQL — a parse divergence changes decisions and fails the
+    hash. Hosts h3+ have no robots.txt at all (allowed)."""
+    from .operators.robots import parse_robots_rules, robots_filter
+
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/d1/keep/p"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/d1/p"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/d"), (F.col("doc_id") % 3).cast("string"),
+                            F.lit("/p"), F.col("doc_id").cast("string")))
+    )
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    robots = spark.createDataFrame(
+        [("h0.example", _ROBOTS_BODY_0), ("h1.example", _ROBOTS_BODY_1),
+         ("h2.example", _ROBOTS_BODY_2)],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(robots)
+    return robots_filter(pages, rules, keep_blocked=True).orderBy("doc_id")
+
+
+ORACLE_ROBOTS_FILTER = """
+WITH pages AS (
+  SELECT doc_id,
+         'h' || (doc_id % 7) || '.example' AS host,
+         CASE WHEN doc_id % 5 = 0 THEN '/d1/keep/p' || doc_id
+              WHEN doc_id % 5 = 1 THEN '/d1/p' || doc_id
+              ELSE '/d' || (doc_id % 3) || '/p' || doc_id END AS path
+  FROM documents),
+rules(host, rule, prefix) AS (VALUES
+  ('h0.example', 'disallow', '/d1/'),
+  ('h0.example', 'allow', '/d1/keep/'),
+  ('h1.example', 'allow', '')),
+m AS (
+  SELECT p.doc_id, p.host, p.path, r.rule, r.prefix,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY length(r.prefix) DESC,
+                    CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC
+         ) AS rn
+  FROM pages p LEFT JOIN rules r
+    ON p.host = r.host AND starts_with(p.path, r.prefix))
+SELECT doc_id, 'https://' || host || path AS url,
+       (rule IS NULL OR rule = 'allow') AS robots_allowed
+FROM m WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def q_normalize_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opt-in NFC normalization (Arrow-batch kernel) end-to-end: every third
     doc gets a decomposed 'e + COMBINING ACUTE' suffix, which NFC composes
@@ -2070,6 +2139,7 @@ QUERIES = {
     "pagerank_dangling": q_pagerank_dangling,
     "metric_sweep": q_metric_sweep,
     "normalize_text_nfc": q_normalize_text_nfc,
+    "robots_filter": q_robots_filter,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -2142,6 +2212,7 @@ ORACLES = {
     "pagerank_dangling": ORACLE_PAGERANK_DANGLING,
     "metric_sweep": ORACLE_METRIC_SWEEP,
     "normalize_text_nfc": ORACLE_NORMALIZE_TEXT_NFC,
+    "robots_filter": ORACLE_ROBOTS_FILTER,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
 }
@@ -2172,6 +2243,7 @@ _REGISTRY_ORDER = [
     "pagerank_dangling",
     "metric_sweep",
     "normalize_text_nfc",
+    "robots_filter",
     "layout_reading_order",
     "url_canonicalize",
     "noindex_filter",
