@@ -34,8 +34,15 @@ def main() -> None:
                     help="skip the per-bucket lineage read-back: metrics come "
                          "from df.observe() on the write action (zero passes "
                          "over the output)")
-    ap.add_argument("--input-format", default="parquet", choices=["parquet", "jsonl"],
-                    help="pages input format (jsonl is coerced to PAGES_SCHEMA)")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "jsonl", "warc"],
+                    help="pages input format (jsonl is coerced to "
+                         "PAGES_SCHEMA; warc reads ISO-28500 archives, one "
+                         "task per file, malformed records dropped with a "
+                         "logged count)")
+    ap.add_argument("--decode-charset", action="store_true",
+                    help="sniff BOM/meta charset and re-encode html to "
+                         "utf-8 before extraction (non-utf8 corpora)")
     args = ap.parse_args()
 
     from space_launch_telemetry_analyzer_spark.plans.pipeline import run_extraction
@@ -47,7 +54,27 @@ def main() -> None:
     spark = get_spark(app_name="sla-extract", master=args.master)
     cfg = RuleConfig.load(args.rules) if args.rules else default_config()
     store = ResultStore(args.out, use_iceberg=False if "/" in args.out else iceberg_available(spark))
-    pages = load_pages(spark, args.pages, fmt=args.input_format)
+    if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from space_launch_telemetry_analyzer_spark.sources.warc import load_warc
+
+        raw = load_warc(spark, args.pages)
+        n_bad = raw.where(F.col("error").isNotNull()).count()
+        if n_bad:
+            print(json.dumps({"warc_error_records_dropped": n_bad}))
+        pages = raw.where(F.col("error").isNull()).select("url", "warc_ts", "html")
+    else:
+        pages = load_pages(spark, args.pages, fmt=args.input_format)
+    if args.decode_charset:
+        from pyspark.sql import functions as F
+
+        from space_launch_telemetry_analyzer_spark.operators.charset import decode_html
+
+        others = [c for c in pages.columns if c != "html"]
+        pages = decode_html(pages).select(
+            *others, F.col("html_utf8").alias("html")
+        )
     summary = run_extraction(
         spark,
         pages,
