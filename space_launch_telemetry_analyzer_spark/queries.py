@@ -1848,6 +1848,43 @@ SELECT doc_id, 'ship', 'g_force', CAST((doc_id * 13) % 23 AS DOUBLE) FROM docume
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC write -> read roundtrip, driver-verified: documents become
+    response records (HTTP envelope, per-record gzip members, one archive
+    file per partition — the Common Crawl layout) via write_warc, come back
+    through load_warc's framing/gzip/envelope-strip path, and the oracle
+    recomputes url/timestamp/byte-length/content-md5 analytically from the
+    source table — any framing, length, truncation, or byte corruption in
+    either direction fails the hash."""
+    from .sources.warc import load_warc, write_warc
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+    )
+    out = os.path.join(_roundtrip_scratch_dir(), "warc_" + __import__(
+        "hashlib").md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12])
+    write_warc(pages, out)
+    back = load_warc(spark, out)
+    return back.select(
+        "url", "warc_ts",
+        F.octet_length("html").alias("n_bytes"),
+        F.md5("html").alias("content_md5"),
+    )
+
+
+ORACLE_WARC_ROUNDTRIP = """
+SELECT 'https://w' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+       CAST(to_timestamp(1704067200 + doc_id) AS TIMESTAMP) AS warc_ts,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
 _ROBOTS_BODY_0 = (
     "# crawl policy\nUser-agent: *\nDisallow: /d1/\nAllow: /d1/keep/\n"
     "\nUser-agent: specialbot\nDisallow: /\n"
@@ -2140,6 +2177,7 @@ QUERIES = {
     "metric_sweep": q_metric_sweep,
     "normalize_text_nfc": q_normalize_text_nfc,
     "robots_filter": q_robots_filter,
+    "warc_roundtrip": q_warc_roundtrip,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -2213,6 +2251,7 @@ ORACLES = {
     "metric_sweep": ORACLE_METRIC_SWEEP,
     "normalize_text_nfc": ORACLE_NORMALIZE_TEXT_NFC,
     "robots_filter": ORACLE_ROBOTS_FILTER,
+    "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
 }
@@ -2244,6 +2283,7 @@ _REGISTRY_ORDER = [
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",
+    "warc_roundtrip",
     "layout_reading_order",
     "url_canonicalize",
     "noindex_filter",

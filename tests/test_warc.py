@@ -118,3 +118,23 @@ def test_load_warc_end_to_end(spark, tmp_path):
     for i in range(3):
         assert got[f"https://w.example/p/{i}"] == expected_text(i)
     assert res.where(F.col("error").isNotNull()).count() == 0
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """Distributed writer -> reader roundtrip: per-partition gzip archives,
+    HTTP envelope added and stripped, timestamps and bytes identical."""
+    rows = [
+        (f"https://rt.example/{i}", f"2024-05-0{i + 1}T12:00:0{i}Z", f"<p>body {i}</p>".encode())
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html binary") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts")).repartition(2)
+    out = str(tmp_path / "warcs")
+    W.write_warc(df, out)
+    import os
+    files = sorted(os.listdir(out))
+    assert len(files) == 2 and all(f.endswith(".warc.gz") for f in files)
+    back = W.load_warc(spark, out)
+    got = {r.url: (r.warc_ts.isoformat(), bytes(r.html)) for r in back.collect()}
+    want = {u: (t.replace("Z", ""), h) for u, t, h in rows}
+    assert got == want
