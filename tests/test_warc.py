@@ -138,3 +138,38 @@ def test_write_warc_roundtrip(spark, tmp_path):
     got = {r.url: (r.warc_ts.isoformat(), bytes(r.html)) for r in back.collect()}
     want = {u: (t.replace("Z", ""), h) for u, t, h in rows}
     assert got == want
+
+
+def test_warc_framing_fuzz_adversarial_payloads():
+    """Content-Length framing must survive payloads that LOOK like record
+    boundaries: embedded CRLFCRLF, fake 'WARC/1.0' headers, binary junk,
+    gzip magic. Roundtrip via the local parser: every url and payload comes
+    back byte-identical."""
+    import random
+
+    rng = random.Random(20260817)
+    payloads = []
+    for i in range(60):
+        kind = i % 5
+        if kind == 0:
+            p = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        elif kind == 1:
+            p = b"<p>x</p>\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nfake"
+        elif kind == 2:
+            p = b"\r\n\r\n" * rng.randrange(1, 5) + b"tail"
+        elif kind == 3:
+            p = b"\x1f\x8b" + bytes(rng.randrange(256) for _ in range(64))
+        else:
+            p = ("unicode φ ü " * rng.randrange(1, 20)).encode()
+        payloads.append(p)
+
+    raw = b"".join(
+        _record("response", f"https://fz.example/{i}",
+                "2024-01-01T00:00:00Z", p)
+        for i, p in enumerate(payloads)
+    )
+    pages = list(W.warc_pages(raw))
+    assert [p["error"] for p in pages] == [None] * len(payloads)
+    for i, p in enumerate(payloads):
+        assert pages[i]["url"] == f"https://fz.example/{i}"
+        assert pages[i]["html"] == p, f"payload {i} corrupted"
