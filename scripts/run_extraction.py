@@ -57,13 +57,24 @@ def main() -> None:
     if args.input_format == "warc":
         from pyspark.sql import functions as F
 
+        from space_launch_telemetry_analyzer_spark.sources.validate import (
+            validate_pages,
+        )
         from space_launch_telemetry_analyzer_spark.sources.warc import load_warc
 
         raw = load_warc(spark, args.pages)
-        n_bad = raw.where(F.col("error").isNotNull()).count()
-        if n_bad:
-            print(json.dumps({"warc_error_records_dropped": n_bad}))
-        pages = raw.where(F.col("error").isNull()).select("url", "warc_ts", "html")
+        # same PAGES_SCHEMA contract + fail-fast gate as load_pages gives
+        # parquet/jsonl inputs (url uniqueness, typed optional columns); the
+        # validation aggregate is ONE pass and also surfaces the count of
+        # malformed records dropped — no separate counting job
+        pages = raw.where(F.col("error").isNull()).select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        report = validate_pages(pages)
+        if not report.ok:
+            raise ValueError(f"WARC pages failed validation: {report.reasons()}")
     else:
         pages = load_pages(spark, args.pages, fmt=args.input_format)
     if args.decode_charset:

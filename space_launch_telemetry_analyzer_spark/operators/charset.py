@@ -13,10 +13,11 @@ in the first 2048 bytes > utf-8 fallback. Unknown labels fall back to
 utf-8-replace and are reported in the `charset` column as
 '<label>!fallback' so corpus QA can count them.
 
-One mapInArrow stage (same discipline as the NFC kernel) with a zero-copy
-fast path: bytes that already decode as utf-8 with no overriding BOM/meta
-reuse the original Arrow buffer untouched — the dominant case costs one
-validation scan and zero allocation.
+One mapInArrow stage (same discipline as the NFC kernel) with an
+output-side fast path: a batch that is entirely clean utf-8 reuses the
+original Arrow buffer as the output column (no re-encoded copy). The
+input side still materializes each value once for the BOM/meta sniff —
+the sniff reads content, so a buffer-level skip is not possible.
 """
 
 from __future__ import annotations
@@ -55,13 +56,11 @@ def decode_to_utf8(b: bytes) -> tuple[bytes, str]:
     utf-8-replace with a '!fallback' marker on the label."""
     label = sniff_charset(b)
     for bom, name in _BOMS:
-        if label == name:
-            # explicit-endian codecs don't strip the BOM themselves
-            # (utf-8-sig does, and is not in this loop's effective set
-            # because its slice is a no-op for the -sig codec — strip
-            # uniformly and decode the payload)
-            if name != "utf-8-sig":
-                b = b[len(bom):]
+        # strip only a BOM that is ACTUALLY present — a meta tag may declare
+        # utf-16 without one, and slicing then would eat real payload bytes.
+        # (utf-8-sig strips its own BOM; the explicit-endian codecs don't.)
+        if label == name and name != "utf-8-sig" and b.startswith(bom):
+            b = b[len(bom):]
             break
     if label == "utf-8":
         try:
@@ -81,7 +80,8 @@ def decode_html(
 ) -> DataFrame:
     """Adds (out_col: binary utf-8 html, charset: string). Batch-level fast
     path: a batch that is entirely clean BOM-less utf-8 reuses the original
-    Arrow buffer with zero allocation."""
+    Arrow buffer as the output column (input values are still materialized
+    once for the sniff — see module docstring)."""
     import pyarrow as pa
 
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType

@@ -102,20 +102,28 @@ def robots_filter(
 ) -> DataFrame:
     """Apply (host, rule, prefix) decisions to a pages table.
 
-    Scale shape: extract host+path at scan speed (regexp), LEFT join the
-    (tiny, broadcastable) rules table on host, longest-matching-rule
-    groupBy keyed by url — the only shuffle, keyed by the high-cardinality
-    url, so host skew cannot concentrate it. keep_blocked=True returns all
-    rows with a `robots_allowed` flag instead of filtering."""
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    Scale shape: decisions are computed over the DISTINCT (host, path)
+    set — extract host+path at scan speed (case-normalized per RFC 3986:
+    scheme and authority are case-insensitive), LEFT join the (tiny,
+    broadcastable) rules table, longest-matching-rule groupBy keyed by the
+    high-cardinality (host, path) pair — then joined back to the pages
+    rows. Row multiplicity and every page column survive untouched
+    (re-fetched duplicate urls stay duplicate rows). keep_blocked=True
+    returns all rows with a `robots_allowed` flag instead of filtering."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://([^/]+)", 1))
     path = F.coalesce(
-        F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://[^/]+(/.*)$", 1),
+            F.lit(""),
+        ),
         F.lit("/"),
     )
     keyed = pages.withColumn("__host", host).withColumn("__path", path)
+    pairs = keyed.select("__host", "__path").distinct()
 
-    matched = (
-        keyed.join(F.broadcast(rules), keyed["__host"] == rules["host"], "left")
+    norm_rules = rules.select(F.lower("host").alias("host"), "rule", "prefix")
+    decided = (
+        pairs.join(F.broadcast(norm_rules), pairs["__host"] == norm_rules["host"], "left")
         .withColumn(
             "__m",
             F.when(
@@ -128,23 +136,21 @@ def robots_filter(
                 ),
             ),
         )
+        .groupBy("__host", "__path")
+        .agg(F.max("__m").alias("__best"))
+        .withColumn(
+            "robots_allowed",
+            F.coalesce(
+                (F.col("__best.is_allow") == 1) | F.col("__best.len").isNull(),
+                F.lit(True),
+            ),
+        )
+        .select("__host", "__path", "robots_allowed")
     )
-    decided = matched.groupBy(url_col).agg(
-        F.max("__m").alias("__best"),
-        *[
-            F.first(c).alias(c)
-            for c in pages.columns
-            if c != url_col
-        ],
-    ).withColumn(
-        "robots_allowed",
-        F.coalesce(
-            (F.col("__best.is_allow") == 1) | F.col("__best.len").isNull(),
-            F.lit(True),
-        ),
-    ).drop("__best")
 
-    out = decided.select(*pages.columns, "robots_allowed")
+    out = keyed.join(decided, ["__host", "__path"]).select(
+        *pages.columns, "robots_allowed"
+    )
     if keep_blocked:
         return out
     return out.where(F.col("robots_allowed")).drop("robots_allowed")

@@ -11,55 +11,74 @@ content blocks; gzip is stdlib — no external parser needed in-sandbox).
 Scale shape: one task per WARC file via Spark's binaryFile source — the
 standard unit (a crawl is tens of thousands of ~1 GB files, so file-level
 parallelism saturates any cluster; a single file parses sequentially by
-design because gzip members chain). Records stream through one mapInPandas
-stage; malformed records go to the ERROR CHANNEL (per-record error rows),
-never task failures — same contract as the extraction kernel.
+design because gzip members chain). Memory is bounded: records STREAM out
+of an incremental reader (the gzip stream is never fully materialized —
+GzipFile decompresses on demand) and rows leave the kernel in fixed-size
+pandas chunks, so peak per-task memory is the compressed file (binaryFile
+hands it as one bytes value; note binaryFile also caps files at 2 GB) plus
+one records chunk — not compressed + decompressed + all rows at once.
+Malformed records go to the ERROR CHANNEL (per-record error rows), never
+task failures — same contract as the extraction kernel.
 """
 
 from __future__ import annotations
 
 import gzip
 import io
-from typing import Iterator
+from typing import BinaryIO, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
+_MAX_HEADER = 64 * 1024  # a sane bound; real WARC headers are < 1 KB
 
 
-def _decompress_if_gzip(raw: bytes) -> bytes:
-    """WARC files are usually per-record gzip members concatenated; GzipFile
-    reads all members. Plain (uncompressed) input passes through."""
+def _open_stream(raw: bytes) -> BinaryIO:
+    """File-like view of a WARC byte string; gzip (possibly concatenated
+    members — GzipFile reads them all, incrementally) or plain."""
+    buf = io.BytesIO(raw)
     if raw[:2] == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-    return raw
+        return gzip.GzipFile(fileobj=buf)  # type: ignore[return-value]
+    return buf
 
 
-def iter_warc_records(raw: bytes) -> Iterator[dict]:
-    """Parse a (decompressed) WARC byte stream into records.
+def _read_until_header_end(f: BinaryIO) -> bytes | None:
+    """Read up to and including CRLFCRLF; None on clean EOF before any data.
+    Leading inter-record CRLFs are skipped."""
+    chunks = bytearray()
+    while True:
+        line = f.readline()
+        if not line:
+            return bytes(chunks) if chunks else None
+        if not chunks and line in (_CRLF, b"\n"):
+            continue  # inter-record blank lines
+        chunks += line
+        if chunks.endswith(_HDR_END):
+            return bytes(chunks)
+        if len(chunks) > _MAX_HEADER:
+            return bytes(chunks)  # caller flags it as malformed
+
+
+def iter_warc_records_stream(f: BinaryIO) -> Iterator[dict]:
+    """Parse a WARC stream incrementally into records.
 
     Yields dicts: {"headers": {name_lower: value}, "content": bytes,
     "error": str | None}. A malformed header block or short content yields
-    one error record and parsing stops (the remaining bytes can't be framed
-    without a valid Content-Length)."""
-    pos = 0
-    n = len(raw)
-    while pos < n:
-        # skip inter-record CRLFs
-        while raw.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
+    one error record and parsing stops (the remaining stream can't be
+    framed without a valid Content-Length)."""
+    while True:
+        hdr = _read_until_header_end(f)
+        if hdr is None:
             return
-        hdr_end = raw.find(_HDR_END, pos)
-        if hdr_end < 0:
+        if not hdr.endswith(_HDR_END):
             yield {"headers": {}, "content": b"",
-                   "error": f"unterminated header block at byte {pos}"}
+                   "error": "unterminated or oversized header block"}
             return
-        lines = raw[pos:hdr_end].split(_CRLF)
+        lines = hdr[: -len(_HDR_END)].split(_CRLF)
         if not lines or not lines[0].startswith(b"WARC/"):
             yield {"headers": {}, "content": b"",
-                   "error": f"missing WARC/ version line at byte {pos}"}
+                   "error": "missing WARC/ version line"}
             return
         headers: dict[str, str] = {}
         for line in lines[1:]:
@@ -72,17 +91,20 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             yield {"headers": headers, "content": b"",
-                   "error": f"bad/missing Content-Length at byte {pos}"}
+                   "error": "bad/missing Content-Length"}
             return
-        body_start = hdr_end + len(_HDR_END)
-        body_end = body_start + length
-        if body_end > n:
+        content = f.read(length)
+        if len(content) < length:
             yield {"headers": headers, "content": b"",
-                   "error": f"truncated record: need {length} bytes at {body_start}"}
+                   "error": f"truncated record: wanted {length} bytes, got {len(content)}"}
             return
-        yield {"headers": headers, "content": raw[body_start:body_end],
-               "error": None}
-        pos = body_end
+        yield {"headers": headers, "content": content, "error": None}
+
+
+def iter_warc_records(raw: bytes) -> Iterator[dict]:
+    """Bytes-level convenience wrapper over iter_warc_records_stream
+    (accepts plain records; gzip handled by warc_pages/_open_stream)."""
+    return iter_warc_records_stream(io.BytesIO(raw))
 
 
 def http_body_of(content: bytes) -> bytes:
@@ -96,9 +118,10 @@ def http_body_of(content: bytes) -> bytes:
 
 
 def warc_pages(raw: bytes) -> Iterator[dict]:
-    """response-type records of one WARC file -> page dicts
-    (url, warc_ts iso string, html bytes, error)."""
-    for rec in iter_warc_records(_decompress_if_gzip(raw)):
+    """response-type records of one WARC file (plain or gzipped) -> page
+    dicts (url, warc_ts iso string, html bytes, error). Streams — the
+    decompressed archive is never held whole."""
+    for rec in iter_warc_records_stream(_open_stream(raw)):
         if rec["error"] is not None:
             yield {"url": None, "warc_ts": None, "html": None,
                    "error": rec["error"]}
@@ -115,32 +138,38 @@ def warc_pages(raw: bytes) -> Iterator[dict]:
                "html": http_body_of(rec["content"]), "error": None}
 
 
-def load_warc(spark: SparkSession, path: str) -> DataFrame:
+def load_warc(
+    spark: SparkSession, path: str, rows_per_chunk: int = 2000
+) -> DataFrame:
     """WARC file(s) -> DataFrame(url, warc_ts timestamp, html binary,
     source_file, error). One task per file (binaryFile source); records
-    stream through a single mapInPandas stage. Filter `error IS NULL`
-    before extraction; error rows carry the parse diagnostic and file."""
+    stream through a single mapInPandas stage in `rows_per_chunk`-row
+    chunks, bounding peak memory per task. Filter `error IS NULL` before
+    extraction; error rows carry the parse diagnostic and file."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
     def parse(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        def flush(rows):
+            return pd.DataFrame(rows, columns=[
+                "url", "warc_ts", "html", "source_file", "error"])
+
         for pdf in pdfs:
-            rows = {"url": [], "warc_ts": [], "html": [],
-                    "source_file": [], "error": []}
             for path_, content in zip(pdf["path"], pdf["content"]):
+                rows: list = []
                 try:
-                    pages = list(warc_pages(bytes(content)))
+                    for p in warc_pages(bytes(content)):
+                        rows.append((p["url"], p["warc_ts"], p["html"],
+                                     path_, p["error"]))
+                        if len(rows) >= rows_per_chunk:
+                            yield flush(rows)
+                            rows = []
                 except Exception as e:  # error channel, never task failure
-                    pages = [{"url": None, "warc_ts": None, "html": None,
-                              "error": f"{type(e).__name__}: {e}"}]
-                for p in pages:
-                    rows["url"].append(p["url"])
-                    rows["warc_ts"].append(p["warc_ts"])
-                    rows["html"].append(p["html"])
-                    rows["source_file"].append(path_)
-                    rows["error"].append(p["error"])
-            yield pd.DataFrame(rows)
+                    rows.append((None, None, None, path_,
+                                 f"{type(e).__name__}: {e}"))
+                if rows:
+                    yield flush(rows)
 
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
     parsed = raw.mapInPandas(
@@ -163,19 +192,36 @@ def write_warc(
     layout: a corpus is many ~independent archive files). Response records
     carry an HTTP envelope and per-record gzip members (the Common Crawl
     convention), so the output round-trips through `load_warc` and is
-    readable by any standard WARC consumer.
+    readable by any standard WARC consumer. WARC-Date is rendered in UTC
+    regardless of the session timezone; WARC-Record-IDs are proper urn:uuid
+    values, unique per record (uuid5 over url|date|partition|ordinal — so
+    re-fetches of one url get distinct ids, deterministically).
 
-    Distributed end to end: each task serializes its partition and writes
-    `part-NNNNN.warc[.gz]` directly — no driver collect, no shuffle."""
+    Distributed end to end: each task serializes its partition to a temp
+    file and renames it into place — no driver collect, no shuffle, no
+    truncated archives on task failure. Pre-existing part files in the
+    target directory are removed first so a re-run with fewer partitions
+    cannot leave a silent mix of old and new archives."""
     import os
     import uuid as _uuid
 
     from pyspark.sql import functions as F
 
     os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if stale.startswith("part-") and ".warc" in stale:
+            os.remove(os.path.join(path, stale))
+
+    # render the WARC-Date wall clock in UTC independent of session tz:
+    # to_utc_timestamp shifts the instant by the session offset so that
+    # date_format (which renders in session tz) prints the UTC wall time
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     narrow = df.select(
         F.col(url_col).alias("url"),
-        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.date_format(
+            F.to_utc_timestamp(F.col(ts_col), session_tz),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("ts"),
         F.col(html_col).cast("binary").alias("html"),
     )
 
@@ -185,17 +231,21 @@ def write_warc(
         pid = TaskContext.get().partitionId()
         suffix = ".warc.gz" if gzip_records else ".warc"
         target = os.path.join(path, f"part-{pid:05d}{suffix}")
+        tmp = target + ".inprogress"
         chunks = []
-        for row in it:
+        for i, row in enumerate(it):
             body = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
                 + (row.html or b"")
             )
+            rec_id = _uuid.uuid5(
+                _uuid.NAMESPACE_URL,
+                f"{row.url or ''}|{row.ts or ''}|{pid}|{i}",
+            )
             headers = (
                 b"WARC/1.0\r\n"
                 b"WARC-Type: response\r\n"
-                b"WARC-Record-ID: <urn:uuid:" + _uuid.uuid5(
-                    _uuid.NAMESPACE_URL, row.url or "").hex.encode() + b">\r\n"
+                b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode() + b">\r\n"
                 b"WARC-Target-URI: " + (row.url or "").encode() + b"\r\n"
                 b"WARC-Date: " + (row.ts or "").encode() + b"\r\n"
                 b"Content-Type: application/http; msgtype=response\r\n"
@@ -204,8 +254,9 @@ def write_warc(
             record = headers + body + b"\r\n\r\n"
             chunks.append(gzip.compress(record) if gzip_records else record)
         if chunks:
-            with open(target, "wb") as f:
+            with open(tmp, "wb") as f:
                 f.write(b"".join(chunks))
+            os.replace(tmp, target)
         return iter(())
 
     # mapPartitions is the sanctioned last resort here: the unit of work IS

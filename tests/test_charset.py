@@ -80,3 +80,19 @@ def test_decode_html_null_and_unknown_column(spark):
     assert row.html_utf8 is None and row.charset is None
     with pytest.raises(ValueError, match="not in"):
         C.decode_html(df, "nope")
+
+
+def test_meta_declared_utf16_without_bom_no_byte_eating():
+    """ASCII bytes whose meta tag LIES about utf-16 (no BOM present): the
+    BOM strip must be gated on actual BOM presence, not the label — the
+    decode starts at byte 0, never byte 2."""
+    raw = b'<meta charset="utf-16-le"><p>x</p>'  # ASCII bytes, lying label
+    out, label = C.decode_to_utf8(raw)
+    assert label == "utf-16-le"
+    # decoded from the FULL byte string (mojibake, but no payload loss)
+    assert out.decode() == raw.decode("utf-16-le", "replace")
+    # and genuinely utf-16 bytes without a BOM are opaque to the ASCII
+    # sniff: NUL-laced bytes are valid utf-8, passthrough is the contract
+    real16 = '<meta charset="utf-16-le"><p>x</p>'.encode("utf-16-le")
+    out2, label2 = C.decode_to_utf8(real16)
+    assert label2 == "utf-8" and out2 == real16

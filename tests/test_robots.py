@@ -100,3 +100,34 @@ def test_filter_preserves_columns_and_root_path(spark):
     rows = out.collect()
     # bare host url normalizes to path '/', blocked by Disallow: /
     assert [(r.url, r.payload) for r in rows] == [("https://ok.example/x", 8)]
+
+
+def test_filter_preserves_duplicate_urls(spark):
+    """Re-fetched urls (same url, different payloads) must stay distinct
+    rows with their own columns — the decision joins back, never collapses."""
+    rules = spark.createDataFrame(
+        [("d.example", "disallow", "/no/")], "host string, rule string, prefix string"
+    )
+    pages = spark.createDataFrame(
+        [("https://d.example/ok", 1), ("https://d.example/ok", 2),
+         ("https://d.example/no/x", 3)],
+        "url string, fetch int",
+    )
+    out = R.robots_filter(pages, rules)
+    rows = sorted((r.url, r.fetch) for r in out.collect())
+    assert rows == [("https://d.example/ok", 1), ("https://d.example/ok", 2)]
+
+
+def test_filter_case_insensitive_scheme_and_host(spark):
+    """RFC 3986: scheme and authority compare case-insensitively — an
+    uppercase url must not slip past its host's rules."""
+    rules = spark.createDataFrame(
+        [("c.example", "disallow", "/private/")],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [("HTTPS://C.Example/private/x",), ("https://c.example/public/y",)],
+        "url string",
+    )
+    kept = {r.url for r in R.robots_filter(pages, rules).collect()}
+    assert kept == {"https://c.example/public/y"}

@@ -173,3 +173,33 @@ def test_warc_framing_fuzz_adversarial_payloads():
     for i, p in enumerate(payloads):
         assert pages[i]["url"] == f"https://fz.example/{i}"
         assert pages[i]["html"] == p, f"payload {i} corrupted"
+
+
+def test_write_warc_rerun_removes_stale_parts(spark, tmp_path):
+    """A re-run with fewer partitions must not leave stale part files that
+    load_warc would silently mix into the corpus."""
+    out = str(tmp_path / "w")
+    df4 = spark.createDataFrame(
+        [(f"https://s.example/{i}", "2024-01-01T00:00:00Z", b"<p>a</p>") for i in range(8)],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    W.write_warc(df4.repartition(4), out)
+    W.write_warc(df4.limit(2).repartition(1), out)
+    back = W.load_warc(spark, out)
+    assert back.count() == 2
+
+
+def test_write_warc_record_ids_unique_and_urn_formed(spark, tmp_path):
+    """Re-fetches of one url need DISTINCT record ids (ISO 28500), in proper
+    urn:uuid form."""
+    out = str(tmp_path / "w2")
+    df = spark.createDataFrame(
+        [("https://u.example/x", "2024-01-01T00:00:00Z", b"<p>1</p>"),
+         ("https://u.example/x", "2024-01-01T00:00:00Z", b"<p>2</p>")],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    W.write_warc(df.coalesce(1), out, gzip_records=False)
+    import re
+    raw = (tmp_path / "w2" / "part-00000.warc").read_bytes()
+    ids = re.findall(rb"WARC-Record-ID: <urn:uuid:([0-9a-f\-]{36})>", raw)
+    assert len(ids) == 2 and ids[0] != ids[1]
