@@ -92,9 +92,17 @@ def _anchor_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-series: flag rows at/after the first anchor row; the flag
     survives across micro-batches via GroupState (the distributed
-    `zero_time_met`)."""
+    `zero_time_met`).
+
+    NB: applyInPandasWithState hands ONE group's micro-batch rows as
+    MULTIPLE pandas chunks (split at the Arrow batch size) in arbitrary
+    order — running state per chunk would mis-flag rows whenever the
+    anchor lands in a later chunk than earlier row_ids. Concatenate and
+    sort ONCE per (group, micro-batch); peak memory is the group's share
+    of one micro-batch, which is the operator's working set anyway."""
     met, anchor_id = state.get if state.exists else (False, None)
-    for pdf in pdfs:
+    whole = pd.concat(list(pdfs)) if not isinstance(pdfs, pd.DataFrame) else pdfs
+    for pdf in ([whole] if len(whole) else []):
         pdf = pdf.sort_values("row_id")
         zero = pdf["is_zero"].fillna(False).to_numpy(dtype=bool)
         # vectorized running state: after_anchor = carry-in OR cumulative max
@@ -186,11 +194,17 @@ def _session_fn(gap_seconds: float):
         batch everything is a vectorized diff + cumsum (no per-row Python).
         Rows are processed in series-clock order WITHIN each micro-batch;
         cross-batch disorder is the stream's usual contract (bound it
-        upstream with a watermark + sorted sink if arrival order matters)."""
+        upstream with a watermark + sorted sink if arrival order matters).
+
+        NB: one group's micro-batch rows arrive as MULTIPLE pandas chunks
+        (Arrow batch splits) in arbitrary order — per-chunk running state
+        would merge/split sessions at chunk seams. Concatenate + sort once
+        per (group, micro-batch); see _anchor_fn."""
         import numpy as np
 
         last_ts, last_session = (state.get if state.exists else (None, -1))
-        for pdf in pdfs:
+        whole = pd.concat(list(pdfs)) if not isinstance(pdfs, pd.DataFrame) else pdfs
+        for pdf in ([whole] if len(whole) else []):
             pdf = pdf.sort_values(["ts", "row_id"])
             ts = pdf["ts"].to_numpy(dtype=float)
             prev = np.concatenate(([last_ts if last_ts is not None else -np.inf], ts[:-1]))

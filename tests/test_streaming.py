@@ -215,3 +215,72 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     # semantic spot checks: rows 3+4 share a session ACROSS the file
     # boundary; row 5's 395 s gap opens a new one
     assert got[3] == got[4] and got[5] == got[4] + 1 and got[1] == got[2]
+
+
+def test_stateful_fns_survive_multichunk_groups(spark, tmp_path):
+    """applyInPandasWithState splits one group's micro-batch rows into
+    multiple pandas chunks at the Arrow batch size; state must be computed
+    over the WHOLE group, not per chunk. With 4-row chunks and the anchor
+    at row 30 of 40, per-chunk state would flag rows 1-29 after_anchor
+    whenever their chunk follows the anchor's."""
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_anchor_flags, stream_sessionize,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        in_path = tmp_path / "ev"
+        in_path.mkdir()
+        # SCRAMBLED: the anchor's chunk precedes chunks holding earlier
+        # row_ids, which is exactly where per-chunk state mis-flags
+        order = list(range(30, 41)) + list(range(1, 30))
+        rows = [("s1", i, i == 30) for i in order]
+        spark.createDataFrame(
+            rows, "series string, row_id long, is_zero boolean"
+        ).coalesce(1).write.parquet(str(in_path / "f1"))
+        stream = (
+            spark.readStream.schema("series string, row_id long, is_zero boolean")
+            .parquet(str(in_path / "*"))
+        )
+        q = (
+            stream_anchor_flags(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(timeout=120)
+        got = {r.row_id: (r.is_anchor, r.after_anchor)
+               for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert len(got) == 40
+        for i in range(1, 41):
+            assert got[i] == (i == 30, i >= 30), (i, got[i])
+
+        # sessionize: ts ascending with one gap at row 25; 4-row chunks
+        ev_path = tmp_path / "sess"
+        ev_path.mkdir()
+        sess_rows = [("u1", i, i * 10.0 + (1000.0 if i >= 25 else 0.0))
+                     for i in (list(range(25, 41)) + list(range(1, 25)))]
+        spark.createDataFrame(sess_rows, "series string, row_id long, ts double") \
+            .coalesce(1).write.parquet(str(ev_path / "f1"))
+        q2 = (
+            stream_sessionize(
+                spark.readStream.schema("series string, row_id long, ts double")
+                .parquet(str(ev_path / "*")),
+                gap_seconds=30.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sout"))
+            .option("checkpointLocation", str(tmp_path / "scp"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q2.awaitTermination(timeout=120)
+        sids = {r.row_id: r.session_id
+                for r in spark.read.parquet(str(tmp_path / "sout")).collect()}
+        assert len(sids) == 40
+        assert len({sids[i] for i in range(1, 25)}) == 1
+        assert len({sids[i] for i in range(25, 41)}) == 1
+        assert sids[24] != sids[25]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
