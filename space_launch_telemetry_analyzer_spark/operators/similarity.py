@@ -65,9 +65,20 @@ def brute_force_topk(
 
 # --- LSH-bucketed ANN ---------------------------------------------------------
 def _hyperplane_weight(b: int, d: int) -> int:
-    """Deterministic pseudo-random integer weight for hyperplane b, dim d —
-    a fixed LCG-style mix, no RNG state, identical everywhere."""
-    return ((b * 2654435761 + d * 40503) % 13) - 6
+    """Deterministic pseudo-random integer weight in [-6, 6] for hyperplane
+    b, dim d — a 64-bit multiplicative mix (murmur-finalizer style), no RNG
+    state, identical everywhere (the SQL oracles embed the same values as
+    literals). NB: the previous `(b*K1 + d*K2) % 13` form was a structured
+    congruence: bit b and bit b+13 produced BYTE-IDENTICAL hyperplanes (13
+    distinct planes total), capping buckets at 2^13 however many bits
+    bits_for requested — a silent quadratic-bucket blowup past ~2M vectors.
+    Mixing to 64 bits BEFORE the small-range reduction leaves every (b, d)
+    pair independent."""
+    h = (b * 0x9E3779B97F4A7C15 + d * 0xC2B2AE3D27D4EB4F) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    return (h % 13) - 6
 
 
 def bits_for(n_vectors: int, target_bucket: int = 256, min_bits: int = 4,

@@ -184,3 +184,20 @@ def test_kmeans_lloyd_drops_empty_clusters(spark):
     )
     cents = S.kmeans_lloyd(df, "vec_id", "vec", seeds, "centroid_id", "cvec", n_iter=1)
     assert [r.centroid_id for r in cents.collect()] == [0]
+
+
+def test_hyperplane_weights_have_no_small_period():
+    """The weight mix must yield genuinely distinct hyperplanes — the old
+    `(...) % 13` congruence made bit b and b+13 byte-identical, capping
+    distinct buckets at 2^13 regardless of bits_for's sizing."""
+    from space_launch_telemetry_analyzer_spark.operators.similarity import (
+        _hyperplane_weight as w,
+    )
+
+    planes = [tuple(w(b, d) for d in range(128)) for b in range(64)]
+    assert len(set(planes)) == 64
+    # and dims must not repeat with a tiny period within one plane
+    for b in (0, 7, 31):
+        row = [w(b, d) for d in range(128)]
+        for period in (13, 26):
+            assert row[:128 - period] != row[period:], (b, period)
