@@ -182,6 +182,13 @@ def minhash_lsh_candidates(
     so no skew; distinct() collapses pairs found in several bands.
     """
     rows_per_band = num_hashes // bands
+    # degenerate docs (NULL or whitespace-only text) all hash to ONE
+    # constant signature — at corpus scale millions of them land in a
+    # single band bucket and the self-join goes quadratic. They cannot be
+    # NEAR-duplicates of anything meaningful; collapse them with
+    # exact_dedup instead (and at corpus scale run exact_dedup FIRST so
+    # mass-duplicated boilerplate pages don't concentrate buckets either).
+    df = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     sig = (
         df.select(F.col(id_col).alias("id"), token_hash_col(F.col(text_col)).alias("th"))
         .select("id", shingle_hash_col(F.col("th"), shingle_k).alias("sh"))
@@ -500,13 +507,22 @@ _BIT_RANGE = _np.arange(64, dtype=_np.uint64)
 _simhash_udf = None  # built lazily: pandas_udf needs an active session
 
 
+_SIMHASH_CHUNK = 65_536  # caps the per-doc vote matrix at ~32 MB
+
+
 def _simhash_kernel(hashes: _pd.Series) -> _pd.Series:
     out = _np.zeros(len(hashes), dtype=_np.uint64)
     for i, hs in enumerate(hashes):
         if hs is None or len(hs) == 0:
             continue
         h = _np.asarray(hs, dtype=_np.int64).astype(_np.uint64)
-        ones = ((h[:, None] >> _BIT_RANGE) & 1).sum(axis=0)  # per-bit 1-votes
+        # chunked vote fold: the n_tokens x 64 matrix is 512 B/token, so a
+        # pathological multi-million-token doc would OOM the worker if
+        # folded in one shot — accumulate per-bit counts in bounded slices
+        ones = _np.zeros(64, dtype=_np.int64)
+        for j in range(0, len(h), _SIMHASH_CHUNK):
+            hc = h[j:j + _SIMHASH_CHUNK]
+            ones += ((hc[:, None] >> _BIT_RANGE) & 1).sum(axis=0).astype(_np.int64)
         bits = (2 * ones > len(h)).astype(_np.uint64)  # sign of ±1 vote sum
         out[i] = (bits << _BIT_RANGE).sum()
     return _pd.Series(out.astype(_np.int64))
@@ -532,6 +548,9 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole: any
     pair within Hamming distance 3 shares at least one exact chunk), then
     verify Hamming distance. One equi-join shuffle on (chunk_id, chunk)."""
+    # degenerate docs all get sig 0 (Hamming 0 to each other) — same
+    # constant-bucket quadratic risk as in minhash_lsh_candidates; exclude
+    df = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
     chunked = sig.select(
         "id", "sig",

@@ -243,3 +243,38 @@ def test_minhash_checkpoint_pairs_releases_banded_cache(spark, corpus):
     # the banded signature cache itself is gone
     added = storage_ids() - before
     assert len(added) <= 1, f"banded cache leaked: {len(added)} new entries"
+
+
+def test_minhash_and_simhash_exclude_degenerate_docs(spark):
+    """NULL / whitespace-only docs all share one constant signature — a
+    corpus with millions of them would put them in a single band bucket
+    (quadratic join). They are excluded from near-dup candidate generation;
+    exact_dedup is the right tool for them."""
+    rows = [(1, None), (2, ""), (3, "   "), (4, BASE), (5, BASE + " tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = D.minhash_lsh_candidates(df, "doc_id", "text", persist_banded=False)
+    ids = {r.id_a for r in mh.collect()} | {r.id_b for r in mh.collect()}
+    assert ids <= {4, 5}
+    sh = D.simhash_candidates(df, "doc_id", "text")
+    ids2 = {r.id_a for r in sh.collect()} | {r.id_b for r in sh.collect()}
+    assert ids2 <= {4, 5}
+
+
+def test_simhash_huge_doc_bounded(spark):
+    """A multi-hundred-thousand-token doc folds in bounded chunks (no
+    n_tokens x 64 full matrix) and still matches the unchunked result."""
+    import numpy as np
+
+    from space_launch_telemetry_analyzer_spark.operators.dedup import (
+        _BIT_RANGE, _simhash_kernel,
+    )
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    hs = rng.integers(-(2**62), 2**62, size=300_000).tolist()
+    got = int(_simhash_kernel(pd.Series([hs])).iloc[0])
+    h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+    ones = ((h[:, None] >> _BIT_RANGE) & 1).sum(axis=0)
+    bits = (2 * ones > len(h)).astype(np.uint64)
+    want = int((bits << _BIT_RANGE).sum().astype(np.int64))
+    assert got == want
