@@ -180,13 +180,21 @@ def parse_blocks(html_text: str) -> list[Block]:
             continue
 
         if tag == "a":
-            a_depth = max(0, a_depth - 1) if closing else a_depth + 1
+            # HTML5: an <a> start tag implicitly closes any open <a> (they
+            # cannot nest), so open == depth 1, not +1
+            a_depth = 0 if closing else 1
             continue
         if tag == "br":
             emit_text("\n")
             continue
         if tag in VOID_TAGS or tag not in BLOCK_TAGS:
             continue
+
+        # a block boundary ends any unclosed <a>: carrying anchor state
+        # across blocks (one missing </a> in a nav — ubiquitous malformed
+        # HTML) would count the REST OF THE PAGE as link chars and classify
+        # every later block non-content (silent total content loss)
+        a_depth = 0
 
         if not closing:
             cm = _CLASS_RE.search(m[4])

@@ -357,3 +357,24 @@ def test_kernel_matches_local_function_on_random_soup(spark):
         assert g["error"] == want["error"], url
         assert (g["speed"], g["altitude"]) == (want["speed"], want["altitude"]), url
         assert len(g["spans"]) == len(want["spans"]), url
+
+
+def test_unclosed_anchor_does_not_poison_rest_of_page(spark):
+    """One missing </a> in the nav (ubiquitous malformed HTML) must not mark
+    the whole remaining page as link text: HTML5 closes an open <a> at
+    block boundaries, so the article still extracts."""
+    from space_launch_telemetry_analyzer_spark.operators.extract import extract_page
+    from space_launch_telemetry_analyzer_spark.rules import default_config
+
+    article = ("this is a long and genuinely contentful paragraph with many "
+               "plain words that should classify as article content " * 3).strip()
+    html = (
+        "<html><body>"
+        '<nav><a href="/home">Home'  # <- never closed
+        f"</nav><main><article><p>{article}</p>"
+        f"<p>{article}</p></article></main>"
+        "</body></html>"
+    ).encode()
+    res = extract_page(html, default_config(), None)
+    assert res["error"] is None
+    assert article in (res["extracted_text"] or "")
