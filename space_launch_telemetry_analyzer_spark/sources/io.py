@@ -54,19 +54,28 @@ class ResultStore:
     def checkpoints_path(self) -> str:
         return os.path.join(self.root, "checkpoints")
 
-    # -- results: bucket-partitioned, overwrite-per-bucket (idempotent) ------
+    # -- results: (run_id?, bucket)-partitioned, overwrite-per-partition -----
     def write_results(self, df: DataFrame) -> None:
         """Dynamic partition overwrite: re-running a bucket replaces exactly
         that bucket's partition — the exactly-once-per-bucket contract the
-        checkpoint/resume logic relies on."""
+        checkpoint/resume logic relies on.
+
+        When the frame carries run_id it leads the partition spec, so two
+        runs sharing one store root own DISJOINT partitions: run B
+        re-writing bucket 17 replaces only (run_id=B, bucket=17), never run
+        A's rows — and every run_id-scoped read-back (audit, metrics)
+        partition-prunes instead of scanning other runs. (Partitioning only
+        by bucket would let dynamic overwrite silently destroy a sibling
+        run's bucket while its checkpoint still marks it complete.)"""
         if self.use_iceberg:
             df.writeTo(self._tbl("results")).overwritePartitions()
             return
+        parts = (["run_id"] if "run_id" in df.columns else []) + ["bucket"]
         spark = df.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            df.write.mode("overwrite").partitionBy("bucket").parquet(self.results_path)
+            df.write.mode("overwrite").partitionBy(*parts).parquet(self.results_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

@@ -338,3 +338,22 @@ def test_no_exchange_below_kernel(spark, tmp_path):
                 depth.setdefault(op, []).append(len(line) - len(line.lstrip()))
     assert depth["MapInArrow"] and depth["Exchange"]
     assert min(depth["MapInArrow"]) > max(depth["Exchange"]), plan
+
+
+def test_shared_store_runs_do_not_destroy_each_other(spark, tmp_path):
+    """Two runs sharing one store root: run B's dynamic overwrite must
+    replace only ITS OWN (run_id, bucket) partitions — previously a
+    bucket-only partition spec let B silently delete A's rows while A's
+    checkpoint still marked them complete."""
+    from space_launch_telemetry_analyzer_spark.plans.pipeline import run_extraction
+    from space_launch_telemetry_analyzer_spark.sources.io import ResultStore
+
+    store = ResultStore(str(tmp_path / "store"))
+    pages = synth_pages_df(spark, 120, partitions=2)
+    run_extraction(spark, pages, store, run_id="runA", audit=False)
+    run_extraction(spark, pages.limit(40), store, run_id="runB", audit=False)
+
+    back = store.read_results(spark)
+    counts = {r.run_id: r.c for r in
+              back.groupBy("run_id").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"runA": 120, "runB": 40}
