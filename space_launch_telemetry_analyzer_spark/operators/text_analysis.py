@@ -112,11 +112,14 @@ def quality_score(text: Column) -> Column:
 def chunk_tokens(text: Column, chunk_size: int = 50, stride: int = 40) -> Column:
     """Tokenizer-ready chunking for training-data prep: overlapping windows
     of whitespace tokens, re-joined with single spaces. n_chunks =
-    1 + floor(max(n - chunk_size, 0) / stride); a short doc is one chunk.
-    Array-of-structs (chunk_idx, chunk_text) — explode downstream."""
+    1 + ceil(max(n - chunk_size, 0) / stride) — CEIL so the final partial
+    window always exists and no document tail is dropped (floor silently
+    excluded up to stride-1 trailing tokens of every doc — often the
+    conclusion). A short doc is one chunk. Array-of-structs
+    (chunk_idx, chunk_text) — explode downstream."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    n_chunks = F.lit(1) + F.floor(
+    n_chunks = F.lit(1) + F.ceil(
         F.greatest(n - F.lit(chunk_size), F.lit(0)) / F.lit(stride)
     ).cast("int")
     return F.transform(
@@ -177,7 +180,10 @@ def normalize_text(text: Column) -> Column:
     applied here — Spark has no built-in NFC and a per-row Python pass is
     the slow path; corpora needing it should normalize at ingest. Pure JVM
     regexp chain, ANSI twin in the oracle."""
-    s = F.regexp_replace(text, r"[\t\n\r\f\v]", " ")
+    # NB: spelled \x0B, not \v — Java's \v means VERTICAL WHITESPACE (incl.
+    # U+0085 NEL and U+2028/29) while RE2's (the oracle's) means only \x0B;
+    # the explicit byte keeps both engines in the common subset
+    s = F.regexp_replace(text, r"[\t\n\r\f\x0B]", " ")
     s = F.regexp_replace(s, r"[\x00-\x08\x0e-\x1f\x7f]", "")
     s = F.regexp_replace(s, r" {2,}", " ")
     return F.trim(s)

@@ -1428,7 +1428,7 @@ WITH t AS (
   FROM documents),
 e AS (
   SELECT doc_id, toks,
-         unnest(range(0, 1 + CAST(floor(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS i
+         unnest(range(0, 1 + CAST(ceil(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS i
   FROM t)
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text
@@ -2097,7 +2097,7 @@ WITH src AS (
   FROM documents)
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(regexp_replace(t,
-           '[\t\n\r\f\v]', ' ', 'g'),
+           '[\t\n\r\f\x0B]', ' ', 'g'),
            '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
            ' {2,}', ' ', 'g')) AS norm_text
 FROM src

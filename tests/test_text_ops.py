@@ -201,3 +201,42 @@ def test_normalize_nfc_unknown_column_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="not in"):
         normalize_nfc(df, "txt")
+
+
+def test_chunk_tokens_covers_every_token(spark):
+    """n=100, chunk=50, stride=40: chunks must cover tokens 1-100 — the
+    floor form dropped tokens 91-100 (the doc tail) from every chunk."""
+    text = " ".join(f"t{i}" for i in range(1, 101))
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = df.select(
+        F.explode(ta.chunk_tokens(F.col("text"), 50, 40)).alias("c")
+    ).select("c.chunk_idx", "c.chunk_text").collect()
+    covered = set()
+    for r in rows:
+        covered |= set(r.chunk_text.split())
+    assert covered == {f"t{i}" for i in range(1, 101)}
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    assert rows[2].chunk_text.split()[-1] == "t100"
+
+
+def test_normalize_text_vertical_tab_cross_engine(spark):
+    """Java's \\v matches all vertical whitespace (incl. U+0085 NEL,
+    U+2028/29) while the oracle's RE2 \\v matches only \\x0B — the class
+    is spelled with the explicit byte so both engines agree. A NEL
+    character must pass through UNCHANGED on both sides (it is not a C0
+    control and not in the spelled class)."""
+    import duckdb
+
+    vt = chr(0x0B)
+    nel = chr(0x85)
+    text = "ab" + vt + "cd " + nel + " ef"
+    got = spark.createDataFrame([(text,)], "t string").select(
+        ta.normalize_text(F.col("t")).alias("n")
+    ).first()["n"]
+    want = duckdb.execute(
+        "SELECT trim(regexp_replace(regexp_replace(regexp_replace(?, "
+        "'[\\t\\n\\r\\f\\x0B]', ' ', 'g'), "
+        "'[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'), "
+        "' {2,}', ' ', 'g'))", [text]
+    ).fetchone()[0]
+    assert got == want == "ab cd " + nel + " ef"
