@@ -44,14 +44,18 @@ def redact_text(text: Column) -> Column:
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds `redacted_text` plus per-category counts (`n_email`, `n_ip`,
-    `n_phone`) and the total `n_redacted`. Counts are computed on the
-    PRE-redaction text so categories don't see each other's placeholder
-    tokens."""
-    text = F.col(text_col)
-    counts = {name: match_count(text, pattern) for name, pattern, _ in _RULES}
-    out = df.withColumn("redacted_text", redact_text(text))
+    `n_phone`) and the total `n_redacted`. Each category is counted on the
+    text AS THE PRECEDING RULES LEFT IT — i.e. counts equal replacements
+    actually performed, so `n_redacted` == placeholder tokens inserted.
+    (Counting every category on the original text over-reports: a phone
+    pattern inside an address the email rule already consumed would be
+    counted without ever being redacted.)"""
+    cur = F.col(text_col)
+    out = df
     total = None
-    for name, c in counts.items():
+    for name, pattern, token in _RULES:
+        c = match_count(cur, pattern)
         out = out.withColumn(f"n_{name}", c)
         total = c if total is None else total + c
-    return out.withColumn("n_redacted", total)
+        cur = F.regexp_replace(cur, pattern, token)
+    return out.withColumn("redacted_text", cur).withColumn("n_redacted", total)

@@ -1517,11 +1517,23 @@ SELECT doc_id,
            '{_PII_IP}', '<IP>', 'g'),
            '{_PII_PHONE}', '<PHONE>', 'g') AS redacted_text,
        CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ip,
-       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(
+           regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}')) AS INT) AS n_phone,
        CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
-          + len(regexp_extract_all(text, '{_PII_IP}'))
-          + len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_redacted
+          + len(regexp_extract_all(
+                regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IP}'))
+          + len(regexp_extract_all(
+                regexp_replace(regexp_replace(text,
+                    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PII_IP}', '<IP>', 'g'),
+                '{_PII_PHONE}')) AS INT) AS n_redacted
 FROM src
 """
 

@@ -164,8 +164,8 @@ def test_large_pages(spark, tmp_path_factory):
     res = store.read_results(spark)
     joined = res.join(df.select("url", "text"), "url")
     assert joined.where(F.col("extracted_text") != F.col("text")).count() == 0
-    # adaptive sizing picked a smaller batch for fat rows
-    assert int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")) < 8192
+    # the input-derived batch sizing is scoped to the run, not the session
+    assert int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")) == 8192
 
 
 def test_bucket_uniformity(spark, pages):
@@ -357,3 +357,17 @@ def test_shared_store_runs_do_not_destroy_each_other(spark, tmp_path):
     counts = {r.run_id: r.c for r in
               back.groupBy("run_id").agg(F.count("*").alias("c")).collect()}
     assert counts == {"runA": 120, "runB": 40}
+
+
+def test_run_extraction_restores_arrow_batch_conf(spark, tmp_path):
+    """The input-derived Arrow batch sizing must not leak into the session:
+    a later mapInArrow stage over much larger rows would inherit a wrong
+    batch size, and concurrent runs would race on the conf."""
+    from space_launch_telemetry_analyzer_spark.plans.pipeline import run_extraction
+    from space_launch_telemetry_analyzer_spark.sources.io import ResultStore
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    store = ResultStore(str(tmp_path / "store"))
+    run_extraction(spark, synth_pages_df(spark, 60, partitions=2), store, audit=False)
+    assert spark.conf.get(key) == before

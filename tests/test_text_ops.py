@@ -36,16 +36,17 @@ def test_redact_clean_and_empty_text(spark):
     assert rows[2].n_redacted == 0
 
 
-def test_redact_counts_use_pre_redaction_text(spark):
-    # an email whose domain part contains digits-with-dots must count as ONE
-    # email, not later as an IP (the <EMAIL> token hides it from the IP rule)
+def test_redact_counts_follow_sequential_redaction(spark):
+    # an email whose domain part contains digits-with-dots counts as ONE
+    # email and ZERO ips: the email rule consumes the whole address before
+    # the IP rule ever sees the text, and counts report replacements
+    # actually performed (n_redacted == tokens inserted)
     df = spark.createDataFrame([(1, "u@10.0.0.1.example.com end")], "id long, text string")
     row = pii.redact_pii(df).first()
     assert row.n_email == 1
-    # the email rule runs first and consumes the whole address
     assert row.redacted_text == "<EMAIL> end"
-    # counts come from the original text: the IP substring IS counted there
-    assert row.n_ip == 1
+    assert row.n_ip == 0
+    assert row.n_redacted == 1
 
 
 def test_redact_cross_engine_fuzz(spark):
@@ -240,3 +241,14 @@ def test_normalize_text_vertical_tab_cross_engine(spark):
         "' {2,}', ' ', 'g'))", [text]
     ).fetchone()[0]
     assert got == want == "ab cd " + nel + " ef"
+
+
+def test_pii_counts_equal_actual_replacements(spark):
+    """A phone-looking span already consumed by the email rule must not be
+    counted: n_redacted == placeholder tokens actually inserted."""
+    txt = "call +1 555-0100@ex.com now"  # email rule eats the digits
+    df = spark.createDataFrame([(txt,)], "text string")
+    r = pii.redact_pii(df).first()
+    n_tokens = sum(r.redacted_text.count(t) for t in ("<EMAIL>", "<IP>", "<PHONE>"))
+    assert r.n_redacted == n_tokens
+    assert r.n_email == 1 and r.n_phone == 0
