@@ -252,3 +252,44 @@ def test_pii_counts_equal_actual_replacements(spark):
     n_tokens = sum(r.redacted_text.count(t) for t in ("<EMAIL>", "<IP>", "<PHONE>"))
     assert r.n_redacted == n_tokens
     assert r.n_email == 1 and r.n_phone == 0
+
+
+def test_canonicalize_and_normalize_idempotent(spark):
+    """The defining property of a canonicalizer/normalizer: applying it
+    twice equals applying it once — over a seeded soup of urls and texts."""
+    import random
+
+    rng = random.Random(20260817)
+    schemes = ["http", "https", "HTTP", "Https"]
+    hosts = ["Ex.Com", "a.b.c", "X9.example", "UPPER.ORG", "h-h.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/p%20q", "/x/y/z", "/._~-"]
+    queries = ["", "?b=2&a=1", "?z=9", "?a=1&a=1", "?b&a"]
+    frags = ["", "#frag", "#x/y"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(80)
+    ]
+
+    from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+        canonicalize_urls, normalize_text,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_urls(df, "url").select(
+        F.col("canonical_url").alias("url")
+    )
+    twice = canonicalize_urls(once, "url")
+    bad = twice.where(F.col("url") != F.col("canonical_url")).collect()
+    assert not bad, [(r.url, r.canonical_url) for r in bad[:3]]
+
+    texts = [
+        "a\tb\n\nc", "  x  y  ", "", "one", "\x01ctl\x1f", "a  b   c",
+        "tab\t\ttab", "mix \r\n of\fthings", "\x0bvt",
+    ]
+    tdf = spark.createDataFrame([(t,) for t in texts], "t string")
+    n1 = tdf.select(normalize_text(F.col("t")).alias("t"))
+    n2 = n1.select(F.col("t").alias("orig"), normalize_text(F.col("t")).alias("t2"))
+    bad2 = n2.where(F.col("orig") != F.col("t2")).collect()
+    assert not bad2, bad2[:3]
