@@ -3,21 +3,32 @@ table by the Robots Exclusion Protocol decision rule.
 
 Companion to text_analysis.noindex_filter (meta-robots): that one reads the
 page's own html; this one applies the HOST's crawl policy — the op a crawl
-pipeline runs before fetch/extraction. Semantics are the literal-prefix
-subset of RFC 9309 (documented deviation: no `*`/`$` wildcards in rule
-paths — Common Crawl's own fetcher policy layer; wildcard rules are parsed
-but treated as literal prefixes):
+pipeline runs before fetch/extraction. Semantics follow RFC 9309 including
+the `*` / trailing-`$` wildcard extensions (§2.2.3) that real robots.txt
+files use constantly (`Disallow: /*?`, `Disallow: /*.pdf$`):
 
 - group selection: consecutive `User-agent:` lines open a group; rules
   apply to all agents of their group; if any group names the exact agent,
   only exact groups apply, else `*` groups (RFC 9309 §2.2.1);
-- decision: the LONGEST matching rule path wins; tie -> allow; no matching
-  rule or no robots.txt for the host -> allow (§2.2.2).
+- matching: `*` in a rule path matches any character run; a trailing `$`
+  anchors the rule to the end of the path; every other character is
+  literal (a non-trailing `$` is literal);
+- decision: the MOST SPECIFIC matching rule wins, specificity = count of
+  literal (non-wildcard) octets in the rule path; tie -> allow; no
+  matching rule or no robots.txt for the host -> allow (§2.2.2).
+- NULL or unparseable urls yield no host, match no rules, and are
+  therefore allowed — the row survives with robots_allowed=true (the
+  row-multiplicity contract holds for them too).
 
 Everything is JVM-side (split/explode/window/agg — no UDFs): parsing a
 corpus of robots bodies is one explode + two window passes over lines, and
 the page-side decision is one broadcastable join on host (the rules table
 is tiny — one row per (host, rule)) plus a groupBy over matched rules.
+Wildcard rules compile to anchored Java regexes ONCE per rule row at plan
+build (pure column exprs); literal rules keep the `startswith` fast path,
+so the common all-literal host never pays a regex. Known deviation:
+percent-encoding equivalence (§2.2.2's normalization) is not applied —
+paths and rules compare as the octets the table carries.
 """
 
 from __future__ import annotations
@@ -94,6 +105,35 @@ def parse_robots_rules(
     )
 
 
+def compile_rule_patterns(rules: DataFrame) -> DataFrame:
+    """Annotate a (host, rule, prefix) table with wildcard-match columns.
+
+    Adds (pure column exprs, evaluated once per rule row):
+    - `__wild`     — rule path contains `*` or ends with the `$` anchor;
+    - `__pattern`  — anchored Java regex for wild rules (`*` -> `.*`, all
+      regex metachars escaped, trailing `$` -> end anchor), NULL otherwise;
+    - `__lit_len`  — RFC 9309 §2.2.2 specificity: count of literal octets
+      (rule path length minus `*`s and the trailing anchor, if any).
+    """
+    ends_anchor = F.col("prefix").endswith("$")
+    body = F.when(
+        ends_anchor, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    # escape every Java-regex metachar EXCEPT `*` (translated below)
+    escaped = F.regexp_replace(body, r"[\\^$.|?+(){}\[\]]", r"\\$0")
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(escaped, r"\*+", ".*"),  # runs of * collapse to one .*
+        F.when(ends_anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+    wild = F.col("prefix").contains("*") | ends_anchor
+    return (
+        rules.withColumn("__wild", wild)
+        .withColumn("__pattern", F.when(wild, pattern))
+        .withColumn("__lit_len", F.length(F.regexp_replace(body, r"\*", "")))
+    )
+
+
 def robots_filter(
     pages: DataFrame,
     rules: DataFrame,
@@ -105,12 +145,22 @@ def robots_filter(
     Scale shape: decisions are computed over the DISTINCT (host, path)
     set — extract host+path at scan speed (case-normalized per RFC 3986:
     scheme and authority are case-insensitive), LEFT join the (tiny,
-    broadcastable) rules table, longest-matching-rule groupBy keyed by the
-    high-cardinality (host, path) pair — then joined back to the pages
-    rows. Row multiplicity and every page column survive untouched
-    (re-fetched duplicate urls stay duplicate rows). keep_blocked=True
-    returns all rows with a `robots_allowed` flag instead of filtering."""
-    host = F.lower(F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://([^/]+)", 1))
+    broadcastable) rules table, most-specific-matching-rule groupBy keyed
+    by the high-cardinality (host, path) pair — then joined back to the
+    pages rows. Row multiplicity and every page column survive untouched
+    (re-fetched duplicate urls stay duplicate rows; NULL/unparseable urls
+    survive as allowed). Literal rules match via `startswith`; wildcard
+    rules via their compiled anchored regex (see compile_rule_patterns).
+    keep_blocked=True returns all rows with a `robots_allowed` flag
+    instead of filtering."""
+    # NULL url -> NULL host from regexp_extract; coalesce to "" so the
+    # (host, path) keys are never NULL (NULL keys would vanish in the
+    # join-back, silently dropping rows). "" matches no rule host -> allow,
+    # identical to the malformed-url case where regexp_extract yields "".
+    host = F.coalesce(
+        F.lower(F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://([^/]+)", 1)),
+        F.lit(""),
+    )
     path = F.coalesce(
         F.nullif(
             F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://[^/]+(/.*)$", 1),
@@ -121,17 +171,21 @@ def robots_filter(
     keyed = pages.withColumn("__host", host).withColumn("__path", path)
     pairs = keyed.select("__host", "__path").distinct()
 
-    norm_rules = rules.select(F.lower("host").alias("host"), "rule", "prefix")
+    norm_rules = compile_rule_patterns(
+        rules.select(F.lower("host").alias("host"), "rule", "prefix")
+    )
+    matches = F.when(
+        F.col("__wild"), F.regexp_like(F.col("__path"), F.col("__pattern"))
+    ).otherwise(F.col("__path").startswith(F.col("prefix")))
     decided = (
         pairs.join(F.broadcast(norm_rules), pairs["__host"] == norm_rules["host"], "left")
         .withColumn(
             "__m",
             F.when(
-                F.col("rule").isNotNull()
-                & F.col("__path").startswith(F.col("prefix")),
+                F.col("rule").isNotNull() & matches,
                 F.struct(
-                    F.length("prefix").alias("len"),
-                    # allow > disallow at equal length: allow sorts higher
+                    F.col("__lit_len").alias("len"),
+                    # allow > disallow at equal specificity: allow sorts higher
                     (F.col("rule") == "allow").cast("int").alias("is_allow"),
                 ),
             ),

@@ -1903,24 +1903,38 @@ _ROBOTS_BODY_0 = (
 )
 _ROBOTS_BODY_1 = "User-agent: otherbot\nDisallow: /\nUser-agent: *\nDisallow:\n"
 _ROBOTS_BODY_2 = "User-agent: otherbot\nDisallow: /\n"
+_ROBOTS_BODY_3 = "User-agent: *\nDisallow: /*.pdf$\nAllow: /files/keep*\n"
+_ROBOTS_BODY_4 = "User-agent: *\nDisallow: /*?\nDisallow: /d2/\n"
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt exclusion end-to-end: per-host robots bodies (group
     selection incl. an exact-agent group that must NOT shadow `*` for us,
-    an empty Disallow, and a host whose only group is another agent's) are
-    PARSED by the operator, then the longest-match decision runs over urls
-    spread across allowed/disallowed/tied paths. The oracle hardcodes the
-    analytically-known parse result for these fixed bodies and twins the
-    decision SQL — a parse divergence changes decisions and fails the
-    hash. Hosts h3+ have no robots.txt at all (allowed)."""
+    an empty Disallow, a host whose only group is another agent's, and the
+    RFC 9309 §2.2.3 wildcard forms `/*.pdf$` / `/*?` / trailing-`*` that
+    real crawls hit constantly) are PARSED by the operator, then the
+    most-specific-match decision runs over urls spread across allowed/
+    disallowed/tied/wildcard paths (.pdf endings, query strings, a
+    keep-prefix that outranks the pdf block by literal count). The oracle
+    hardcodes the analytically-known parse result — incl. the compiled
+    regex per wildcard rule and its literal-octet specificity — and twins
+    the decision SQL; a parse or wildcard-translation divergence changes
+    decisions and fails the hash. Hosts h5+ have no robots.txt (allowed)."""
     from .operators.robots import parse_robots_rules, robots_filter
 
     docs = load(spark, sf_dir, "documents")
     host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
     path = (
-        F.when(F.col("doc_id") % 5 == 0,
-               F.concat(F.lit("/d1/keep/p"), F.col("doc_id").cast("string")))
+        F.when(F.col("doc_id") % 11 == 2,
+               F.concat(F.lit("/files/p"), F.col("doc_id").cast("string"),
+                        F.lit(".pdf")))
+        .when(F.col("doc_id") % 11 == 3,
+              F.concat(F.lit("/p"), F.col("doc_id").cast("string"), F.lit("?q=1")))
+        .when(F.col("doc_id") % 11 == 4,
+              F.concat(F.lit("/files/keepp"), F.col("doc_id").cast("string"),
+                       F.lit(".pdf")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(F.lit("/d1/keep/p"), F.col("doc_id").cast("string")))
         .when(F.col("doc_id") % 5 == 1,
               F.concat(F.lit("/d1/p"), F.col("doc_id").cast("string")))
         .otherwise(F.concat(F.lit("/d"), (F.col("doc_id") % 3).cast("string"),
@@ -1931,7 +1945,8 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = spark.createDataFrame(
         [("h0.example", _ROBOTS_BODY_0), ("h1.example", _ROBOTS_BODY_1),
-         ("h2.example", _ROBOTS_BODY_2)],
+         ("h2.example", _ROBOTS_BODY_2), ("h3.example", _ROBOTS_BODY_3),
+         ("h4.example", _ROBOTS_BODY_4)],
         "host string, body string",
     )
     rules = parse_robots_rules(robots)
@@ -1942,23 +1957,32 @@ ORACLE_ROBOTS_FILTER = """
 WITH pages AS (
   SELECT doc_id,
          'h' || (doc_id % 7) || '.example' AS host,
-         CASE WHEN doc_id % 5 = 0 THEN '/d1/keep/p' || doc_id
+         CASE WHEN doc_id % 11 = 2 THEN '/files/p' || doc_id || '.pdf'
+              WHEN doc_id % 11 = 3 THEN '/p' || doc_id || '?q=1'
+              WHEN doc_id % 11 = 4 THEN '/files/keepp' || doc_id || '.pdf'
+              WHEN doc_id % 5 = 0 THEN '/d1/keep/p' || doc_id
               WHEN doc_id % 5 = 1 THEN '/d1/p' || doc_id
               ELSE '/d' || (doc_id % 3) || '/p' || doc_id END AS path
   FROM documents),
-rules(host, rule, prefix) AS (VALUES
-  ('h0.example', 'disallow', '/d1/'),
-  ('h0.example', 'allow', '/d1/keep/'),
-  ('h1.example', 'allow', '')),
+rules(host, rule, prefix, pattern, lit_len) AS (VALUES
+  ('h0.example', 'disallow', '/d1/', NULL, 4),
+  ('h0.example', 'allow', '/d1/keep/', NULL, 9),
+  ('h1.example', 'allow', '', NULL, 0),
+  ('h3.example', 'disallow', '/*.pdf$', '^/.*\\.pdf$', 5),
+  ('h3.example', 'allow', '/files/keep*', '^/files/keep.*', 11),
+  ('h4.example', 'disallow', '/*?', '^/.*\\?', 2),
+  ('h4.example', 'disallow', '/d2/', NULL, 4)),
 m AS (
   SELECT p.doc_id, p.host, p.path, r.rule, r.prefix,
          row_number() OVER (
            PARTITION BY p.doc_id
-           ORDER BY length(r.prefix) DESC,
+           ORDER BY r.lit_len DESC,
                     CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC
          ) AS rn
   FROM pages p LEFT JOIN rules r
-    ON p.host = r.host AND starts_with(p.path, r.prefix))
+    ON p.host = r.host
+   AND CASE WHEN r.pattern IS NOT NULL THEN regexp_matches(p.path, r.pattern)
+            ELSE starts_with(p.path, r.prefix) END)
 SELECT doc_id, 'https://' || host || path AS url,
        (rule IS NULL OR rule = 'allow') AS robots_allowed
 FROM m WHERE rn = 1

@@ -118,6 +118,110 @@ def test_filter_preserves_duplicate_urls(spark):
     assert rows == [("https://d.example/ok", 1), ("https://d.example/ok", 2)]
 
 
+def test_filter_wildcard_star_and_anchor(spark):
+    """RFC 9309 §2.2.3 wildcard examples: `*` matches any run, trailing
+    `$` anchors at end, a non-trailing `$` is literal."""
+    rules = spark.createDataFrame(
+        [
+            ("w.example", "disallow", "/*.pdf$"),   # any .pdf, end-anchored
+            ("w.example", "disallow", "/p*?"),      # query-string on /p...
+            ("w.example", "allow", "/pdfs/"),       # literal, len 6
+            ("q.example", "disallow", "/fish*"),    # trailing * == prefix
+            ("q.example", "disallow", "/a$b"),      # mid-path $ is literal
+        ],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://w.example/doc.pdf",),          # blocked by /*.pdf$
+            ("https://w.example/doc.pdfx",),         # NOT end-anchored match
+            ("https://w.example/a/b/deep.pdf",),     # * spans slashes
+            ("https://w.example/page?x=1",),         # blocked by /p*?
+            ("https://w.example/pdfs/doc.pdf",),     # allow(6 lits) vs disallow(5) -> allowed
+            ("https://q.example/fishheads/x",),      # /fish* prefix
+            ("https://q.example/a$b/c",),            # literal $ matches
+            ("https://q.example/ab/c",),             # literal $ must NOT vanish
+        ],
+        "url string",
+    )
+    out = R.robots_filter(pages, rules, keep_blocked=True)
+    got = {r.url: r.robots_allowed for r in out.collect()}
+    assert got == {
+        "https://w.example/doc.pdf": False,
+        "https://w.example/doc.pdfx": True,
+        "https://w.example/a/b/deep.pdf": False,
+        "https://w.example/page?x=1": False,
+        "https://w.example/pdfs/doc.pdf": True,
+        "https://q.example/fishheads/x": False,
+        "https://q.example/a$b/c": False,
+        "https://q.example/ab/c": True,
+    }
+
+
+def test_filter_wildcard_specificity_is_literal_count(spark):
+    """Specificity counts literal octets only: `/x*abc` (4 literals) loses
+    to the 5-literal `/x/ab`; star runs collapse so `/x**y` == `/x*y`."""
+    rules = spark.createDataFrame(
+        [
+            ("s.example", "disallow", "/x/ab"),
+            ("s.example", "allow", "/x*abc"),
+            ("s.example", "disallow", "/x**y"),
+        ],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [("https://s.example/x/abc",), ("https://s.example/x123y",)],
+        "url string",
+    )
+    got = {
+        r.url: r.robots_allowed
+        for r in R.robots_filter(pages, rules, keep_blocked=True).collect()
+    }
+    # /x/abc: allow /x*abc has 5 literals == disallow /x/ab's 5 -> tie -> allow
+    assert got["https://s.example/x/abc"] is True
+    assert got["https://s.example/x123y"] is False
+
+
+def test_filter_regex_metachars_in_rule_are_literal(spark):
+    """Rule paths with regex metachars (., +, (), []) must match literally
+    once the rule is wild — `.` must not become match-any."""
+    rules = spark.createDataFrame(
+        [("m.example", "disallow", "/a.b(c)[d]+*")],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [("https://m.example/a.b(c)[d]+e",), ("https://m.example/aXb(c)[d]+e",)],
+        "url string",
+    )
+    got = {
+        r.url: r.robots_allowed
+        for r in R.robots_filter(pages, rules, keep_blocked=True).collect()
+    }
+    assert got["https://m.example/a.b(c)[d]+e"] is False
+    assert got["https://m.example/aXb(c)[d]+e"] is True
+
+
+def test_filter_null_and_malformed_urls_survive_as_allowed(spark):
+    """NULL or unparseable urls carry no host, match no rules, and must
+    survive with robots_allowed=true — never be dropped by the join-back."""
+    rules = spark.createDataFrame(
+        [("n.example", "disallow", "/")], "host string, rule string, prefix string"
+    )
+    pages = spark.createDataFrame(
+        [(None, 1), ("not-a-url", 2), ("https://n.example/x", 3)],
+        "url string, payload int",
+    )
+    out = R.robots_filter(pages, rules, keep_blocked=True)
+    got = {r.payload: (r.url, r.robots_allowed) for r in out.collect()}
+    assert got == {
+        1: (None, True),
+        2: ("not-a-url", True),
+        3: ("https://n.example/x", False),
+    }
+    kept = {r.payload for r in R.robots_filter(pages, rules).collect()}
+    assert kept == {1, 2}
+
+
 def test_filter_case_insensitive_scheme_and_host(spark):
     """RFC 3986: scheme and authority compare case-insensitively — an
     uppercase url must not slip past its host's rules."""
