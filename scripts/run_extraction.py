@@ -41,8 +41,9 @@ def main() -> None:
                          "task per file, malformed records dropped with a "
                          "logged count)")
     ap.add_argument("--decode-charset", action="store_true",
-                    help="sniff BOM/meta charset and re-encode html to "
-                         "utf-8 before extraction (non-utf8 corpora)")
+                    help="sniff charset (BOM > HTTP header label for WARC "
+                         "input > meta tag) and re-encode html to utf-8 "
+                         "before extraction (non-utf8 corpora)")
     args = ap.parse_args()
 
     from space_launch_telemetry_analyzer_spark.plans.pipeline import run_extraction
@@ -71,10 +72,19 @@ def main() -> None:
             "url", "warc_ts", "html",
             F.lit(None).cast("string").alias("text"),
             F.lit(None).cast("string").alias("lang"),
+            "http_charset",  # HTTP header label, consumed by --decode-charset
         )
-        report = validate_pages(pages)
+        # re-fetches of one url are routine in real crawl archives: dup
+        # urls WARN instead of failing (parquet/jsonl inputs keep the
+        # strict gate via load_pages). Dedupe to newest capture with
+        # operators.sampling.latest_capture downstream if needed.
+        report = validate_pages(pages, require_unique_url=False)
         if not report.ok:
             raise ValueError(f"WARC pages failed validation: {report.reasons()}")
+        if report.n_dup_url:
+            print(f"warning: {report.n_dup_url} duplicate urls in WARC input "
+                  "(kept; dedupe with latest_capture if unintended)",
+                  file=sys.stderr)
     else:
         pages = load_pages(spark, args.pages, fmt=args.input_format)
     if args.decode_charset:
@@ -82,10 +92,16 @@ def main() -> None:
 
         from space_launch_telemetry_analyzer_spark.operators.charset import decode_html
 
-        others = [c for c in pages.columns if c != "html"]
-        pages = decode_html(pages).select(
+        # WARC inputs carry the HTTP Content-Type charset label — WHATWG
+        # ranks it above in-document <meta>, so honor it when present
+        hdr_col = "http_charset" if "http_charset" in pages.columns else None
+        others = [c for c in pages.columns
+                  if c not in ("html", "http_charset")]
+        pages = decode_html(pages, header_charset_col=hdr_col).select(
             *others, F.col("html_utf8").alias("html")
         )
+    elif "http_charset" in pages.columns:
+        pages = pages.drop("http_charset")
     summary = run_extraction(
         spark,
         pages,

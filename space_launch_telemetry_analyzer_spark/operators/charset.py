@@ -8,10 +8,12 @@ opt-in pre-pass normalizes everything to utf-8 bytes BEFORE extraction:
     pages -> decode_html(pages) -> extract_pages(..., html_col='html_utf8')
 
 Sniffing order (WHATWG-encoding-style, simplified): BOM (utf-8-sig,
-utf-16/32 LE/BE) > `<meta charset=...>` / `<meta http-equiv ...charset=...>`
-in the first 2048 bytes > utf-8 fallback. Unknown labels fall back to
-utf-8-replace and are reported in the `charset` column as
-'<label>!fallback' so corpus QA can count them.
+utf-16/32 LE/BE) > HTTP `Content-Type: ...; charset=` header label (when
+the source carries one — load_warc emits it as `http_charset`; pass the
+column via decode_html(header_charset_col=...)) > `<meta charset=...>` /
+`<meta http-equiv ...charset=...>` in the first 2048 bytes > utf-8
+fallback. Unknown labels fall back to utf-8-replace and are reported in
+the `charset` column as '<label>!fallback' so corpus QA can count them.
 
 One mapInArrow stage (same discipline as the NFC kernel) with an
 output-side fast path: a batch that is entirely clean utf-8 reuses the
@@ -40,21 +42,25 @@ _META_RE = re.compile(
 )
 
 
-def sniff_charset(b: bytes) -> str:
-    """Best-effort charset label for an html byte string."""
+def sniff_charset(b: bytes, header_charset: str | None = None) -> str:
+    """Best-effort charset label for an html byte string. `header_charset`
+    is the transport-level label (HTTP Content-Type header) — WHATWG ranks
+    it above in-document meta but below an actual BOM."""
     for bom, name in _BOMS:
         if b.startswith(bom):
             return name
+    if header_charset:
+        return header_charset.strip().lower()
     m = _META_RE.search(b[:2048])
     if m:
         return m.group(1).decode("ascii", "ignore").lower()
     return "utf-8"
 
 
-def decode_to_utf8(b: bytes) -> tuple[bytes, str]:
+def decode_to_utf8(b: bytes, header_charset: str | None = None) -> tuple[bytes, str]:
     """(utf-8 bytes, charset label used). Unknown/failed labels fall back to
     utf-8-replace with a '!fallback' marker on the label."""
-    label = sniff_charset(b)
+    label = sniff_charset(b, header_charset)
     for bom, name in _BOMS:
         # strip only a BOM that is ACTUALLY present — a meta tag may declare
         # utf-16 without one, and slicing then would eat real payload bytes.
@@ -76,33 +82,46 @@ def decode_to_utf8(b: bytes) -> tuple[bytes, str]:
 
 
 def decode_html(
-    df: DataFrame, html_col: str = "html", out_col: str = "html_utf8"
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "html_utf8",
+    header_charset_col: str | None = None,
 ) -> DataFrame:
     """Adds (out_col: binary utf-8 html, charset: string). Batch-level fast
     path: a batch that is entirely clean BOM-less utf-8 reuses the original
     Arrow buffer as the output column (input values are still materialized
-    once for the sniff — see module docstring)."""
+    once for the sniff — see module docstring). `header_charset_col` names
+    an optional per-row transport charset label column (load_warc's
+    `http_charset`) honored above in-document meta, below a BOM."""
     import pyarrow as pa
 
     from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
     if html_col not in df.columns:
         raise ValueError(f"column {html_col!r} not in {df.columns}")
+    if header_charset_col is not None and header_charset_col not in df.columns:
+        raise ValueError(f"column {header_charset_col!r} not in {df.columns}")
 
     def kernel(batches):
         for rb in batches:
             idx = rb.schema.get_field_index(html_col)
             col = rb.column(idx)
             vals = col.to_pylist()
+            if header_charset_col is not None:
+                hints = rb.column(
+                    rb.schema.get_field_index(header_charset_col)
+                ).to_pylist()
+            else:
+                hints = [None] * len(vals)
             decoded: list[bytes | None] = []
             labels: list[str | None] = []
             clean = True
-            for v in vals:
+            for v, hint in zip(vals, hints):
                 if v is None:
                     decoded.append(None)
                     labels.append(None)
                     continue
-                out, label = decode_to_utf8(v)
+                out, label = decode_to_utf8(v, hint)
                 clean = clean and label == "utf-8"
                 decoded.append(out)
                 labels.append(label)

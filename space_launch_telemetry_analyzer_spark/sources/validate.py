@@ -62,8 +62,12 @@ def validate_pages(pages: DataFrame, require_unique_url: bool = True) -> Validat
 
     row = validation_agg(pages).first()
 
-    n_dup = int(row["dups"]) if require_unique_url else 0
-    ok = not schema_errors and row["n"] > 0 and row["null_url"] == 0 and n_dup == 0
+    # the dup count is always REPORTED (callers warn on it); with
+    # require_unique_url=False it just stops failing `ok` — real crawl
+    # archives legitimately carry re-fetches of one url
+    n_dup = int(row["dups"])
+    ok = (not schema_errors and row["n"] > 0 and row["null_url"] == 0
+          and (n_dup == 0 or not require_unique_url))
     return ValidationReport(
         ok=bool(ok),
         n_rows=int(row["n"]),

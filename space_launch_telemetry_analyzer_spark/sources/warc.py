@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from typing import BinaryIO, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -117,14 +118,36 @@ def http_body_of(content: bytes) -> bytes:
     return content
 
 
+_HTTP_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def http_charset_of(content: bytes) -> str | None:
+    """Charset label from the HTTP `Content-Type: ...; charset=X` header of
+    an application/http response record, lowercased; None when the record
+    has no HTTP envelope or the header names none. WHATWG ranks this ABOVE
+    in-document `<meta charset>` (operators.charset honors that order)."""
+    split = content.find(_HDR_END)
+    if split < 0 or content[:5] != b"HTTP/":
+        return None
+    for line in content[:split].split(_CRLF)[1:]:
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"content-type":
+            m = _HTTP_CHARSET_RE.search(v)
+            if m:
+                return m.group(1).decode("ascii", "ignore").lower()
+    return None
+
+
 def warc_pages(raw: bytes) -> Iterator[dict]:
     """response-type records of one WARC file (plain or gzipped) -> page
-    dicts (url, warc_ts iso string, html bytes, error). Streams — the
-    decompressed archive is never held whole."""
+    dicts (url, warc_ts iso string, html bytes, http_charset, error).
+    Streams — the decompressed archive is never held whole."""
     for rec in iter_warc_records_stream(_open_stream(raw)):
         if rec["error"] is not None:
             yield {"url": None, "warc_ts": None, "html": None,
-                   "error": rec["error"]}
+                   "http_charset": None, "error": rec["error"]}
             continue
         h = rec["headers"]
         if h.get("warc-type") != "response":
@@ -132,20 +155,25 @@ def warc_pages(raw: bytes) -> Iterator[dict]:
         url = h.get("warc-target-uri")
         if not url:
             yield {"url": None, "warc_ts": None, "html": None,
+                   "http_charset": None,
                    "error": "response record without WARC-Target-URI"}
             continue
         yield {"url": url, "warc_ts": h.get("warc-date"),
-               "html": http_body_of(rec["content"]), "error": None}
+               "html": http_body_of(rec["content"]),
+               "http_charset": http_charset_of(rec["content"]), "error": None}
 
 
 def load_warc(
     spark: SparkSession, path: str, rows_per_chunk: int = 2000
 ) -> DataFrame:
     """WARC file(s) -> DataFrame(url, warc_ts timestamp, html binary,
-    source_file, error). One task per file (binaryFile source); records
-    stream through a single mapInPandas stage in `rows_per_chunk`-row
-    chunks, bounding peak memory per task. Filter `error IS NULL` before
-    extraction; error rows carry the parse diagnostic and file."""
+    http_charset, source_file, error). One task per file (binaryFile
+    source); records stream through a single mapInPandas stage in
+    `rows_per_chunk`-row chunks, bounding peak memory per task. Filter
+    `error IS NULL` before extraction; error rows carry the parse
+    diagnostic and file. `http_charset` is the HTTP Content-Type header's
+    charset label (ranked above `<meta charset>` by WHATWG — pass it to
+    operators.charset.decode_html via header_charset_col)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -153,7 +181,8 @@ def load_warc(
     def parse(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         def flush(rows):
             return pd.DataFrame(rows, columns=[
-                "url", "warc_ts", "html", "source_file", "error"])
+                "url", "warc_ts", "html", "http_charset", "source_file",
+                "error"])
 
         for pdf in pdfs:
             for path_, content in zip(pdf["path"], pdf["content"]):
@@ -161,12 +190,12 @@ def load_warc(
                 try:
                     for p in warc_pages(bytes(content)):
                         rows.append((p["url"], p["warc_ts"], p["html"],
-                                     path_, p["error"]))
+                                     p["http_charset"], path_, p["error"]))
                         if len(rows) >= rows_per_chunk:
                             yield flush(rows)
                             rows = []
                 except Exception as e:  # error channel, never task failure
-                    rows.append((None, None, None, path_,
+                    rows.append((None, None, None, None, path_,
                                  f"{type(e).__name__}: {e}"))
                 if rows:
                     yield flush(rows)
@@ -175,7 +204,7 @@ def load_warc(
     parsed = raw.mapInPandas(
         parse,
         schema="url string, warc_ts string, html binary, "
-               "source_file string, error string",
+               "http_charset string, source_file string, error string",
     )
     return parsed.withColumn("warc_ts", F.to_timestamp("warc_ts"))
 
@@ -197,11 +226,18 @@ def write_warc(
     values, unique per record (uuid5 over url|date|partition|ordinal — so
     re-fetches of one url get distinct ids, deterministically).
 
-    Distributed end to end: each task serializes its partition to a temp
-    file and renames it into place — no driver collect, no shuffle, no
-    truncated archives on task failure. Pre-existing part files in the
-    target directory are removed first so a re-run with fewer partitions
-    cannot leave a silent mix of old and new archives."""
+    Distributed end to end: each task STREAMS its partition's records to a
+    temp file as they are produced (peak task memory = one record, not the
+    partition) and renames it into place — no driver collect, no shuffle,
+    no truncated archives on task failure. The temp name carries the task
+    ATTEMPT id, so speculative/retried attempts of one partition never
+    clobber each other's in-progress file; the atomic rename makes
+    last-finisher-wins safe (both attempts serialize identical content).
+    Pre-existing part files in the target directory are removed first so a
+    re-run with fewer partitions cannot leave a silent mix of old and new
+    archives. NOTE: `path` must be a filesystem shared between driver and
+    executors (local mode, NFS, or a fuse mount) — this writer opens plain
+    files; for object stores, write parquet via ResultStore instead."""
     import os
     import uuid as _uuid
 
@@ -228,35 +264,44 @@ def write_warc(
     def write_partition(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         suffix = ".warc.gz" if gzip_records else ".warc"
         target = os.path.join(path, f"part-{pid:05d}{suffix}")
-        tmp = target + ".inprogress"
-        chunks = []
-        for i, row in enumerate(it):
-            body = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                + (row.html or b"")
-            )
-            rec_id = _uuid.uuid5(
-                _uuid.NAMESPACE_URL,
-                f"{row.url or ''}|{row.ts or ''}|{pid}|{i}",
-            )
-            headers = (
-                b"WARC/1.0\r\n"
-                b"WARC-Type: response\r\n"
-                b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode() + b">\r\n"
-                b"WARC-Target-URI: " + (row.url or "").encode() + b"\r\n"
-                b"WARC-Date: " + (row.ts or "").encode() + b"\r\n"
-                b"Content-Type: application/http; msgtype=response\r\n"
-                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
-            )
-            record = headers + body + b"\r\n\r\n"
-            chunks.append(gzip.compress(record) if gzip_records else record)
-        if chunks:
-            with open(tmp, "wb") as f:
-                f.write(b"".join(chunks))
-            os.replace(tmp, target)
+        tmp = f"{target}.inprogress-{ctx.taskAttemptId()}"
+        f = None
+        try:
+            for i, row in enumerate(it):
+                body = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + (row.html or b"")
+                )
+                rec_id = _uuid.uuid5(
+                    _uuid.NAMESPACE_URL,
+                    f"{row.url or ''}|{row.ts or ''}|{pid}|{i}",
+                )
+                headers = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode() + b">\r\n"
+                    b"WARC-Target-URI: " + (row.url or "").encode() + b"\r\n"
+                    b"WARC-Date: " + (row.ts or "").encode() + b"\r\n"
+                    b"Content-Type: application/http; msgtype=response\r\n"
+                    b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+                )
+                record = headers + body + b"\r\n\r\n"
+                if f is None:  # empty partitions write no file
+                    f = open(tmp, "wb")
+                f.write(gzip.compress(record) if gzip_records else record)
+            if f is not None:
+                f.close()
+                f = None
+                os.replace(tmp, target)
+        finally:
+            if f is not None:  # failed mid-write: drop the partial temp
+                f.close()
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         return iter(())
 
     # mapPartitions is the sanctioned last resort here: the unit of work IS

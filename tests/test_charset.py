@@ -96,3 +96,39 @@ def test_meta_declared_utf16_without_bom_no_byte_eating():
     real16 = '<meta charset="utf-16-le"><p>x</p>'.encode("utf-16-le")
     out2, label2 = C.decode_to_utf8(real16)
     assert label2 == "utf-8" and out2 == real16
+
+
+def test_header_charset_precedence():
+    """WHATWG order: BOM > HTTP header label > meta > utf-8 default."""
+    meta_1251 = '<meta charset="windows-1251"><p>café</p>'.encode("latin-1")
+    # header beats meta
+    assert C.sniff_charset(meta_1251, "iso-8859-1") == "iso-8859-1"
+    # BOM beats header
+    bom16 = codecs.BOM_UTF16_LE + "<p>x</p>".encode("utf-16-le")
+    assert C.sniff_charset(bom16, "windows-1251") == "utf-16-le"
+    # header alone (no meta, no BOM)
+    assert C.sniff_charset(b"<p>plain</p>", "KOI8-R") == "koi8-r"
+    # empty/None header -> meta still wins
+    assert C.sniff_charset(meta_1251, None) == "windows-1251"
+    assert C.sniff_charset(meta_1251, "") == "windows-1251"
+    # decode honors the header label
+    ru = "<p>Привет</p>".encode("cp1251")
+    out, label = C.decode_to_utf8(ru, "windows-1251")
+    assert out.decode() == "<p>Привет</p>" and label == "windows-1251"
+
+
+def test_decode_html_header_charset_col(spark):
+    """Per-row header labels: a cp1251 page with NO meta/BOM decodes right
+    only via the header column; rows with NULL hint keep the sniff path."""
+    ru_html = "<html><body><p>Привет, мир</p></body></html>"
+    rows = [
+        ("https://hc.example/ru", ru_html.encode("cp1251"), "windows-1251"),
+        ("https://hc.example/plain", b"<p>ascii</p>", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, http_charset string")
+    dec = C.decode_html(df, header_charset_col="http_charset")
+    got = {r.url: (bytes(r.html_utf8), r.charset) for r in dec.collect()}
+    assert got["https://hc.example/ru"] == (ru_html.encode(), "windows-1251")
+    assert got["https://hc.example/plain"] == (b"<p>ascii</p>", "utf-8")
+    with pytest.raises(ValueError, match="not in"):
+        C.decode_html(df, header_charset_col="nope")

@@ -203,3 +203,54 @@ def test_write_warc_record_ids_unique_and_urn_formed(spark, tmp_path):
     raw = (tmp_path / "w2" / "part-00000.warc").read_bytes()
     ids = re.findall(rb"WARC-Record-ID: <urn:uuid:([0-9a-f\-]{36})>", raw)
     assert len(ids) == 2 and ids[0] != ids[1]
+
+
+def test_http_charset_of():
+    """Charset label from the HTTP Content-Type header; None when absent
+    or the record has no HTTP envelope."""
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=Windows-1251\r\n\r\nx"
+    assert W.http_charset_of(body) == "windows-1251"
+    quoted = b'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="UTF-8"\r\n\r\nx'
+    assert W.http_charset_of(quoted) == "utf-8"
+    assert W.http_charset_of(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx") is None
+    assert W.http_charset_of(b"no envelope at all") is None
+    # charset=... appearing in the BODY must not be read as a header
+    sneaky = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\ncharset=koi8-r"
+    assert W.http_charset_of(sneaky) is None
+
+
+def test_warc_header_charset_end_to_end(spark, tmp_path):
+    """The r3 gap closed: a cp1251 page whose ONLY charset signal is the
+    HTTP Content-Type header (no meta, no BOM) must decode correctly
+    WARC -> load_warc -> decode_html(header_charset_col) -> extract_pages."""
+    from space_launch_telemetry_analyzer_spark.operators.charset import decode_html
+    from space_launch_telemetry_analyzer_spark.operators.extract import extract_pages
+
+    ru_text = "Привет, мир — телеметрия работает"
+    ru_html = f"<html><body><p>{ru_text}</p></body></html>"
+    content = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1251\r\n\r\n"
+        + ru_html.encode("cp1251")
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://ru.example/p\r\n"
+        b"WARC-Date: 2024-06-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(content)).encode() + b"\r\n\r\n"
+        + content + b"\r\n\r\n"
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "ru.warc").write_bytes(rec)
+
+    pages = W.load_warc(spark, str(d))
+    row = pages.first()
+    assert row.http_charset == "windows-1251" and row.error is None
+
+    dec = decode_html(pages, header_charset_col="http_charset")
+    res = extract_pages(
+        dec.select("url", "warc_ts", F.col("html_utf8").alias("html"))
+    )
+    out = res.first()
+    assert out.error is None
+    assert out.extracted_text == ru_text
