@@ -114,7 +114,9 @@ def run_extraction(
     sample = pages.select(F.octet_length("html").alias("b")).limit(2048).agg(
         F.avg("b")
     ).first()[0]
-    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "")
+    # None default: Spark 4 type-checks a provided default against the conf's
+    # registered type, so "" would throw on an unset int conf
+    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
     if sample and sample > 0:
         rows = int(max(256, min(8192, (32 << 20) / float(sample))))
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
@@ -251,6 +253,10 @@ def run_extraction(
         # into the session would hand later Arrow stages on other
         # (possibly 100x larger) rows a wrong batch size, and concurrent
         # runs on one session would race on the conf (io.py does the
-        # same for partitionOverwriteMode)
-        if prev_batch:
+        # same for partitionOverwriteMode). Restore UNCONDITIONALLY:
+        # when the conf was unset before the run, set it back to unset —
+        # `if prev_batch:` alone would leak this input's value.
+        if prev_batch is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

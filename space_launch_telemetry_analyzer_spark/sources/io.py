@@ -54,6 +54,50 @@ class ResultStore:
     def checkpoints_path(self) -> str:
         return os.path.join(self.root, "checkpoints")
 
+    # -- DDL: Iceberg bucket-transform table layout ---------------------------
+    def create_tables(self, spark: SparkSession, n_buckets: int = 256) -> list[str]:
+        """Issue the Iceberg DDL the store expects at cluster scale and
+        return the statements (for shape tests / dry runs). The results
+        table partitions by (run_id, bucket(n_buckets, url)) — Iceberg's
+        hash-bucket transform, the catalog-native analog of the parquet
+        branch's explicit bucket= directories — so dynamic partition
+        overwrite replaces exactly one (run, bucket) slice and scans
+        partition-prune on both. No-op (empty list) on the parquet branch:
+        there the layout IS the directory scheme, created by the writes.
+
+        Cites the reference sink results.py:52-95 (its mkdir-equivalent
+        setup step); format-version 2 for merge-on-read deletes."""
+        if not self.use_iceberg:
+            return []
+        from ..schema import CHECKPOINT_SCHEMA, EXTRACTION_SCHEMA, METRICS_SCHEMA
+
+        def cols(st, extra=()):
+            # derive column DDL from the declared StructTypes — the single
+            # source of truth — so the catalog layout can't drift from the
+            # frames the writes actually carry
+            return ", ".join(
+                [f"{f.name} {f.dataType.simpleString()}" for f in st.fields]
+                + list(extra)
+            )
+
+        lineage = ("partition_id int", "input_bytes bigint",
+                   "proc_seconds double", "run_id string")
+        props = "TBLPROPERTIES ('format-version'='2')"
+        stmts = [
+            f"CREATE TABLE IF NOT EXISTS {self._tbl('results')} "
+            f"({cols(EXTRACTION_SCHEMA, lineage)}) USING iceberg "
+            f"PARTITIONED BY (run_id, bucket({n_buckets}, url)) {props}",
+            f"CREATE TABLE IF NOT EXISTS {self._tbl('metrics')} "
+            f"({cols(METRICS_SCHEMA)}) USING iceberg "
+            f"PARTITIONED BY (run_id) {props}",
+            f"CREATE TABLE IF NOT EXISTS {self._tbl('checkpoints')} "
+            f"({cols(CHECKPOINT_SCHEMA)}) USING iceberg "
+            f"PARTITIONED BY (run_id) {props}",
+        ]
+        for s in stmts:
+            spark.sql(s)
+        return stmts
+
     # -- results: (run_id?, bucket)-partitioned, overwrite-per-partition -----
     def write_results(self, df: DataFrame) -> None:
         """Dynamic partition overwrite: re-running a bucket replaces exactly

@@ -371,3 +371,56 @@ def test_run_extraction_restores_arrow_batch_conf(spark, tmp_path):
     store = ResultStore(str(tmp_path / "store"))
     run_extraction(spark, synth_pages_df(spark, 60, partitions=2), store, audit=False)
     assert spark.conf.get(key) == before
+
+
+def test_run_restores_session_conf_exactly(spark, pages, tmp_path_factory):
+    """run_extraction sizes arrow.maxRecordsPerBatch from THIS input and must
+    restore the session conf byte-identically afterwards — including back to
+    UNSET when it was unset before (the r3 leak: `if prev:` skipped that)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    store = ResultStore(str(tmp_path_factory.mktemp("confstore")))
+
+    # case 1: conf unset before -> must be unset after
+    spark.conf.unset(key)
+    run_extraction(spark, pages.limit(50), store, run_id="c1", n_buckets=4)
+    assert spark.conf.get(key, None) is None
+
+    # case 2: conf set before -> must come back byte-identical
+    spark.conf.set(key, "1234")
+    try:
+        run_extraction(spark, pages.limit(50), store, run_id="c2", n_buckets=4)
+        assert spark.conf.get(key, None) == "1234"
+    finally:
+        spark.conf.unset(key)
+
+
+def test_iceberg_create_tables_ddl_shapes(spark):
+    """Bucket-transform DDL path (no jar in sandbox): statements are
+    captured via a fake session, checked for the bucket(N, url) transform
+    and schema-derived columns, and SYNTAX-checked through Spark's real SQL
+    parser (catalog resolution would need the Iceberg runtime; the parse
+    proves the DDL is well-formed Spark SQL)."""
+    calls: list[str] = []
+
+    class FakeSpark:
+        def sql(self, s):
+            calls.append(s)
+
+    store = ResultStore("warehouse.cc", use_iceberg=True)
+    stmts = store.create_tables(FakeSpark(), n_buckets=512)
+    assert stmts == calls and len(stmts) == 3
+    assert stmts[0].startswith("CREATE TABLE IF NOT EXISTS warehouse.cc.results")
+    assert "PARTITIONED BY (run_id, bucket(512, url))" in stmts[0]
+    # columns derive from the declared schemas (no drift)
+    assert "url string" in stmts[0] and "extracted_text string" in stmts[0]
+    assert "run_id string" in stmts[0] and "proc_seconds double" in stmts[0]
+    assert "PARTITIONED BY (run_id)" in stmts[1] and "wall_seconds double" in stmts[1]
+    assert "checkpoints" in stmts[2] and "n_rows bigint" in stmts[2]
+    assert all("format-version" in s for s in stmts)
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for s in stmts:
+        parser.parsePlan(s)  # raises ParseException on malformed DDL
+
+    # parquet branch: layout is the directory scheme -> no DDL
+    assert ResultStore("/tmp/nowhere").create_tables(FakeSpark()) == []
