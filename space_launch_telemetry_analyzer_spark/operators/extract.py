@@ -75,18 +75,22 @@ NON_CONTENT_TAGS = frozenset("nav header footer aside title script style form bu
 SKIP_CONTENT_TAGS = frozenset(("script", "style"))
 VOID_TAGS = frozenset("br hr img meta link input area base col embed source track wbr".split())
 
-# one pass captures kind/name/attrs/self-closing directly: group 1 =
-# comment/doctype, 2 = closing slash, 3 = tag name, 4 = attrs (lazy — stops
-# before a trailing '/'), 5 = self-closing slash. Same token set as the
-# previous single-group form (differential-tested on edge cases + random
-# soup), ~33% faster lexing by skipping the second name-match pass.
+# one pass captures kind/name/attrs directly: group 1 = comment/doctype,
+# 2 = closing slash, 3 = tag name, 4 = attrs INCLUDING any trailing
+# self-closing '/' (the caller strips it — see parse_blocks). The attrs
+# body is the unrolled-loop form normal*(quoted normal*)* — normal and
+# quoted can't match the same character, so it never backtracks; vs the
+# previous lazy per-char alternation ((?:[^>"']|"..."|'...')*?) this cut
+# whole-pattern finditer time ~28% (r4 A/B, differential-tested token-
+# identical on edge cases + 4k random-soup strings).
 _TAG_RE = re.compile(
     r"<(?:(!--.*?--|![^>]*)|(/?)([a-zA-Z][a-zA-Z0-9]*)"
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?))>",
+    r"([^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*))>",
     re.DOTALL,
 )
 _CLASS_RE = re.compile(r"""\bclass\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
 _WS_RE = re.compile(r"\s+")
+_TAG_LOWER_CACHE: dict = {}
 
 
 class Block:
@@ -114,7 +118,14 @@ class Block:
         self.is_content = False
 
     def finalize(self) -> None:
-        raw = "".join(self.pieces)
+        # empty fast path: pure-wrapper blocks (div soup) own no text
+        # nodes and every __init__ default is already the finalized value
+        pieces = self.pieces
+        if not pieces:
+            return
+        # single-piece fast path: most text blocks hold one text node, and
+        # str.join on a 1-list still walks the sequence machinery
+        raw = pieces[0] if len(pieces) == 1 else "".join(pieces)
         self.text = raw.strip()
         self.n_chars = len(self.text)
         # CAPPED word count (saturates at 7): classification consumes only
@@ -138,37 +149,54 @@ def parse_blocks(html_text: str) -> list[Block]:
 
     A deterministic regex lexer (no external parser deps): alternating
     text/tag tokens; a small open-element stack tracks the innermost open
-    block and <a> nesting.
+    block and <a> nesting. The loop body is deliberately flat (r4 profile:
+    ~60% of kernel time was match-group C calls, double indexing, and
+    emit_text call overhead at ~160 tags/page — one m.group(1,2,3,5)
+    tuple fetch, a Block-object stack, and inlined text emission cut the
+    single-core cost ~25% with byte-identical output).
     """
     blocks: list[Block] = []
     # virtual root block catches stray top-level text
     root = Block(block_idx=0, tag="", css_class="", depth=0, parent_idx=-1)
     blocks.append(root)
-    open_blocks = [0]  # stack of indices into `blocks`
+    open_stack = [root]  # innermost open block LAST (objects, not indices)
     a_depth = 0
     skip_tag: str | None = None  # inside <script>/<style>
     pos = 0
-
-    def emit_text(s: str) -> None:
-        if not s:
-            return
-        cur = blocks[open_blocks[-1]]
-        txt = _html.unescape(s)
-        cur.pieces.append(txt)
-        if a_depth > 0:
-            cur.n_link_chars += len(txt.strip())
+    unescape = _html.unescape
+    cls_search = _CLASS_RE.search
+    tag_lower = _TAG_LOWER_CACHE
 
     for m in _TAG_RE.finditer(html_text):
-        start = m.start()
-        if start > pos:
-            if skip_tag is None:
-                emit_text(html_text[pos:start])
-        pos = m.end()
-        if m[1] is not None:
+        start, end = m.span()
+        if start > pos and skip_tag is None:
+            # inlined emit_text (hot: every text node)
+            txt = unescape(html_text[pos:start])
+            cur = open_stack[-1]
+            cur.pieces.append(txt)
+            if a_depth:
+                cur.n_link_chars += len(txt.strip())
+        pos = end
+        g1, g2, name, attrs = m.group(1, 2, 3, 4)
+        if g1 is not None:
             continue  # comment / doctype
-        closing = m[2] == "/"
-        self_closing = m[5] == "/"
-        tag = m[3].lower()
+        closing = g2 == "/"
+        # raw-name -> lowered-tag cache: pages repeat ~20 tag names, and
+        # the dict probe (with the cached string's cached hash feeding the
+        # frozenset membership tests below) beats re-lowering every tag;
+        # bounded so adversarial name soup can't grow it without limit
+        tag = tag_lower.get(name)
+        if tag is None:
+            tag = name.lower()
+            if len(tag_lower) < 4096:
+                tag_lower[name] = tag
+        # a trailing '/' in the attrs capture is the self-closing marker
+        # (token-identical to the old lazy attrs + (/?) group pair)
+        if attrs and attrs[-1] == "/":
+            self_closing = True
+            attrs = attrs[:-1]
+        else:
+            self_closing = False
 
         if skip_tag is not None:
             if closing and tag == skip_tag:
@@ -185,7 +213,9 @@ def parse_blocks(html_text: str) -> list[Block]:
             a_depth = 0 if closing else 1
             continue
         if tag == "br":
-            emit_text("\n")
+            # emit_text("\n"): unescape is identity and "\n".strip() is
+            # empty, so the inline form is just the append
+            open_stack[-1].pieces.append("\n")
             continue
         if tag in VOID_TAGS or tag not in BLOCK_TAGS:
             continue
@@ -197,32 +227,42 @@ def parse_blocks(html_text: str) -> list[Block]:
         a_depth = 0
 
         if not closing:
-            cm = _CLASS_RE.search(m[4])
-            css = (cm.group(2) or cm.group(3) or cm.group(4)) if cm else ""
+            # substring gate: the IGNORECASE regex search on class-less
+            # attrs (the common case) costs ~4x the `in` probe; the
+            # .lower() fallback keeps Class=/CLASS= exact vs the regex
+            if attrs and ("class" in attrs or "class" in attrs.lower()):
+                cm = cls_search(attrs)
+                css = (cm.group(2) or cm.group(3) or cm.group(4)) if cm else ""
+            else:
+                css = ""
             blk = Block(
                 block_idx=len(blocks),
                 tag=tag,
                 css_class=css or "",
-                depth=len(open_blocks),
-                parent_idx=open_blocks[-1],
+                depth=len(open_stack),
+                parent_idx=open_stack[-1].block_idx,
             )
             blocks.append(blk)
             if self_closing:
                 blk.finalize()
             else:
-                open_blocks.append(blk.block_idx)
+                open_stack.append(blk)
         else:
             # close innermost matching open block (tolerate misnesting)
-            for si in range(len(open_blocks) - 1, 0, -1):
-                if blocks[open_blocks[si]].tag == tag:
-                    for sj in range(len(open_blocks) - 1, si - 1, -1):
-                        blocks[open_blocks[sj]].finalize()
-                    del open_blocks[si:]
+            for si in range(len(open_stack) - 1, 0, -1):
+                if open_stack[si].tag == tag:
+                    for sj in range(len(open_stack) - 1, si - 1, -1):
+                        open_stack[sj].finalize()
+                    del open_stack[si:]
                     break
     if pos < len(html_text) and skip_tag is None:
-        emit_text(html_text[pos:])
-    while open_blocks:
-        blocks[open_blocks.pop()].finalize()
+        txt = unescape(html_text[pos:])
+        cur = open_stack[-1]
+        cur.pieces.append(txt)
+        if a_depth:
+            cur.n_link_chars += len(txt.strip())
+    while open_stack:
+        open_stack.pop().finalize()
 
     # neighbor smoothing over base labels (single pass, no cascade)
     nonempty = [b for b in blocks if b.n_chars > 0]
