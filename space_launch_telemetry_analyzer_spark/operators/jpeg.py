@@ -1,0 +1,561 @@
+"""Baseline JPEG codec, pure stdlib + numpy — no image libraries.
+
+Closes the last common-web-format gap in the multimodal decode layer
+(reference analog: the pixel kernels fuel_level_extraction.py:45-140 read
+frames via OpenCV; this engine reads crawl image payloads with its own
+codecs). Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, standard Huffman and
+quantization tables or in-stream ones. Progressive (SOF2), arithmetic
+coding, and 12-bit raise ValueError into the row-level error channel.
+
+The encoder is the matching sink: baseline, 4:4:4, Annex K tables scaled by
+quality, standard Huffman tables — its output round-trips through
+decode_jpeg and any standard viewer. JPEG is lossy, so roundtrips assert
+closeness (and exactness for flat blocks), not byte identity; the zigzag
+and table constants are written literally from ITU-T T.81 so they can be
+checked against the spec rather than against this module's own inverse.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# ITU-T T.81 constants (written literally from the spec, Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (natural order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, symbol values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8x8 type-II DCT basis: C[k, n] = c(k) * cos((2n+1) k pi / 16)
+_N = np.arange(8)
+_DCT = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) * 0.5
+_DCT[0, :] *= 1 / np.sqrt(2)
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _DCT @ block @ _DCT.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _DCT.T @ coef @ _DCT
+
+
+# ---------------------------------------------------------------------------
+# Huffman machinery
+# ---------------------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, canonical T.81 assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, code_length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReaderMSB:
+    """MSB-first reader over entropy-coded data with FF00 unstuffing;
+    stops at any real marker (FF xx, xx != 0) and reports it."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False  # real marker: stop
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("JPEG entropy stream exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Drop partial byte, consume an RST marker if next; returns it."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF:
+            m = d[self.pos + 1]
+            if 0xD0 <= m <= 0xD7:
+                self.pos += 2
+                self.marker = None
+                return m
+            break
+        return None
+
+
+def _decode_huff(br: _BitReaderMSB, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes, return_luma: bool = False) -> dict:
+    """Baseline JPEG -> same feature dict contract as decode_png.
+    return_luma=True adds the full float64 luma plane under "luma"
+    (tests/QA; production callers keep the fixed-size contract)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (precision, h, w, comps)
+    restart_interval = 0
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                nat = np.empty(64, dtype=np.int32)
+                nat[ZIGZAG] = tbl  # stored zigzag -> natural order
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                p += 17 + n
+                t = _build_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = t
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
+                struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+            frame = (prec, h, w, comps)
+        elif marker in (0xC1,):
+            raise ValueError("extended sequential JPEG (SOF1) unsupported")
+        elif marker == 0xC2:
+            raise ValueError("unsupported: progressive JPEG (SOF2)")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            pos += seglen
+            return _decode_scan(payload, pos, frame, scan, qtables,
+                                dc_tables, ac_tables, restart_interval,
+                                return_luma)
+        pos += seglen
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(payload, pos, frame, scan, qtables, dc_tables, ac_tables,
+                 restart_interval, return_luma=False) -> dict:
+    _, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    br = _BitReaderMSB(payload, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if br.align_to_marker() is None:
+                    raise ValueError("missing JPEG restart marker")
+                for k in pred:
+                    pred[k] = 0
+            for c in order:
+                q = qtables.get(c["tq"])
+                dct = dc_tables.get(c["td"])
+                act = ac_tables.get(c["ta"])
+                if q is None or dct is None or act is None:
+                    raise ValueError("JPEG scan uses an undefined table")
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = _decode_huff(br, dct)
+                        diff = _extend(br.read_bits(t), t)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz  # zigzag -> natural
+                        block = _idct2((coef * q).reshape(8, 8)) + 128.0
+                        py = (my * c["v"] + vy) * 8
+                        px = (mx * c["h"] + vx) * 8
+                        planes[c["id"]][py:py + 8, px:px + 8] = block
+            mcu_count += 1
+
+    # assemble: upsample chroma to full res, crop padding
+    full = []
+    for c in comps:
+        pl = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        luma = np.clip(full[0], 0, 255)
+        channels = 1
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
+        luma = rgb @ np.array([0.299, 0.587, 0.114])
+        channels = 3
+
+    ys = np.array_split(np.arange(h), min(4, h))
+    xs = np.array_split(np.arange(w), min(4, w))
+    grid = [float(luma[np.ix_(yb, xb)].mean() / 255.0) for yb in ys for xb in xs]
+    grid += [0.0] * (16 - len(grid))
+    out = {
+        "width": int(w), "height": int(h), "channels": int(channels),
+        "mean_luma": float(luma.mean() / 255.0),
+        "luma_sum": int(np.rint(luma).astype(np.int64).sum()),
+        "feature": [float(np.float32(g)) for g in grid],
+    }
+    if return_luma:
+        out["luma"] = luma
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder (baseline, 4:4:4, Annex K tables scaled by quality)
+# ---------------------------------------------------------------------------
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+class _BitWriterMSB:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _encode_block(bw, block, q, dc_enc, ac_enc, pred):
+    coef = _fdct2(block - 128.0)
+    # natural -> zigzag scan, quantized against the zigzag-ordered table
+    qz = np.rint(coef.reshape(-1)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+    diff = int(qz[0]) - pred
+    t = int(diff).bit_length() if diff else 0
+    code, ln = dc_enc[t]
+    bw.write(code, ln)
+    if t:
+        v = diff if diff > 0 else diff + (1 << t) - 1
+        bw.write(v, t)
+    run = 0
+    last_nz = int(np.nonzero(qz[1:])[0][-1]) + 1 if np.any(qz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(qz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_enc[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_enc[0x00]
+        bw.write(code, ln)
+    return int(qz[0])
+
+
+def encode_jpeg(pixels: "np.ndarray", quality: int = 85) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> baseline JFIF bytes,
+    4:4:4 (no chroma subsampling), Annex K Huffman tables."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (h,w) gray or (h,w,3) rgb uint8")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qmap = [ql]
+    else:
+        rgbf = arr.astype(np.float64)
+        r, g, b = rgbf[:, :, 0], rgbf[:, :, 1], rgbf[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qmap = [ql, qc, qc]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in ((0, ql),) + (((1, qc),) if not gray else ()):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tq,)) + \
+            bytes(int(x) for x in q[ZIGZAG])
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes((i + 1, 0x11, 0 if i == 0 else 1))
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        hts += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc_th, bits, vals in hts:
+        body = bytes((tc_th,)) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    sos = bytes((nc,))
+    for i in range(nc):
+        sos += bytes((i + 1, 0x00 if i == 0 else 0x11))
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    encs = [(dc_l, ac_l)] + ([(dc_c, ac_c), (dc_c, ac_c)] if not gray else [])
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for pl in planes:
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = pl
+        pp[h:, :w] = pl[h - 1:h, :]  # edge-replicate padding
+        pp[:, w:] = pp[:, w - 1:w]
+        padded.append(pp)
+
+    bw = _BitWriterMSB()
+    preds = [0] * nc
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(nc):
+                preds[ci] = _encode_block(
+                    bw, padded[ci][by:by + 8, bx:bx + 8], qmap[min(ci, 1)],
+                    encs[ci][0], encs[ci][1], preds[ci],
+                )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

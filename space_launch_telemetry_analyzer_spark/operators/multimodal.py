@@ -218,17 +218,250 @@ def encode_png(pixels: "np.ndarray") -> bytes:
             + chunk(b"IEND", b""))
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): the other fully-stdlib-decodable web format — LZW inflate,
+# global/local palettes, interlace, frame counting for animations.
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """LSB-first bit reader over concatenated GIF data sub-blocks."""
+
+    __slots__ = ("data", "acc", "nbits", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.acc = 0
+        self.nbits = 0
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF LZW stream exhausted")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at pos; returns (data, new_pos
+    past the 0 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated GIF sub-block")
+        out += payload[pos:pos + n]
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW: variable code width, CLEAR/END codes, table reset."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    br = _BitReader(data)
+    out = bytearray()
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = br.read(width)
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if not table:  # stream must open with CLEAR; tolerate writers that don't
+            table = list(base)
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Real pure-stdlib GIF decode: first frame -> palette-mapped RGB with
+    the same feature contract as decode_png (dimensions, channels=3,
+    Rec.601 mean/sum luma, 4x4 block-mean grid), plus `n_frames` counting
+    every image descriptor (animations). Handles 87a/89a, global and local
+    color tables, interlaced frames, and skips extensions."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+
+    first = None  # (w, h, index_array)
+    n_frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        w = payload[pos + 4] | (payload[pos + 5] << 8)
+        h = payload[pos + 6] | (payload[pos + 7] << 8)
+        ipacked = payload[pos + 8]
+        pos += 9
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        mcs = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        n_frames += 1
+        if first is None:
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension GIF frame")
+            idx = _lzw_decode(data, mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF frame underruns declared dimensions")
+            arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [y for start, step in _GIF_INTERLACE_PASSES
+                         for y in range(start, h, step)]
+                de = np.empty_like(arr)
+                de[np.array(order)] = arr
+                arr = de
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF frame without any color table")
+            first = (w, h, arr, pal)
+
+    if first is None:
+        raise ValueError("GIF contains no image frame")
+    w, h, arr, pal = first
+    p = np.frombuffer(pal, dtype=np.uint8)
+    p = p[: (len(p) // 3) * 3].reshape(-1, 3)
+    rgb = p[np.minimum(arr, len(p) - 1)].astype(np.float64)
+    luma = rgb @ np.array([0.299, 0.587, 0.114])
+    ys = np.array_split(np.arange(h), min(4, h))
+    xs = np.array_split(np.arange(w), min(4, w))
+    grid = [float(luma[np.ix_(yb, xb)].mean() / 255.0) for yb in ys for xb in xs]
+    grid += [0.0] * (16 - len(grid))
+    return {
+        "width": int(w), "height": int(h), "channels": 3,
+        "mean_luma": float(luma.mean() / 255.0),
+        "luma_sum": int(np.rint(luma).astype(np.int64).sum()),
+        "feature": [float(np.float32(g)) for g in grid],
+        "n_frames": int(n_frames),
+    }
+
+
+def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:
+    """Minimal GIF89a encoder (the sink twin of decode_gif): (h, w) uint8
+    index array + 256-entry RGB palette (default: grayscale identity).
+    Emits literal 9-bit LZW codes with periodic CLEARs (the standard
+    'uncompressed GIF' technique) — larger output, bit-exact indices."""
+    arr = np.ascontiguousarray(indices, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_gif wants an (h, w) uint8 index array")
+    h, w = arr.shape
+    if palette is None:
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+    if len(palette) != 768:
+        raise ValueError("palette must be 256 RGB entries (768 bytes)")
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", w, h)
+    out += bytes((0x80 | 0x07, 0, 0))  # GCT present, 256 entries
+    out += palette
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes((8,))  # min LZW code size
+
+    br_out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            br_out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    CLEAR, END = 256, 257
+    emit(CLEAR)
+    flat = arr.reshape(-1)
+    for i, v in enumerate(flat):
+        emit(int(v))
+        # decoder table grows by one per literal after the first; reset
+        # before the code width would have to widen past 9 bits
+        if (i + 1) % 253 == 0:
+            emit(CLEAR)
+    emit(END)
+    if nbits:
+        br_out.append(acc & 0xFF)
+
+    for off in range(0, len(br_out), 255):
+        chunk = br_out[off:off + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """PNG payloads decode FOR REAL (decode_png, pure stdlib). Other
-    formats need codecs absent from this container: they raise
-    NotImplementedError unless fake=True, where a deterministic fake
-    derives stable pseudo-features from the payload hash so tests can
-    exercise the full distributed path."""
+    """PNG, GIF, and baseline JPEG payloads decode FOR REAL (decode_png /
+    decode_gif here, operators.jpeg.decode_jpeg — all pure stdlib+numpy).
+    Other formats (webp, tiff, progressive jpeg, ...) still need codecs
+    absent from this container: they raise NotImplementedError unless
+    fake=True, where a deterministic fake derives stable pseudo-features
+    from the payload hash so tests can exercise the distributed path."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decode requires an imaging library "
+            "image decode for this format requires an imaging library "
             "(Pillow/opencv); not available in this environment — pass "
             "fake=True for the deterministic test decoder"
         )

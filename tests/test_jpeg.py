@@ -1,0 +1,140 @@
+"""Baseline JPEG codec: T.81 constants, roundtrip fidelity, per-pixel
+error bounds, malformed/unsupported rejection, and decode_image routing.
+JPEG is lossy — roundtrips assert closeness, flat blocks assert exactness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from space_launch_telemetry_analyzer_spark.operators import jpeg as J
+from space_launch_telemetry_analyzer_spark.operators import multimodal as M
+
+
+def _grad(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x * 7 + y * 3 + seed) % 256).astype(np.uint8)
+
+
+def test_spec_constants_sanity():
+    """The literal T.81 tables must be internally coherent: zigzag is a
+    permutation; Huffman BITS sum to the symbol counts; canonical codes
+    fit their lengths."""
+    assert sorted(J.ZIGZAG.tolist()) == list(range(64))
+    # first zigzag diagonal straight from the spec
+    assert J.ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+    for bits, vals in ((J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+                       (J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+                       (J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+                       (J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)):
+        assert sum(bits) == len(vals)
+        enc = J._build_encode_table(bits, vals)
+        for sym, (code, ln) in enc.items():
+            assert code < (1 << ln)
+        # decode table inverts the encode table exactly
+        dec = J._build_decode_table(bits, vals)
+        assert {v: k for k, v in dec.items()} == {s: (ln, c) for s, (c, ln) in enc.items()}
+
+
+def test_dct_orthonormal():
+    """IDCT(FDCT(x)) == x to machine precision (the basis is orthonormal)."""
+    rng = np.random.RandomState(7)
+    b = rng.uniform(-128, 127, (8, 8))
+    assert np.abs(J._idct2(J._fdct2(b)) - b).max() < 1e-9
+    flat = np.full((8, 8), 57.0)
+    c = J._fdct2(flat)
+    assert abs(c[0, 0] - 57.0 * 8) < 1e-9  # DC = 8 * mean
+    assert np.abs(c).sum() - abs(c[0, 0]) < 1e-9  # all AC zero
+
+
+def test_flat_image_roundtrips_exactly():
+    for v in (0, 57, 128, 255):
+        flat = np.full((16, 24), v, dtype=np.uint8)
+        d = J.decode_jpeg(J.encode_jpeg(flat), return_luma=True)
+        assert (d["width"], d["height"], d["channels"]) == (24, 16, 1)
+        assert np.abs(d["luma"] - float(v)).max() < 0.51  # DC quant exact-ish
+
+
+def test_gray_gradient_per_pixel_error_bounded():
+    img = _grad(24, 33)
+    d = J.decode_jpeg(J.encode_jpeg(img, quality=90), return_luma=True)
+    assert d["luma"].shape == (24, 33)
+    err = np.abs(d["luma"] - img.astype(np.float64))
+    # q=90 on a smooth gradient: small per-pixel error, tiny mean error
+    assert err.max() < 16.0 and err.mean() < 2.0
+
+
+def test_rgb_roundtrip_and_features():
+    y, x = np.mgrid[0:17, 0:30]
+    rgb = np.stack([(x * 5 + y * 2) % 256, (x * 2 + y * 9) % 256,
+                    (x * 11 + y) % 256], axis=2).astype(np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg(rgb, quality=90), return_luma=True)
+    assert (d["width"], d["height"], d["channels"]) == (30, 17, 3)
+    luma_in = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    err = np.abs(d["luma"] - luma_in)
+    assert err.mean() < 3.0
+    assert len(d["feature"]) == 16
+    assert abs(d["mean_luma"] - luma_in.mean() / 255.0) < 0.01
+
+
+def test_quality_monotone_in_size():
+    img = _grad(32, 32, seed=3)
+    sizes = [len(J.encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_odd_dimensions_padding_cropped():
+    img = _grad(9, 13)
+    d = J.decode_jpeg(J.encode_jpeg(img, quality=95), return_luma=True)
+    assert d["luma"].shape == (9, 13)
+
+
+def test_unsupported_and_malformed():
+    good = J.encode_jpeg(_grad(8, 8))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive)
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[:40])  # truncated before any scan
+    # entropy data truncated mid-scan
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[: len(good) - 20] )
+
+
+def test_decode_image_routes_jpeg():
+    img = _grad(16, 16)
+    enc = J.encode_jpeg(img)
+    for fake in (True, False):
+        d = M.decode_image(enc, fake=fake)
+        assert (d["width"], d["height"]) == (16, 16)
+    # garbage with a JPEG magic goes to the real decoder -> ValueError
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0" + b"y" * 100, fake=True)
+
+
+def test_image_features_jpeg_through_spark(spark):
+    """The distributed path runs the real JPEG decoder alongside PNG/GIF
+    and the error channel, one mapInPandas pass."""
+    from pyspark.sql import functions as F
+
+    img = _grad(12, 12)
+    rows = [
+        (1, J.encode_jpeg(img, quality=90)),
+        (2, M.encode_png(img)),
+        (3, M.encode_gif(img)),
+        (4, b"\xff\xd8\xff" + b"junk" * 10),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           M.image_features(df, "media_id", "payload", fake=False).collect()}
+    for mid in (1, 2, 3):
+        assert out[mid]["error"] is None and out[mid]["width"] == 12
+    # lossless twins agree exactly; jpeg within tolerance
+    assert out[2]["mean_luma"] == pytest.approx(out[3]["mean_luma"], abs=1e-12)
+    assert out[1]["mean_luma"] == pytest.approx(out[2]["mean_luma"], abs=0.01)
+    assert out[4]["error"] is not None

@@ -199,3 +199,91 @@ def test_image_features_real_png_through_spark(spark):
     assert out[1]["error"] is None and out[1]["width"] == 8
     assert abs(out[1]["mean_luma"] - arr.mean() / 255.0) < 1e-9
     assert out[2]["error"] is not None
+
+
+# ---- real GIF codec (pure stdlib LZW) --------------------------------------
+
+
+def test_gif_roundtrip_gray_indices():
+    arr = _gray(7, 11, seed=5)
+    d = M.decode_gif(M.encode_gif(arr))
+    # grayscale identity palette: luma == index value exactly
+    assert (d["width"], d["height"], d["channels"]) == (11, 7, 3)
+    assert d["luma_sum"] == int(arr.astype(np.int64).sum())
+    assert d["n_frames"] == 1
+    assert abs(d["mean_luma"] - arr.mean() / 255.0) < 1e-12
+
+
+def test_gif_palette_mapping():
+    pal = bytearray(768)
+    pal[3:6] = (255, 0, 0)   # index 1 = red
+    pal[6:9] = (0, 255, 0)   # index 2 = green
+    arr = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    d = M.decode_gif(M.encode_gif(arr, bytes(pal)))
+    lum_r, lum_g = 0.299 * 255, 0.587 * 255
+    want = (2 * lum_r + 2 * lum_g) / 4 / 255.0
+    assert abs(d["mean_luma"] - want) < 1e-12
+
+
+def test_gif_large_frame_crosses_clear_boundaries():
+    """>253 pixels forces periodic CLEAR codes in the encoder and table
+    resets in the decoder — indices must survive exactly."""
+    arr = _gray(40, 40, seed=9)  # 1600 px -> several CLEAR resets
+    d = M.decode_gif(M.encode_gif(arr))
+    assert d["luma_sum"] == int(arr.astype(np.int64).sum())
+
+
+def test_gif_interlaced_rows_reordered():
+    """Hand-build an interlaced frame: rows stored in pass order must come
+    back in display order."""
+    h, w = 8, 3
+    arr = np.arange(h, dtype=np.uint8).repeat(w).reshape(h, w) * 10
+    # pass order for h=8: rows 0, 4, 2, 6, then odd rows
+    order = [0, 4, 2, 6, 1, 3, 5, 7]
+    stored = arr[np.array(order)]
+    plain = M.encode_gif(stored)
+    # flip the interlace bit in the image descriptor packed byte
+    # (structural offset: 6 header + 7 LSD + 768 GCT = 781 — byte 0x2c
+    # also occurs inside the grayscale palette, so no index() search)
+    idesc = 781
+    assert plain[idesc] == 0x2C
+    packed_at = idesc + 9
+    interlaced = plain[:packed_at] + bytes((plain[packed_at] | 0x40,)) + plain[packed_at + 1:]
+    d = M.decode_gif(interlaced)
+    ref = M.decode_gif(M.encode_gif(arr))
+    assert d["feature"] == ref["feature"] and d["luma_sum"] == ref["luma_sum"]
+
+
+def test_gif_animation_frame_count():
+    a = M.encode_gif(_gray(4, 4, 1))
+    b = M.encode_gif(_gray(4, 4, 2))
+    # splice: header+LSD+GCT+frame of a, then frame blocks of b, trailer
+    # structural offsets: 6 header + 7 LSD + 768 GCT = 781 = image desc;
+    # keep each frame's own sub-block terminator, drop only the 0x3b
+    a_body = a[: len(a) - 1]
+    assert b[781] == 0x2C
+    b_frame = b[781: len(b) - 1]
+    anim = a_body + b_frame + b"\x3b"
+    d = M.decode_gif(anim)
+    assert d["n_frames"] == 2
+    # first frame wins
+    assert d["luma_sum"] == M.decode_gif(a)["luma_sum"]
+
+
+def test_gif_malformed():
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_gif(b"GIF90a" + b"\x00" * 20)
+    good = M.encode_gif(_gray(5, 5))
+    with pytest.raises(ValueError):
+        M.decode_gif(good[: len(good) - 10])
+    with pytest.raises(ValueError, match="no image frame"):
+        M.decode_gif(good[:13] + good[13:13 + 768] + b"\x3b")
+
+
+def test_decode_image_routes_gif():
+    arr = _gray(6, 6)
+    gif = M.encode_gif(arr)
+    for fake in (True, False):
+        d = M.decode_image(gif, fake=fake)
+        assert (d["width"], d["height"]) == (6, 6)
+        assert d["luma_sum"] == int(arr.astype(np.int64).sum())
