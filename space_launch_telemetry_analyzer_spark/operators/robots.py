@@ -26,9 +26,14 @@ the page-side decision is one broadcastable join on host (the rules table
 is tiny — one row per (host, rule)) plus a groupBy over matched rules.
 Wildcard rules compile to anchored Java regexes ONCE per rule row at plan
 build (pure column exprs); literal rules keep the `startswith` fast path,
-so the common all-literal host never pays a regex. Known deviation:
-percent-encoding equivalence (§2.2.2's normalization) is not applied —
-paths and rules compare as the octets the table carries.
+so the common all-literal host never pays a regex. Percent-encoding
+equivalence (§2.2.2 via RFC 3986 §6.2.2): both sides are normalized
+before comparison — `%XX` escapes of UNRESERVED characters decode to the
+character, all other escapes uppercase their hex — so `/%7Euser` matches
+a `Disallow: /~user/` rule and `%2f` matches `%2F`. A literal `%2A`
+stays escaped (reserved), so it can never turn into a `*` wildcard.
+The normalization is a JVM higher-order expression (split-on-lookahead +
+transform), no UDFs.
 """
 
 from __future__ import annotations
@@ -105,20 +110,48 @@ def parse_robots_rules(
     )
 
 
+def normalize_pct(col) -> "F.Column":
+    """RFC 3986 §6.2.2 percent-encoding normalization for robots matching:
+    decode `%XX` where XX is an UNRESERVED character (ALPHA / DIGIT /
+    '-' '.' '_' '~'), uppercase the hex of every other escape. Pure JVM:
+    split on a `(?=%)` lookahead so every piece after the first starts
+    with '%', transform each piece, concat back."""
+    def fix(s):
+        is_esc = s.rlike("^%[0-9A-Fa-f]{2}")
+        code = F.conv(F.substring(s, 2, 2), 16, 10).cast("int")
+        unreserved = (
+            ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | ((code >= 48) & (code <= 57))
+            | code.isin(45, 46, 95, 126)
+        )
+        rest = F.substring(s, 4, 2147483647)
+        return (
+            F.when(is_esc & unreserved, F.concat(F.char(code), rest))
+            .when(is_esc, F.concat(F.upper(F.substring(s, 1, 3)), rest))
+            .otherwise(s)
+        )
+
+    return F.concat_ws("", F.transform(F.split(col, "(?=%)"), fix))
+
+
 def compile_rule_patterns(rules: DataFrame) -> DataFrame:
     """Annotate a (host, rule, prefix) table with wildcard-match columns.
 
     Adds (pure column exprs, evaluated once per rule row):
+    - `__prefix_n` — the rule path percent-normalized (normalize_pct);
+      matching and specificity run on THIS, so `%7e` == `~` == `%7E`;
     - `__wild`     — rule path contains `*` or ends with the `$` anchor;
     - `__pattern`  — anchored Java regex for wild rules (`*` -> `.*`, all
       regex metachars escaped, trailing `$` -> end anchor), NULL otherwise;
     - `__lit_len`  — RFC 9309 §2.2.2 specificity: count of literal octets
-      (rule path length minus `*`s and the trailing anchor, if any).
+      (normalized rule path length minus `*`s and the trailing anchor).
     """
-    ends_anchor = F.col("prefix").endswith("$")
+    rules = rules.withColumn("__prefix_n", normalize_pct(F.col("prefix")))
+    ends_anchor = F.col("__prefix_n").endswith("$")
     body = F.when(
-        ends_anchor, F.expr("substring(prefix, 1, length(prefix) - 1)")
-    ).otherwise(F.col("prefix"))
+        ends_anchor, F.expr("substring(__prefix_n, 1, length(__prefix_n) - 1)")
+    ).otherwise(F.col("__prefix_n"))
     # escape every Java-regex metachar EXCEPT `*` (translated below)
     escaped = F.regexp_replace(body, r"[\\^$.|?+(){}\[\]]", r"\\$0")
     pattern = F.concat(
@@ -126,7 +159,7 @@ def compile_rule_patterns(rules: DataFrame) -> DataFrame:
         F.regexp_replace(escaped, r"\*+", ".*"),  # runs of * collapse to one .*
         F.when(ends_anchor, F.lit("$")).otherwise(F.lit("")),
     )
-    wild = F.col("prefix").contains("*") | ends_anchor
+    wild = F.col("__prefix_n").contains("*") | ends_anchor
     return (
         rules.withColumn("__wild", wild)
         .withColumn("__pattern", F.when(wild, pattern))
@@ -174,9 +207,13 @@ def robots_filter(
     norm_rules = compile_rule_patterns(
         rules.select(F.lower("host").alias("host"), "rule", "prefix")
     )
+    # both sides percent-normalized before comparison (RFC 9309 §2.2.2);
+    # the join-back key stays the RAW path — equivalent raw spellings each
+    # carry their own (identical) decision
+    path_n = normalize_pct(F.col("__path"))
     matches = F.when(
-        F.col("__wild"), F.regexp_like(F.col("__path"), F.col("__pattern"))
-    ).otherwise(F.col("__path").startswith(F.col("prefix")))
+        F.col("__wild"), F.regexp_like(path_n, F.col("__pattern"))
+    ).otherwise(path_n.startswith(F.col("__prefix_n")))
     decided = (
         pairs.join(F.broadcast(norm_rules), pairs["__host"] == norm_rules["host"], "left")
         .withColumn(

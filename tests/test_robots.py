@@ -235,3 +235,54 @@ def test_filter_case_insensitive_scheme_and_host(spark):
     )
     kept = {r.url for r in R.robots_filter(pages, rules).collect()}
     assert kept == {"https://c.example/public/y"}
+
+
+def test_percent_encoding_normalization(spark):
+    """RFC 9309 §2.2.2 / RFC 3986 §6.2.2: unreserved escapes decode,
+    other escapes compare hex-case-insensitively; %2A never becomes a
+    wildcard."""
+    rules = spark.createDataFrame(
+        [
+            ("p.example", "disallow", "/~user/"),     # plain rule
+            ("p.example", "disallow", "/a%2fb"),      # lowercase escape rule
+            ("p.example", "disallow", "/x%2Ay"),      # escaped '*': literal
+            ("q.example", "disallow", "/%7Edocs/"),   # escaped rule, plain path
+        ],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://p.example/%7Euser/f",),   # decodes -> /~user/ -> blocked
+            ("https://p.example/%7euser/f",),   # lowercase hex too
+            ("https://p.example/~user/f",),     # plain form -> blocked
+            ("https://p.example/a%2Fb/c",),     # %2F vs rule %2f -> blocked
+            ("https://p.example/x%2ay",),       # matches literal %2A rule
+            ("https://p.example/xZZy",),        # must NOT match (no wildcard)
+            ("https://q.example/~docs/d",),     # plain path vs escaped rule
+            ("https://q.example/other",),       # allowed
+        ],
+        "url string",
+    )
+    out = R.robots_filter(pages, rules, keep_blocked=True)
+    got = {r.url: r.robots_allowed for r in out.collect()}
+    assert got == {
+        "https://p.example/%7Euser/f": False,
+        "https://p.example/%7euser/f": False,
+        "https://p.example/~user/f": False,
+        "https://p.example/a%2Fb/c": False,
+        "https://p.example/x%2ay": False,
+        "https://p.example/xZZy": True,
+        "https://q.example/~docs/d": False,
+        "https://q.example/other": True,
+    }
+
+
+def test_normalize_pct_expression(spark):
+    df = spark.createDataFrame(
+        [("/a%2fb%41c%7e%2A%zz%3",), ("plain",), ("",)], "s string"
+    )
+    from pyspark.sql import functions as F
+    got = [r.n for r in df.select(R.normalize_pct(F.col("s")).alias("n")).collect()]
+    # %2f -> %2F (reserved, uppercased); %41 -> A; %7e -> ~; %2A stays;
+    # malformed %zz / trailing %3 untouched
+    assert got == ["/a%2FbAc~%2A%zz%3", "plain", ""]
