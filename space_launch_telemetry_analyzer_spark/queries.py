@@ -1905,6 +1905,7 @@ _ROBOTS_BODY_1 = "User-agent: otherbot\nDisallow: /\nUser-agent: *\nDisallow:\n"
 _ROBOTS_BODY_2 = "User-agent: otherbot\nDisallow: /\n"
 _ROBOTS_BODY_3 = "User-agent: *\nDisallow: /*.pdf$\nAllow: /files/keep*\n"
 _ROBOTS_BODY_4 = "User-agent: *\nDisallow: /*?\nDisallow: /d2/\n"
+_ROBOTS_BODY_5 = "User-agent: *\nDisallow: /~user/\nDisallow: /a%2fb\n"
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,17 +1918,24 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     disallowed/tied/wildcard paths (.pdf endings, query strings, a
     keep-prefix that outranks the pdf block by literal count). The oracle
     hardcodes the analytically-known parse result — incl. the compiled
-    regex per wildcard rule and its literal-octet specificity — and twins
-    the decision SQL; a parse or wildcard-translation divergence changes
-    decisions and fails the hash. Hosts h5+ have no robots.txt (allowed)."""
+    regex per wildcard rule, its literal-octet specificity, and the
+    percent-NORMALIZED path forms (`/%7Euser/` -> `/~user/`, `%2f` ->
+    `%2F`) that h5's rules must match per RFC 3986 §6.2.2 — and twins the
+    decision SQL; a parse, wildcard-translation, or normalization
+    divergence changes decisions and fails the hash. Host h6 has no
+    robots.txt (allowed)."""
     from .operators.robots import parse_robots_rules, robots_filter
 
     docs = load(spark, sf_dir, "documents")
     host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
     path = (
-        F.when(F.col("doc_id") % 11 == 2,
-               F.concat(F.lit("/files/p"), F.col("doc_id").cast("string"),
-                        F.lit(".pdf")))
+        F.when(F.col("doc_id") % 13 == 5,
+               F.concat(F.lit("/%7Euser/p"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 13 == 6,
+              F.concat(F.lit("/a%2Fb/p"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 11 == 2,
+              F.concat(F.lit("/files/p"), F.col("doc_id").cast("string"),
+                       F.lit(".pdf")))
         .when(F.col("doc_id") % 11 == 3,
               F.concat(F.lit("/p"), F.col("doc_id").cast("string"), F.lit("?q=1")))
         .when(F.col("doc_id") % 11 == 4,
@@ -1946,7 +1954,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = spark.createDataFrame(
         [("h0.example", _ROBOTS_BODY_0), ("h1.example", _ROBOTS_BODY_1),
          ("h2.example", _ROBOTS_BODY_2), ("h3.example", _ROBOTS_BODY_3),
-         ("h4.example", _ROBOTS_BODY_4)],
+         ("h4.example", _ROBOTS_BODY_4), ("h5.example", _ROBOTS_BODY_5)],
         "host string, body string",
     )
     rules = parse_robots_rules(robots)
@@ -1957,12 +1965,25 @@ ORACLE_ROBOTS_FILTER = """
 WITH pages AS (
   SELECT doc_id,
          'h' || (doc_id % 7) || '.example' AS host,
-         CASE WHEN doc_id % 11 = 2 THEN '/files/p' || doc_id || '.pdf'
+         CASE WHEN doc_id % 13 = 5 THEN '/%7Euser/p' || doc_id
+              WHEN doc_id % 13 = 6 THEN '/a%2Fb/p' || doc_id
+              WHEN doc_id % 11 = 2 THEN '/files/p' || doc_id || '.pdf'
               WHEN doc_id % 11 = 3 THEN '/p' || doc_id || '?q=1'
               WHEN doc_id % 11 = 4 THEN '/files/keepp' || doc_id || '.pdf'
               WHEN doc_id % 5 = 0 THEN '/d1/keep/p' || doc_id
               WHEN doc_id % 5 = 1 THEN '/d1/p' || doc_id
-              ELSE '/d' || (doc_id % 3) || '/p' || doc_id END AS path
+              ELSE '/d' || (doc_id % 3) || '/p' || doc_id END AS path,
+         -- percent-NORMALIZED form (RFC 3986 6.2.2), hardcoded
+         -- analytically for the fixed fixture paths: %7E (unreserved ~)
+         -- decodes, %2F (reserved) stays escaped uppercase
+         CASE WHEN doc_id % 13 = 5 THEN '/~user/p' || doc_id
+              WHEN doc_id % 13 = 6 THEN '/a%2Fb/p' || doc_id
+              WHEN doc_id % 11 = 2 THEN '/files/p' || doc_id || '.pdf'
+              WHEN doc_id % 11 = 3 THEN '/p' || doc_id || '?q=1'
+              WHEN doc_id % 11 = 4 THEN '/files/keepp' || doc_id || '.pdf'
+              WHEN doc_id % 5 = 0 THEN '/d1/keep/p' || doc_id
+              WHEN doc_id % 5 = 1 THEN '/d1/p' || doc_id
+              ELSE '/d' || (doc_id % 3) || '/p' || doc_id END AS npath
   FROM documents),
 rules(host, rule, prefix, pattern, lit_len) AS (VALUES
   ('h0.example', 'disallow', '/d1/', NULL, 4),
@@ -1971,7 +1992,10 @@ rules(host, rule, prefix, pattern, lit_len) AS (VALUES
   ('h3.example', 'disallow', '/*.pdf$', '^/.*\\.pdf$', 5),
   ('h3.example', 'allow', '/files/keep*', '^/files/keep.*', 11),
   ('h4.example', 'disallow', '/*?', '^/.*\\?', 2),
-  ('h4.example', 'disallow', '/d2/', NULL, 4)),
+  ('h4.example', 'disallow', '/d2/', NULL, 4),
+  -- h5 rules normalized: '/~user/' already plain; '/a%2fb' -> '/a%2Fb'
+  ('h5.example', 'disallow', '/~user/', NULL, 7),
+  ('h5.example', 'disallow', '/a%2Fb', NULL, 6)),
 m AS (
   SELECT p.doc_id, p.host, p.path, r.rule, r.prefix,
          row_number() OVER (
@@ -1981,8 +2005,8 @@ m AS (
          ) AS rn
   FROM pages p LEFT JOIN rules r
     ON p.host = r.host
-   AND CASE WHEN r.pattern IS NOT NULL THEN regexp_matches(p.path, r.pattern)
-            ELSE starts_with(p.path, r.prefix) END)
+   AND CASE WHEN r.pattern IS NOT NULL THEN regexp_matches(p.npath, r.pattern)
+            ELSE starts_with(p.npath, r.prefix) END)
 SELECT doc_id, 'https://' || host || path AS url,
        (rule IS NULL OR rule = 'allow') AS robots_allowed
 FROM m WHERE rn = 1
@@ -2195,12 +2219,108 @@ ORDER BY doc_id
 """
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF codec end-to-end (r4): per doc, synthesize a deterministic
+    (3+doc_id%7) x (2+doc_id%4) index gradient pixel(x,y) =
+    (doc_id*3 + 5x + 11y) % 256, encode to actual GIF89a bytes
+    (multimodal.encode_gif: LZW literal codes + periodic CLEARs, global
+    grayscale palette), decode with the pure-stdlib LZW decoder, and emit
+    dimensions + the exact integer luma sum (identity palette -> luma ==
+    index, lossless). Oracle recomputes the pixel arithmetic analytically
+    — an LZW, sub-block framing, or palette divergence fails the hash."""
+    from .operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_frames": [], "luma_sum": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 3 + did % 7, 2 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((did * 3 + 5 * x + 11 * y) % 256).astype(np.uint8)
+                d = MM.decode_gif(MM.encode_gif(arr))
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_frames"].append(d["n_frames"])
+                out["luma_sum"].append(d["luma_sum"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, n_frames int, luma_sum long",
+    ).orderBy("doc_id")
+
+
+ORACLE_GIF_DECODE = """
+WITH xs AS (SELECT g FROM generate_series(0, 9) t(g)),
+     ys AS (SELECT g FROM generate_series(0, 5) t(g))
+SELECT d.doc_id,
+       CAST(3 + d.doc_id % 7 AS INT) AS width,
+       CAST(2 + d.doc_id % 4 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       CAST((SELECT SUM((d.doc_id * 3 + 5 * x.g + 11 * y.g) % 256)
+             FROM xs x, ys y
+             WHERE x.g < 3 + d.doc_id % 7
+               AND y.g < 2 + d.doc_id % 4) AS BIGINT) AS luma_sum
+FROM documents d
+ORDER BY doc_id
+"""
+
+
+def q_plot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plot/PNG sink end-to-end (S8 — the reference's per-launch metric
+    chart, flight_plotting.py:160-278, distributed): 8 user_id-keyed
+    series scatter (event_id, value) with the 10-point rolling trendline;
+    each group RENDERS a real PNG with the pure-numpy rasterizer, encodes
+    it with the engine's own codec, and reads the dimensions back by
+    DECODING it (png_width/png_height derive from the decode, so a
+    raster/codec break fails the hash). The oracle twins the per-series
+    aggregates + the constant canvas dims; the raster geometry itself is
+    pinned pixel-golden in tests/test_plot.py (bytes aren't SQL-
+    expressible)."""
+    from .operators.plot import plot_metric
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("vehicle"),
+        F.col("event_id").cast("double").alias("t"),
+        F.col("value").alias("v"),
+    )
+    out = plot_metric(keyed, "vehicle", "t", "v", with_trend=True)
+    return out.drop("png").orderBy("series")
+
+
+ORACLE_PLOT_SINK = """
+SELECT 'u' || (user_id % 8) AS series,
+       COUNT(*) AS n_points,
+       CAST(MIN(event_id) AS DOUBLE) AS x_min,
+       CAST(MAX(event_id) AS DOUBLE) AS x_max,
+       MIN(value) AS y_min,
+       MAX(value) AS y_max,
+       CAST(640 AS INT) AS png_width,
+       CAST(480 AS INT) AS png_height
+FROM events
+WHERE event_id IS NOT NULL AND value IS NOT NULL
+GROUP BY 1
+ORDER BY series
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
 
 QUERIES = {
     "png_decode": q_png_decode,
+    "gif_decode": q_gif_decode,
+    "plot_sink": q_plot_sink,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -2347,6 +2467,8 @@ ORACLES = {
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "png_decode": ORACLE_PNG_DECODE,
+    "gif_decode": ORACLE_GIF_DECODE,
+    "plot_sink": ORACLE_PLOT_SINK,
 }
 
 
@@ -2367,6 +2489,8 @@ _SAMPLE_HORIZON = 50
 _LAST_DRIVER_CHECK = {
     # never externally checked (new this round)
     "png_decode": 0,
+    "gif_decode": 0,
+    "plot_sink": 0,
     # green in r1+r2, NOT in the r3 sample -> stale, must be in-window now
     "pricing_summary": 3,  # exception: r3 sampled it (row 50)
     "nation_revenue": 2,
@@ -2449,6 +2573,8 @@ _LAST_DRIVER_CHECK = {
 _REGISTRY_ORDER = [
     # -- stale (last check r2) + new: must be inside the window ------------
     "png_decode",
+    "gif_decode",
+    "plot_sink",
     "nation_revenue",
     "first_number",
     "time_parse",
@@ -2499,8 +2625,8 @@ _REGISTRY_ORDER = [
     "latest_capture",
     "metric_sweep",
     "pricing_summary",
-    "tfidf_topk",
     # ---------------- sampling horizon (~50) ends here --------------------
+    "tfidf_topk",
     "repetition_filter",
     "hash_sample",
     "quota_sample",
