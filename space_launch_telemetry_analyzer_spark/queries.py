@@ -2313,6 +2313,69 @@ ORDER BY series
 """
 
 
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PDF codec end-to-end (r4 — the last stub closed): per doc,
+    build a two-column page of known text runs (2+doc_id%3 left lines,
+    1+doc_id%2 right lines), serialize it to an actual PDF via
+    layout.make_pdf (xref/trailer/FlateDecode/Helvetica), parse it back
+    with the pure-stdlib text-operator parser (parse_pdf_real), and run
+    the column-valley reading-order reconstruction. The oracle hardcodes
+    the analytically-known reading order — a framing, Flate, text-
+    operator, coordinate-flip, or column-split divergence changes
+    layout_text and fails the hash."""
+    from .operators import layout as LY
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_columns": [], "n_boxes": [],
+                   "layout_text": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n_l, n_r = 2 + did % 3, 1 + did % 2
+                boxes = (
+                    [{"x": 50.0, "y": 80.0 + 40.0 * i, "w": 100.0, "h": 12.0,
+                      "text": f"L{did}.{i}"} for i in range(n_l)]
+                    + [{"x": 350.0, "y": 80.0 + 40.0 * i, "w": 100.0, "h": 12.0,
+                        "text": f"R{did}.{i}"} for i in range(n_r)]
+                )
+                blob = LY.make_pdf(boxes)
+                n, t = LY.reading_order(LY.parse_pdf_real(blob))
+                out["doc_id"].append(did)
+                out["n_columns"].append(n)
+                out["n_boxes"].append(n_l + n_r)
+                out["layout_text"].append(t)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, n_columns int, n_boxes int, layout_text string",
+    ).orderBy("doc_id")
+
+
+ORACLE_PDF_LAYOUT = """
+SELECT doc_id,
+       CAST(2 AS INT) AS n_columns,
+       CAST(3 + doc_id % 3 + doc_id % 2 AS INT) AS n_boxes,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'L' || doc_id || '.0' || chr(10) || 'L' || doc_id || '.1'
+         WHEN 1 THEN 'L' || doc_id || '.0' || chr(10) || 'L' || doc_id || '.1'
+                  || chr(10) || 'L' || doc_id || '.2'
+         ELSE 'L' || doc_id || '.0' || chr(10) || 'L' || doc_id || '.1'
+                  || chr(10) || 'L' || doc_id || '.2' || chr(10)
+                  || 'L' || doc_id || '.3' END
+       || chr(10) ||
+       CASE WHEN doc_id % 2 = 0 THEN 'R' || doc_id || '.0'
+            ELSE 'R' || doc_id || '.0' || chr(10) || 'R' || doc_id || '.1' END
+         AS layout_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2321,6 +2384,7 @@ QUERIES = {
     "png_decode": q_png_decode,
     "gif_decode": q_gif_decode,
     "plot_sink": q_plot_sink,
+    "pdf_layout": q_pdf_layout,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -2469,6 +2533,7 @@ ORACLES = {
     "png_decode": ORACLE_PNG_DECODE,
     "gif_decode": ORACLE_GIF_DECODE,
     "plot_sink": ORACLE_PLOT_SINK,
+    "pdf_layout": ORACLE_PDF_LAYOUT,
 }
 
 
@@ -2491,6 +2556,7 @@ _LAST_DRIVER_CHECK = {
     "png_decode": 0,
     "gif_decode": 0,
     "plot_sink": 0,
+    "pdf_layout": 0,
     # green in r1+r2, NOT in the r3 sample -> stale, must be in-window now
     "pricing_summary": 3,  # exception: r3 sampled it (row 50)
     "nation_revenue": 2,
@@ -2575,6 +2641,7 @@ _REGISTRY_ORDER = [
     "png_decode",
     "gif_decode",
     "plot_sink",
+    "pdf_layout",
     "nation_revenue",
     "first_number",
     "time_parse",

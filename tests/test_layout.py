@@ -52,10 +52,96 @@ def test_layout_text_spark(spark):
 
 
 def test_parse_pdf_stub():
-    with pytest.raises(NotImplementedError):
+    # a real-but-textless PDF hits the REAL parser now -> ValueError
+    with pytest.raises(ValueError, match="no text content"):
         parse_pdf(b"%PDF-1.7 ...", fake=False)
+    # non-PDF bytes without fake= keep the explicit stub signal
+    with pytest.raises(NotImplementedError):
+        parse_pdf(b"just some bytes", fake=False)
     a = parse_pdf(b"%PDF payload", fake=True)
     b2 = parse_pdf(b"%PDF payload", fake=True)
     assert a == b2 and len(a) >= 4  # deterministic fake
     n, t = reading_order(a)
     assert n == 2 and t  # fake boxes form two columns
+
+
+# ---- real PDF text-subset codec --------------------------------------------
+
+from space_launch_telemetry_analyzer_spark.operators.layout import (  # noqa: E402
+    make_pdf,
+    parse_pdf_real,
+)
+
+
+def _roundtrip(boxes, **kw):
+    return parse_pdf_real(make_pdf(boxes, **kw))
+
+
+def test_pdf_roundtrip_plain_and_flate():
+    boxes = [
+        box(50, 80, "left line1", h=12.0),
+        box(50, 120, "left line2", h=12.0),
+        box(350, 80, "right (paren) \\ back", h=12.0),
+    ]
+    for compress in (False, True):
+        got = _roundtrip(boxes, compress=compress)
+        assert [g["text"] for g in got] == [b["text"] for b in boxes]
+        for g, b in zip(got, boxes):
+            assert abs(g["x"] - b["x"]) < 1e-6 and abs(g["y"] - b["y"]) < 1e-6
+            assert abs(g["h"] - b["h"]) < 1e-6
+
+
+def test_pdf_string_forms():
+    from space_launch_telemetry_analyzer_spark.operators.layout import _pdf_string
+
+    assert _pdf_string(rb"(a\(b\)c)") == "a(b)c"
+    assert _pdf_string(rb"(tab\there)") == "tab\there"
+    assert _pdf_string(rb"(\101\102\103)") == "ABC"  # octal
+    assert _pdf_string(b"<48656C6C6F>") == "Hello"   # hex string
+    assert _pdf_string(b"<4 8 65 7>") == "Hep"       # ws stripped, odd nibble pads 0
+
+
+def test_pdf_tj_array_and_tstar_and_quote():
+    import zlib as _z
+
+    content = (
+        b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm "
+        b"[(Hel) -20 (lo)] TJ T* (world) Tj (next) ' ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF"
+    )
+    got = parse_pdf_real(pdf)
+    assert [g["text"] for g in got] == ["Hello", "world", "next"]
+    # T* and ' each advance one leading (12) downward in top-down coords
+    assert got[1]["y"] - got[0]["y"] == pytest.approx(12.0)
+    assert got[2]["y"] - got[1]["y"] == pytest.approx(12.0)
+    assert _z  # keep import referenced
+
+
+def test_pdf_mediabox_flips_y():
+    boxes = [box(10, 30, "t", h=10.0)]
+    got = _roundtrip(boxes, page_h=200.0)
+    assert got[0]["y"] == pytest.approx(30.0)
+
+
+def test_pdf_malformed():
+    with pytest.raises(ValueError, match="%PDF-"):
+        parse_pdf_real(b"not a pdf at all")
+    good = make_pdf([box(10, 10, "x")], compress=True)
+    # corrupt the flate body
+    i = good.index(b"stream\n") + 7
+    bad = good[:i + 5] + b"\x00\x00\x00\x00" + good[i + 9:]
+    with pytest.raises(ValueError):
+        parse_pdf_real(bad)
+
+
+def test_pdf_two_columns_end_to_end():
+    """make_pdf -> parse_pdf -> reading_order reconstructs column order."""
+    boxes = (
+        [box(50, 80 + 40 * i, f"L{i}", h=12.0) for i in range(3)]
+        + [box(350, 80 + 40 * i, f"R{i}", h=12.0) for i in range(2)]
+    )
+    n, t = reading_order(parse_pdf(make_pdf(boxes)))
+    assert n == 2 and t == "L0\nL1\nL2\nR0\nR1"
