@@ -447,6 +447,11 @@ class _BitWriterMSB:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align and emit RSTn — raw marker bytes, never stuffed."""
+        self.flush()
+        self.out += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 def _encode_block(bw, block, q, dc_enc, ac_enc, pred):
     coef = _fdct2(block - 128.0)
@@ -481,13 +486,21 @@ def _encode_block(bw, block, q, dc_enc, ac_enc, pred):
     return int(qz[0])
 
 
-def encode_jpeg(pixels: "np.ndarray", quality: int = 85) -> bytes:
+def encode_jpeg(pixels: "np.ndarray", quality: int = 85,
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
     """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> baseline JFIF bytes,
-    4:4:4 (no chroma subsampling), Annex K Huffman tables."""
+    Annex K Huffman tables. subsample: '444' (one 8x8 MCU per component)
+    or '420' (color only: 16x16 MCUs, 4 Y blocks + 2x2-mean-downsampled
+    Cb/Cr — the dominant web encoding). restart_interval > 0 emits a DRI
+    segment and byte-aligned RSTn markers every that-many MCUs (and
+    resets the DC predictors), exercising the decoder's restart path."""
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("encode_jpeg wants (h,w) gray or (h,w,3) rgb uint8")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    sub420 = subsample == "420" and not gray
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("zero-dimension image")
@@ -516,8 +529,11 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 85) -> bytes:
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
-        sof += bytes((i + 1, 0x11, 0 if i == 0 else 1))
+        samp = 0x22 if (sub420 and i == 0) else 0x11
+        sof += bytes((i + 1, samp, 0 if i == 0 else 1))
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:
         hts += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
@@ -537,24 +553,52 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 85) -> bytes:
     ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
     encs = [(dc_l, ac_l)] + ([(dc_c, ac_c), (dc_c, ac_c)] if not gray else [])
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = []
-    for pl in planes:
-        pp = np.empty((ph, pw), dtype=np.float64)
-        pp[:h, :w] = pl
-        pp[h:, :w] = pl[h - 1:h, :]  # edge-replicate padding
-        pp[:, w:] = pp[:, w - 1:w]
-        padded.append(pp)
+    mcu = 16 if sub420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+
+    def pad_plane(pl, th, tw):
+        pp = np.empty((th, tw), dtype=np.float64)
+        sh, sw = pl.shape
+        pp[:sh, :sw] = pl
+        pp[sh:, :sw] = pl[sh - 1:sh, :]  # edge-replicate padding
+        pp[:, sw:] = pp[:, sw - 1:sw]
+        return pp
+
+    if sub420:
+        ypad = pad_plane(planes[0], ph, pw)
+        # 2x2 mean downsample of the padded chroma
+        cbp = pad_plane(planes[1], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        crp = pad_plane(planes[2], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        padded = [ypad, cbp, crp]
+    else:
+        padded = [pad_plane(pl, ph, pw) for pl in planes]
 
     bw = _BitWriterMSB()
     preds = [0] * nc
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(nc):
-                preds[ci] = _encode_block(
-                    bw, padded[ci][by:by + 8, bx:bx + 8], qmap[min(ci, 1)],
-                    encs[ci][0], encs[ci][1], preds[ci],
-                )
+    mcu_count = 0
+    for by in range(0, ph, mcu):
+        for bx in range(0, pw, mcu):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.restart_marker(mcu_count // restart_interval - 1)
+                preds = [0] * nc
+            if sub420:
+                for vy in (0, 8):
+                    for vx in (0, 8):
+                        preds[0] = _encode_block(
+                            bw, padded[0][by + vy:by + vy + 8, bx + vx:bx + vx + 8],
+                            qmap[0], encs[0][0], encs[0][1], preds[0])
+                cy, cx = by // 2, bx // 2
+                for ci in (1, 2):
+                    preds[ci] = _encode_block(
+                        bw, padded[ci][cy:cy + 8, cx:cx + 8], qmap[1],
+                        encs[ci][0], encs[ci][1], preds[ci])
+            else:
+                for ci in range(nc):
+                    preds[ci] = _encode_block(
+                        bw, padded[ci][by:by + 8, bx:bx + 8], qmap[min(ci, 1)],
+                        encs[ci][0], encs[ci][1], preds[ci],
+                    )
+            mcu_count += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

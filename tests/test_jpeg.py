@@ -138,3 +138,46 @@ def test_image_features_jpeg_through_spark(spark):
     assert out[2]["mean_luma"] == pytest.approx(out[3]["mean_luma"], abs=1e-12)
     assert out[1]["mean_luma"] == pytest.approx(out[2]["mean_luma"], abs=0.01)
     assert out[4]["error"] is not None
+
+
+def test_420_subsampling_roundtrip():
+    """The decoder's 4:2:0 MCU path (4 Y blocks + downsampled chroma +
+    2x upsample) against the encoder's real 4:2:0 output."""
+    y, x = np.mgrid[0:37, 0:45]
+    rgb = np.stack([(x * 5 + y * 2) % 256, (x * 2 + y * 9) % 256,
+                    (x * 11 + y) % 256], axis=2).astype(np.uint8)
+    enc = J.encode_jpeg(rgb, quality=90, subsample="420")
+    d = J.decode_jpeg(enc, return_luma=True)
+    assert (d["width"], d["height"], d["channels"]) == (45, 37, 3)
+    luma_in = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    # luma is full-res in 4:2:0: mean error stays small even though chroma
+    # is quartered on this deliberately chroma-busy pattern
+    assert np.abs(d["luma"] - luma_in).mean() < 3.0
+    # 4:2:0 must be smaller than 4:4:4 at equal quality
+    assert len(enc) < len(J.encode_jpeg(rgb, quality=90, subsample="444"))
+    with pytest.raises(ValueError, match="subsample"):
+        J.encode_jpeg(rgb, subsample="422x")
+
+
+def test_restart_markers_roundtrip_and_reset():
+    """DRI + RSTn: byte-aligned markers every N MCUs with DC predictor
+    resets — gray, 4:4:4 color, and 4:2:0 all decode identically to their
+    marker-free twins."""
+    y, x = np.mgrid[0:24, 0:40]
+    g = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    rgb = np.stack([g, ((x + 3 * y) % 256).astype(np.uint8), g[::-1]], axis=2)
+
+    for kwargs in ({}, {"subsample": "420"}):
+        base = J.decode_jpeg(J.encode_jpeg(rgb, quality=85, **kwargs),
+                             return_luma=True)
+        rst = J.decode_jpeg(
+            J.encode_jpeg(rgb, quality=85, restart_interval=2, **kwargs),
+            return_luma=True)
+        assert np.array_equal(base["luma"], rst["luma"])
+    b1 = J.decode_jpeg(J.encode_jpeg(g, quality=85), return_luma=True)
+    b2 = J.decode_jpeg(J.encode_jpeg(g, quality=85, restart_interval=1),
+                       return_luma=True)
+    assert np.array_equal(b1["luma"], b2["luma"])
+    # the stream genuinely contains RST markers
+    enc = J.encode_jpeg(g, quality=85, restart_interval=1)
+    assert any(bytes((0xFF, 0xD0 + i)) in enc for i in range(8))
