@@ -173,7 +173,10 @@ class _BitReaderMSB:
                 return False  # real marker: stop
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to the live bits before shifting: without this the acc
+        # bigint keeps every byte ever read and decode goes quadratic in
+        # scan size (review r4: 47 KB of entropy data took 2.6 s)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
         return True
 
@@ -397,16 +400,9 @@ def _decode_scan(payload, pos, frame, scan, qtables, dc_tables, ac_tables,
         luma = rgb @ np.array([0.299, 0.587, 0.114])
         channels = 3
 
-    ys = np.array_split(np.arange(h), min(4, h))
-    xs = np.array_split(np.arange(w), min(4, w))
-    grid = [float(luma[np.ix_(yb, xb)].mean() / 255.0) for yb in ys for xb in xs]
-    grid += [0.0] * (16 - len(grid))
-    out = {
-        "width": int(w), "height": int(h), "channels": int(channels),
-        "mean_luma": float(luma.mean() / 255.0),
-        "luma_sum": int(np.rint(luma).astype(np.int64).sum()),
-        "feature": [float(np.float32(g)) for g in grid],
-    }
+    from .multimodal import luma_features
+
+    out = luma_features(luma, channels)
     if return_luma:
         out["luma"] = luma
     return out

@@ -134,13 +134,15 @@ def _pdf_string(tok: bytes) -> str:
                 out += _STR_ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \d, \dd, \ddd
+            if nxt in b"01234567":  # octal \d, \dd, \ddd — OCTAL digits only
                 j = i + 1
-                while j < min(i + 4, end) and tok[j:j + 1].isdigit():
+                while j < min(i + 4, end) and tok[j] in b"01234567":
                     j += 1
                 out.append(int(tok[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
+            # \8, \9, or any other unknown escape: backslash dropped per
+            # spec, the following character kept (next loop iteration)
             i += 1  # unknown escape: backslash dropped per spec
             continue
         out += c
@@ -206,8 +208,8 @@ def _parse_content(data: bytes, page_h: float) -> list[dict]:
             dx, dy = fnum(stack[-2], 0.0), fnum(stack[-1], 0.0)
             x += dx
             y += dy
-            if op == b"TD" and dy:
-                leading = -dy
+            if op == b"TD":
+                leading = -dy  # unconditional per PDF 32000 Table 106
         elif op == b"Tm" and len(stack) >= 6:
             x, y = fnum(stack[-2], x), fnum(stack[-1], y)
         elif op == b"T*":

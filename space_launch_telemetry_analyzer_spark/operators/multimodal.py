@@ -122,6 +122,24 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+def luma_features(luma: "np.ndarray", channels: int) -> dict:
+    """The ONE fixed-size feature contract every real codec (PNG/GIF/JPEG)
+    emits: dimensions, Rec.601 mean luma, exact integer luma sum, and a
+    4x4 block-mean grid padded to 16 floats — shared so the per-format
+    decoders cannot drift apart (cross-format equality is tested)."""
+    h, w = luma.shape
+    ys = np.array_split(np.arange(h), min(4, h))
+    xs = np.array_split(np.arange(w), min(4, w))
+    grid = [float(luma[np.ix_(yb, xb)].mean() / 255.0) for yb in ys for xb in xs]
+    grid += [0.0] * (16 - len(grid))
+    return {
+        "width": int(w), "height": int(h), "channels": int(channels),
+        "mean_luma": float(luma.mean() / 255.0),
+        "luma_sum": int(np.rint(luma).astype(np.int64).sum()),
+        "feature": [float(np.float32(g)) for g in grid],
+    }
+
+
 def decode_png(payload: bytes) -> dict:
     """Real pure-stdlib PNG decode: dimensions, channels, Rec.601 mean
     luma, and a 4x4 block-mean luma grid as the 16-dim feature vector.
@@ -164,7 +182,12 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError("palette PNG without PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8)
         pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
-        rgb = pal[px.reshape(height, width)].astype(np.float64)
+        if len(pal) == 0:
+            raise ValueError("palette PNG with empty PLTE")
+        # clamp out-of-palette indices (corrupt-but-framed data) instead
+        # of IndexError — the contract is ValueError or a best-effort
+        # decode, never a foreign exception type
+        rgb = pal[np.minimum(px.reshape(height, width), len(pal) - 1)].astype(np.float64)
         luma = rgb @ np.array([0.299, 0.587, 0.114])
         channels = 3
     else:
@@ -175,22 +198,7 @@ def decode_png(payload: bytes) -> dict:
         else:  # 2 (RGB) / 6 (RGBA): luma from the color channels
             luma = px[:, :, :3] @ np.array([0.299, 0.587, 0.114])
 
-    luma_round = np.rint(luma).astype(np.int64)
-    # 4x4 block-mean grid (blocks sized by index // ceil-split; images
-    # smaller than 4 px reuse rows/cols — deterministic either way)
-    ys = np.array_split(np.arange(height), min(4, height))
-    xs = np.array_split(np.arange(width), min(4, width))
-    grid = [
-        float(luma[np.ix_(yb, xb)].mean() / 255.0)
-        for yb in ys for xb in xs
-    ]
-    grid += [0.0] * (16 - len(grid))  # tiny images pad to the fixed width
-    return {
-        "width": int(width), "height": int(height), "channels": int(channels),
-        "mean_luma": float(luma.mean() / 255.0),
-        "luma_sum": int(luma_round.sum()),
-        "feature": [float(np.float32(g)) for g in grid],
-    }
+    return luma_features(luma, channels)
 
 
 def encode_png(pixels: "np.ndarray") -> bytes:
@@ -347,7 +355,11 @@ def decode_gif(payload: bytes) -> dict:
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
             lct = payload[pos:pos + 3 * n]
+            if len(lct) < 3 * n:
+                raise ValueError("truncated GIF local color table")
             pos += 3 * n
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
         mcs = payload[pos]
         pos += 1
         data, pos = _gif_subblocks(payload, pos)
@@ -375,19 +387,13 @@ def decode_gif(payload: bytes) -> dict:
     w, h, arr, pal = first
     p = np.frombuffer(pal, dtype=np.uint8)
     p = p[: (len(p) // 3) * 3].reshape(-1, 3)
+    if len(p) == 0:
+        raise ValueError("GIF color table empty")
     rgb = p[np.minimum(arr, len(p) - 1)].astype(np.float64)
     luma = rgb @ np.array([0.299, 0.587, 0.114])
-    ys = np.array_split(np.arange(h), min(4, h))
-    xs = np.array_split(np.arange(w), min(4, w))
-    grid = [float(luma[np.ix_(yb, xb)].mean() / 255.0) for yb in ys for xb in xs]
-    grid += [0.0] * (16 - len(grid))
-    return {
-        "width": int(w), "height": int(h), "channels": 3,
-        "mean_luma": float(luma.mean() / 255.0),
-        "luma_sum": int(np.rint(luma).astype(np.int64).sum()),
-        "feature": [float(np.float32(g)) for g in grid],
-        "n_frames": int(n_frames),
-    }
+    out = luma_features(luma, 3)
+    out["n_frames"] = int(n_frames)
+    return out
 
 
 def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:

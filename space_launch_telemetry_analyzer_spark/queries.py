@@ -2690,9 +2690,11 @@ _REGISTRY_ORDER = [
     "lang_id",
     "sessionize",
     "latest_capture",
+    # ---------------- sampling horizon (50) ends here ---------------------
+    # (counted, not eyeballed: tests/test_registry.py asserts the horizon
+    # marker's arithmetic — entries above = _SAMPLE_HORIZON exactly)
     "metric_sweep",
     "pricing_summary",
-    # ---------------- sampling horizon (~50) ends here --------------------
     "tfidf_topk",
     "repetition_filter",
     "hash_sample",

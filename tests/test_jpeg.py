@@ -181,3 +181,21 @@ def test_restart_markers_roundtrip_and_reset():
     # the stream genuinely contains RST markers
     enc = J.encode_jpeg(g, quality=85, restart_interval=1)
     assert any(bytes((0xFF, 0xD0 + i)) in enc for i in range(8))
+
+
+def test_bit_reader_acc_stays_bounded():
+    """r4 review: the entropy reader must not accumulate every byte ever
+    read into its bigint (that made decode quadratic in scan size)."""
+    br = J._BitReaderMSB(bytes(range(1, 250)) * 40, 0)
+    for _ in range(8 * 9000):
+        br.read_bit()
+    assert br.acc.bit_length() <= 16
+    # and a big busy image decodes in sane time (was ~minutes before)
+    import time
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, (320, 480), dtype=np.uint8)  # noise = max entropy
+    enc = J.encode_jpeg(big, quality=95)
+    t0 = time.time()
+    d = J.decode_jpeg(enc)
+    assert time.time() - t0 < 30.0  # generous CI bound; quadratic took minutes
+    assert (d["width"], d["height"]) == (480, 320)

@@ -145,3 +145,24 @@ def test_pdf_two_columns_end_to_end():
     )
     n, t = reading_order(parse_pdf(make_pdf(boxes)))
     assert n == 2 and t == "L0\nL1\nL2\nR0\nR1"
+
+
+def test_pdf_non_octal_escape_drops_backslash():
+    """r4 review: \\8 / \\9 are not octal — the backslash drops, the digit
+    stays (PDF 32000 7.3.4.2); previously this raised ValueError."""
+    from space_launch_telemetry_analyzer_spark.operators.layout import _pdf_string
+
+    assert _pdf_string(rb"(phone \89)") == "phone 89"
+    assert _pdf_string(rb"(a\9b)") == "a9b"
+    assert _pdf_string(rb"(mix \101\8)") == "mix A8"
+
+
+def test_pdf_td_zero_leading():
+    """TD sets leading = -ty even when ty == 0 (PDF 32000 Table 106): after
+    `10 0 TD`, T* must not move down by a stale leading."""
+    content = b"BT /F1 10 Tf 12 TL 1 0 0 1 72 700 Tm 10 0 TD (a) Tj T* (b) Tj ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+    got = parse_pdf_real(pdf)
+    assert [g["text"] for g in got] == ["a", "b"]
+    assert got[0]["y"] == got[1]["y"]  # leading 0 -> same line

@@ -287,3 +287,41 @@ def test_decode_image_routes_gif():
         d = M.decode_image(gif, fake=fake)
         assert (d["width"], d["height"]) == (6, 6)
         assert d["luma_sum"] == int(arr.astype(np.int64).sum())
+
+
+def test_png_palette_index_out_of_range_clamps():
+    """r4 review: an index past the PLTE must clamp (best-effort decode),
+    never raise IndexError."""
+    w, h = 3, 1
+    pal = bytes([10, 10, 10, 250, 250, 250])  # 2 entries
+    idx = bytes([0, 1, 5])                    # 5 is out of range -> clamps to 1
+    lines = b"\x00" + idx
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
+           + _chunk(b"IDAT", zlib.compress(lines)) + _chunk(b"IEND", b""))
+    d = M.decode_png(png)
+    assert d["luma_sum"] == 10 + 250 + 250
+
+
+def test_gif_truncated_local_color_table_raises_valueerror():
+    """r4 review: truncation inside a local color table must surface as
+    ValueError (the error-channel contract), not IndexError."""
+    good = M.encode_gif(_gray(3, 3))
+    # build a frame that claims a local color table then ends
+    head = good[:781]  # header + LSD + GCT
+    idesc = b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 3) + bytes((0x80,))  # LCT flag, 4 entries
+    bad = head + idesc + b"\x01\x02"  # far less than 12 LCT bytes
+    with pytest.raises(ValueError, match="local color table|truncated"):
+        M.decode_gif(bad)
+
+
+def test_luma_features_shared_contract():
+    """All three codecs emit through ONE helper — identical keys and grid
+    math by construction."""
+    arr = _gray(8, 8)
+    png = M.decode_png(M.encode_png(arr))
+    gif = M.decode_gif(M.encode_gif(arr))
+    assert png["feature"] == gif["feature"]
+    assert png["luma_sum"] == gif["luma_sum"] == int(arr.astype(np.int64).sum())
+    assert set(png) == {"width", "height", "channels", "mean_luma",
+                        "luma_sum", "feature"}

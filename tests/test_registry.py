@@ -48,3 +48,22 @@ def test_every_query_has_an_oracle():
     (genuinely non-SQL-expressible ops would be exempt, but there are none
     registered — the driver hash-checks all of them)."""
     assert sorted(ORACLES) == sorted(QUERIES)
+
+
+def test_horizon_marker_arithmetic_matches():
+    """The 'sampling horizon ends here' comment in _REGISTRY_ORDER must sit
+    after exactly _SAMPLE_HORIZON entries — r4 review found it drifting two
+    entries late, silently dropping queries out of the driver's window."""
+    import inspect
+    import re
+
+    import space_launch_telemetry_analyzer_spark.queries as qmod
+
+    src = inspect.getsource(qmod)
+    start = src.index("_REGISTRY_ORDER = [")
+    marker = src.index("sampling horizon", start)
+    before = src[start:marker]
+    n_entries = len(re.findall(r'^\s*"[a-z0-9_]+",\s*$', before, re.M))
+    assert n_entries == _SAMPLE_HORIZON, (
+        f"horizon comment sits after {n_entries} entries, not {_SAMPLE_HORIZON}"
+    )
