@@ -2548,151 +2548,95 @@ ORACLES = {
 # sampling window — so nothing goes more than two rounds without an external
 # verdict, and bumping _CURRENT_ROUND without rotating the order fails CI.
 # ---------------------------------------------------------------------------
-_CURRENT_ROUND = 4
+_CURRENT_ROUND = 5
 _SAMPLE_HORIZON = 50
 
 _LAST_DRIVER_CHECK = {
-    # never externally checked (new this round)
-    "png_decode": 0,
-    "gif_decode": 0,
-    "plot_sink": 0,
-    "pdf_layout": 0,
-    # green in r1+r2, NOT in the r3 sample -> stale, must be in-window now
-    "pricing_summary": 3,  # exception: r3 sampled it (row 50)
-    "nation_revenue": 2,
-    "first_number": 2,
-    "time_parse": 2,
-    "unit_convert": 2,
-    "hhmmss_format": 2,
-    "event_label_parse": 2,
-    "outlier_nulling": 2,
-    "lead_acceleration": 2,
-    "g_force": 2,
-    "rolling_trend": 2,
-    "zero_anchor_realtime": 2,
-    "after_anchor_flag": 2,
-    "bucket_summarize": 2,
-    "sample_every_nth": 2,
-    "time_window_filter": 2,
-    "union_compare": 2,
-    "detect_series": 2,
-    "fuel_pair_rule": 2,
-    "fuel_coalesce": 2,
-    "engine_count_agg": 2,
-    "ngram_jaccard": 2,
-    # the 50 queries in CORRECTNESS_r03.json
-    "pii_redact": 3,
+    # the 50 queries in CORRECTNESS_r04.json (all green)
+    "plot_sink": 4,
+    "pdf_layout": 4,
+    "png_decode": 4,
+    "gif_decode": 4,
+    "binary_meta": 4,
+    "extract_main_text": 4,
+    "extract_field_spans": 4,
+    "extract_engine_counts": 4,
+    "dedup_exact": 4,
+    "minhash_pairs": 4,
+    "dedup_survivors": 4,
+    "simhash_pairs": 4,
+    "embedding_topk": 4,
+    "embedding_near_dup": 4,
+    "ann_lsh_topk": 4,
+    "ivf_ann_topk": 4,
+    "kmeans_centroids": 4,
+    "pagerank": 4,
+    "pagerank_dangling": 4,
+    "decontaminate": 4,
+    "pii_redact": 4,
+    "quality_score": 4,
+    "lang_id": 4,
+    "sessionize": 4,
+    "latest_capture": 4,
+    "after_anchor_flag": 4,
+    "bucket_summarize": 4,
+    "detect_series": 4,
+    "engine_count_agg": 4,
+    "event_label_parse": 4,
+    "first_number": 4,
+    "fuel_coalesce": 4,
+    "fuel_pair_rule": 4,
+    "g_force": 4,
+    "hhmmss_format": 4,
+    "lead_acceleration": 4,
+    "nation_revenue": 4,
+    "ngram_jaccard": 4,
+    "outlier_nulling": 4,
+    "results_roundtrip": 4,
+    "robots_filter": 4,
+    "rolling_trend": 4,
+    "sample_every_nth": 4,
+    "time_parse": 4,
+    "time_window_filter": 4,
+    "union_compare": 4,
+    "unit_convert": 4,
+    "validate_report": 4,
+    "warc_roundtrip": 4,
+    "zero_anchor_realtime": 4,
+    # unsampled in r4 (last green r3) -> stale, must be in-window now
+    "metric_sweep": 3,
+    "pricing_summary": 3,
+    "tfidf_topk": 3,
     "repetition_filter": 3,
     "hash_sample": 3,
     "quota_sample": 3,
     "doc_frequency": 3,
-    "tfidf_topk": 3,
     "corpus_stats": 3,
-    "sessionize": 3,
     "link_graph": 3,
-    "latest_capture": 3,
-    "pagerank": 3,
-    "results_roundtrip": 3,
     "normalize_text": 3,
-    "pagerank_dangling": 3,
-    "metric_sweep": 3,
     "normalize_text_nfc": 3,
-    "robots_filter": 3,
-    "warc_roundtrip": 3,
     "layout_reading_order": 3,
     "url_canonicalize": 3,
     "noindex_filter": 3,
-    "validate_report": 3,
     "sort_series": 3,
     "single_row_lookup": 3,
     "flatten_results": 3,
     "event_forms_parse": 3,
     "event_range_filter": 3,
-    "decontaminate": 3,
-    "ivf_ann_topk": 3,
-    "kmeans_centroids": 3,
-    "extract_main_text": 3,
-    "extract_field_spans": 3,
-    "extract_engine_counts": 3,
-    "dedup_exact": 3,
-    "minhash_pairs": 3,
-    "dedup_survivors": 3,
-    "simhash_pairs": 3,
-    "embedding_topk": 3,
-    "embedding_near_dup": 3,
-    "ann_lsh_topk": 3,
-    "lang_id": 3,
-    "quality_score": 3,
     "token_counts": 3,
     "fingerprint": 3,
     "chunk_documents": 3,
     "top_bigrams": 3,
-    "binary_meta": 3,
     "span_explode": 3,
     "path_identity": 3,
 }
 
-# r4 window: the 22 stale/new queries lead; the remaining 28 slots re-check
-# queries whose OPERATOR changed this round (robots, warc, multimodal,
-# pipeline results path) and the flagship/heavy operators; the tail is the
-# 21 queries freshly green in r3 whose code paths did not change.
+# r5 window: the 25 queries unsampled in r4 lead; the other 25 slots
+# re-check operators being touched this round (codec/plot/layout/
+# multimodal/kernel) plus the flagship/heavy watch list; the tail is
+# the r4-green queries whose code paths are untouched in r5.
 _REGISTRY_ORDER = [
-    # -- stale (last check r2) + new: must be inside the window ------------
-    "png_decode",
-    "gif_decode",
-    "plot_sink",
-    "pdf_layout",
-    "nation_revenue",
-    "first_number",
-    "time_parse",
-    "unit_convert",
-    "hhmmss_format",
-    "event_label_parse",
-    "outlier_nulling",
-    "lead_acceleration",
-    "g_force",
-    "rolling_trend",
-    "zero_anchor_realtime",
-    "after_anchor_flag",
-    "bucket_summarize",
-    "sample_every_nth",
-    "time_window_filter",
-    "union_compare",
-    "detect_series",
-    "fuel_pair_rule",
-    "fuel_coalesce",
-    "engine_count_agg",
-    "ngram_jaccard",
-    # -- operators touched in r4: external re-verdict wanted ---------------
-    "robots_filter",
-    "warc_roundtrip",
-    "binary_meta",
-    "results_roundtrip",
-    "validate_report",
-    "extract_main_text",
-    "extract_field_spans",
-    "extract_engine_counts",
-    # -- flagship/heavy operators: keep under continuous external watch ----
-    "dedup_exact",
-    "minhash_pairs",
-    "dedup_survivors",
-    "simhash_pairs",
-    "embedding_topk",
-    "embedding_near_dup",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-    "kmeans_centroids",
-    "pagerank",
-    "pagerank_dangling",
-    "decontaminate",
-    "pii_redact",
-    "quality_score",
-    "lang_id",
-    "sessionize",
-    "latest_capture",
-    # ---------------- sampling horizon (50) ends here ---------------------
-    # (counted, not eyeballed: tests/test_registry.py asserts the horizon
-    # marker's arithmetic — entries above = _SAMPLE_HORIZON exactly)
+    # -- stale (last check r3): must be inside the window -------------
     "metric_sweep",
     "pricing_summary",
     "tfidf_topk",
@@ -2718,6 +2662,60 @@ _REGISTRY_ORDER = [
     "top_bigrams",
     "span_explode",
     "path_identity",
+    # -- operators touched in r5 + flagship/heavy watch list ----------
+    "plot_sink",
+    "pdf_layout",
+    "png_decode",
+    "gif_decode",
+    "binary_meta",
+    "extract_main_text",
+    "extract_field_spans",
+    "extract_engine_counts",
+    "dedup_exact",
+    "minhash_pairs",
+    "dedup_survivors",
+    "simhash_pairs",
+    "embedding_topk",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "kmeans_centroids",
+    "pagerank",
+    "pagerank_dangling",
+    "decontaminate",
+    "pii_redact",
+    "quality_score",
+    "lang_id",
+    "sessionize",
+    "latest_capture",
+    # ---------------- sampling horizon (50) ends here ----------------
+    # (counted, not eyeballed: tests/test_registry.py asserts the
+    # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
+    "after_anchor_flag",
+    "bucket_summarize",
+    "detect_series",
+    "engine_count_agg",
+    "event_label_parse",
+    "first_number",
+    "fuel_coalesce",
+    "fuel_pair_rule",
+    "g_force",
+    "hhmmss_format",
+    "lead_acceleration",
+    "nation_revenue",
+    "ngram_jaccard",
+    "outlier_nulling",
+    "results_roundtrip",
+    "robots_filter",
+    "rolling_trend",
+    "sample_every_nth",
+    "time_parse",
+    "time_window_filter",
+    "union_compare",
+    "unit_convert",
+    "validate_report",
+    "warc_roundtrip",
+    "zero_anchor_realtime",
 ]
 
 assert sorted(_REGISTRY_ORDER) == sorted(QUERIES), (
