@@ -1,19 +1,25 @@
-"""Baseline JPEG codec, pure stdlib + numpy — no image libraries.
+"""Baseline + progressive JPEG codec, pure stdlib + numpy — no image libs.
 
 Closes the last common-web-format gap in the multimodal decode layer
 (reference analog: the pixel kernels fuel_level_extraction.py:45-140 read
 frames via OpenCV; this engine reads crawl image payloads with its own
-codecs). Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, standard Huffman and
-quantization tables or in-stream ones. Progressive (SOF2), arithmetic
-coding, and 12-bit raise ValueError into the row-level error channel.
+codecs). Scope: baseline sequential DCT (SOF0) and progressive DCT (SOF2,
+spectral selection + successive approximation per T.81 Annex G, interleaved
+and non-interleaved scans, EOB runs, restart markers), 8-bit, grayscale or
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, standard Huffman and quantization
+tables or in-stream ones. Arithmetic coding, hierarchical (SOF5+), and
+12-bit raise ValueError into the row-level error channel.
 
-The encoder is the matching sink: baseline, 4:4:4, Annex K tables scaled by
-quality, standard Huffman tables — its output round-trips through
-decode_jpeg and any standard viewer. JPEG is lossy, so roundtrips assert
-closeness (and exactness for flat blocks), not byte identity; the zigzag
-and table constants are written literally from ITU-T T.81 so they can be
-checked against the spec rather than against this module's own inverse.
+The encoders are the matching sinks: encode_jpeg (baseline, Annex K
+Huffman) and encode_jpeg_progressive (libjpeg-style standard scan script;
+AC scans use an in-stream flat 9-bit Huffman table so EOB-run symbols
+EOB1..EOB14 exist — Annex K's baseline AC alphabet has no EOBn>0). Both
+quantize identically, so progressive-encode→decode must reproduce
+baseline-encode→decode pixel-for-pixel (tested). JPEG is lossy, so
+roundtrips assert closeness (and exactness for flat blocks), not byte
+identity; the zigzag and table constants are written literally from
+ITU-T T.81 so they can be checked against the spec rather than against
+this module's own inverse.
 """
 
 from __future__ import annotations
@@ -241,6 +247,9 @@ def decode_jpeg(payload: bytes, return_luma: bool = False) -> dict:
     ac_tables: dict[int, dict] = {}
     frame = None  # (precision, h, w, comps)
     restart_interval = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None  # cid -> (bh, bw, 64) zigzag
+    scans_done = 0
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -262,6 +271,9 @@ def decode_jpeg(payload: bytes, return_luma: bool = False) -> dict:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
+                need = 128 if pq else 64
+                if p + need > len(seg):
+                    raise ValueError("truncated JPEG DQT segment")
                 if pq == 0:
                     tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int32)
                     p += 64
@@ -274,44 +286,85 @@ def decode_jpeg(payload: bytes, return_luma: bool = False) -> dict:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 vals = list(seg[p + 17:p + 17 + n])
                 p += 17 + n
                 t = _build_decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = t
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
+            if h == 0 or w == 0 or nc == 0:
+                raise ValueError("JPEG SOF with zero dimension")
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError("JPEG SOF sampling factor out of range")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = (prec, h, w, comps)
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                    for c in comps
+                }
         elif marker in (0xC1,):
             raise ValueError("extended sequential JPEG (SOF1) unsupported")
-        elif marker == 0xC2:
-            raise ValueError("unsupported: progressive JPEG (SOF2)")
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS -> entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(seg) < 1:
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS segment")
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0x0F))
+            spectral = (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                        seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F)
             pos += seglen
-            return _decode_scan(payload, pos, frame, scan, qtables,
-                                dc_tables, ac_tables, restart_interval,
-                                return_luma)
+            if not progressive:
+                return _decode_scan(payload, pos, frame, scan, qtables,
+                                    dc_tables, ac_tables, restart_interval,
+                                    return_luma)
+            pos = _decode_prog_scan(payload, pos, frame, scan, spectral,
+                                    coefs, dc_tables, ac_tables,
+                                    restart_interval)
+            scans_done += 1
+            continue
         pos += seglen
+    if progressive and scans_done:
+        # liberal on a missing EOI: truncated progressive crawl payloads
+        # still decode from whatever scans arrived (coarse-to-fine is the
+        # format's whole point)
+        return _finish_progressive(frame, coefs, qtables, return_luma)
     raise ValueError("JPEG has no scan data")
 
 
@@ -409,6 +462,243 @@ def _decode_scan(payload, pos, frame, scan, qtables, dc_tables, ac_tables,
 
 
 # ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G.2): each SOS deposits partial
+# coefficients into per-component zigzag-order arrays; the IDCT runs once
+# at the end over whatever precision the scans delivered
+# ---------------------------------------------------------------------------
+
+
+def _nonint_grid(frame, c) -> tuple[int, int]:
+    """Block grid of one component in a NON-interleaved scan (T.81 A.2.2:
+    ceil(ceil(dim * sampling / max_sampling) / 8), no MCU padding)."""
+    _, h, w, comps = frame
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _refine_nonzero(br: _BitReaderMSB, zz: np.ndarray, k: int, p1: int) -> None:
+    """G.1.2.3 correction bit for an already-nonzero coefficient: move its
+    magnitude toward the next level if the bit says so and the bit at the
+    current approximation position is still 0 (two's-complement & matches
+    the C semantics for negatives)."""
+    if br.read_bit():
+        v = int(zz[k])
+        if (v & p1) == 0:
+            zz[k] = v + p1 if v >= 0 else v - p1
+
+
+def _decode_prog_scan(payload, pos, frame, scan, spectral, coefs,
+                      dc_tables, ac_tables, restart_interval) -> int:
+    """Decode one progressive scan into coefs; returns the payload offset
+    of the next marker's 0xFF."""
+    ss, se, ah, al = spectral
+    _, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        order.append((c, td, ta))
+    if se > 63 or ss > se:
+        raise ValueError("JPEG progressive spectral band out of range")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if ss > 0 and len(order) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+
+    br = _BitReaderMSB(payload, pos)
+    p1 = 1 << al
+    eobrun = 0
+    unit = 0  # restart counting: MCUs (interleaved) or blocks (otherwise)
+    pred = {c["id"]: 0 for c, _, _ in order}
+
+    def maybe_restart() -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            if br.align_to_marker() is None:
+                raise ValueError("missing JPEG restart marker")
+            for key in pred:
+                pred[key] = 0
+            eobrun = 0
+
+    if ss == 0:
+        # DC scan: interleaved MCU traversal when Ns > 1, else the
+        # component's own non-interleaved block grid
+        tables = {}
+        for c, td, _ in order:
+            if ah == 0:
+                t = dc_tables.get(td)
+                if t is None:
+                    raise ValueError("JPEG scan uses an undefined table")
+                tables[c["id"]] = t
+
+        def dc_block(c, by_, bx_):
+            zz = coefs[c["id"]][by_, bx_]
+            if ah == 0:
+                t = _decode_huff(br, tables[c["id"]])
+                diff = _extend(br.read_bits(t), t)
+                pred[c["id"]] += diff
+                zz[0] = pred[c["id"]] << al
+            else:
+                if br.read_bit():
+                    zz[0] = int(zz[0]) | p1
+
+        if len(order) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for c, _, _ in order:
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                dc_block(c, my * c["v"] + vy, mx * c["h"] + vx)
+                    unit += 1
+        else:
+            c = order[0][0]
+            bh_, bw_ = _nonint_grid(frame, c)
+            for by_ in range(bh_):
+                for bx_ in range(bw_):
+                    maybe_restart()
+                    dc_block(c, by_, bx_)
+                    unit += 1
+    else:
+        c, _, ta = order[0]
+        act = ac_tables.get(ta)
+        if act is None:
+            raise ValueError("JPEG scan uses an undefined table")
+        plane = coefs[c["id"]]
+        bh_, bw_ = _nonint_grid(frame, c)
+        for by_ in range(bh_):
+            for bx_ in range(bw_):
+                maybe_restart()
+                unit += 1
+                zz = plane[by_, bx_]
+                if ah == 0:
+                    # G.1.2.2 first scan of this band at this precision
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(br, act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break  # EOBn covers this block too
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run overflows band")
+                        zz[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+                else:
+                    # G.1.2.3 refinement: correction bits for known-nonzero
+                    # coefficients interleaved with newly-significant +-p1
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _decode_huff(br, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r < 15:
+                                    # unlike the first-scan convention, the
+                                    # run INCLUDES the current block: its
+                                    # remaining correction bits are consumed
+                                    # by the tail walk below (G.1.2.3)
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                newval = 0  # ZRL: skip 16 zero-history slots
+                            elif s == 1:
+                                newval = p1 if br.read_bit() else -p1
+                            else:
+                                raise ValueError(
+                                    "JPEG AC refinement magnitude must be 1")
+                            while k <= se:
+                                if zz[k] != 0:
+                                    _refine_nonzero(br, zz, k, p1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if zz[k] != 0:
+                                _refine_nonzero(br, zz, k, p1)
+                            k += 1
+                        eobrun -= 1
+
+    # skip any trailing entropy bytes/RSTs to the next true marker
+    p = br.pos
+    d = payload
+    while p < len(d):
+        if d[p] == 0xFF and p + 1 < len(d) and d[p + 1] != 0x00:
+            if 0xD0 <= d[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        p += 1
+    return p
+
+
+def _finish_progressive(frame, coefs, qtables, return_luma=False) -> dict:
+    _, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan uses an undefined table")
+        arr = coefs[c["id"]].astype(np.float64)
+        bh_, bw_ = arr.shape[:2]
+        nat = np.zeros_like(arr)
+        nat[..., ZIGZAG] = arr * q[ZIGZAG].astype(np.float64)
+        blocks = nat.reshape(bh_, bw_, 8, 8)
+        # one vectorized IDCT over every block: out = DCT.T @ C @ DCT
+        pix = np.einsum("ni,bcij,jm->bcnm", _DCT.T, blocks, _DCT,
+                        optimize=True) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        luma = np.clip(full[0], 0, 255)
+        channels = 1
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
+        luma = rgb @ np.array([0.299, 0.587, 0.114])
+        channels = 3
+    from .multimodal import luma_features
+
+    out = luma_features(luma, channels)
+    if return_luma:
+        out["luma"] = luma
+    return out
+
+
+# ---------------------------------------------------------------------------
 # encoder (baseline, 4:4:4, Annex K tables scaled by quality)
 # ---------------------------------------------------------------------------
 
@@ -418,6 +708,42 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     scale = 5000 // quality if quality < 50 else 200 - quality * 2
     q = (base * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _prepare_planes(pixels, quality: int, subsample: str):
+    """Shared by the baseline and progressive encoders so both quantize
+    byte-identically (the progressive-vs-baseline pixel-equality test
+    depends on it): validates input, converts RGB->YCbCr, scales tables."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg wants (h,w) gray or (h,w,3) rgb uint8")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgbf = arr.astype(np.float64)
+        r, g, b = rgbf[:, :, 0], rgbf[:, :, 1], rgbf[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    return gray, h, w, planes, ql, qc
+
+
+def _pad_plane(pl: np.ndarray, th: int, tw: int) -> np.ndarray:
+    pp = np.empty((th, tw), dtype=np.float64)
+    sh, sw = pl.shape
+    pp[:sh, :sw] = pl
+    pp[sh:, :sw] = pl[sh - 1:sh, :]  # edge-replicate padding
+    pp[:, sw:] = pp[:, sw - 1:sw]
+    return pp
 
 
 class _BitWriterMSB:
@@ -490,31 +816,9 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 85,
     Cb/Cr — the dominant web encoding). restart_interval > 0 emits a DRI
     segment and byte-aligned RSTn markers every that-many MCUs (and
     resets the DC predictors), exercising the decoder's restart path."""
-    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
-    gray = arr.ndim == 2
-    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
-        raise ValueError("encode_jpeg wants (h,w) gray or (h,w,3) rgb uint8")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    gray, h, w, planes, ql, qc = _prepare_planes(pixels, quality, subsample)
     sub420 = subsample == "420" and not gray
-    h, w = arr.shape[:2]
-    if h == 0 or w == 0:
-        raise ValueError("zero-dimension image")
-
-    ql = _scaled_quant(QUANT_LUMA, quality)
-    qc = _scaled_quant(QUANT_CHROMA, quality)
-
-    if gray:
-        planes = [arr.astype(np.float64)]
-        qmap = [ql]
-    else:
-        rgbf = arr.astype(np.float64)
-        r, g, b = rgbf[:, :, 0], rgbf[:, :, 1], rgbf[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-        qmap = [ql, qc, qc]
+    qmap = [ql] if gray else [ql, qc, qc]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
@@ -552,22 +856,14 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 85,
     mcu = 16 if sub420 else 8
     ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
 
-    def pad_plane(pl, th, tw):
-        pp = np.empty((th, tw), dtype=np.float64)
-        sh, sw = pl.shape
-        pp[:sh, :sw] = pl
-        pp[sh:, :sw] = pl[sh - 1:sh, :]  # edge-replicate padding
-        pp[:, sw:] = pp[:, sw - 1:sw]
-        return pp
-
     if sub420:
-        ypad = pad_plane(planes[0], ph, pw)
+        ypad = _pad_plane(planes[0], ph, pw)
         # 2x2 mean downsample of the padded chroma
-        cbp = pad_plane(planes[1], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        crp = pad_plane(planes[2], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cbp = _pad_plane(planes[1], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        crp = _pad_plane(planes[2], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         padded = [ypad, cbp, crp]
     else:
-        padded = [pad_plane(pl, ph, pw) for pl in planes]
+        padded = [_pad_plane(pl, ph, pw) for pl in planes]
 
     bw = _BitWriterMSB()
     preds = [0] * nc
@@ -597,5 +893,291 @@ def encode_jpeg(pixels: "np.ndarray", quality: int = 85,
             mcu_count += 1
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G.1): the sink twin for SOF2 decode.
+# Quantizes byte-identically to encode_jpeg (shared _prepare_planes /
+# _pad_plane / _fdct2 arithmetic), then emits a libjpeg-style standard
+# scan script. AC scans use an in-stream FLAT 9-bit Huffman table (all 256
+# symbols, canonical codes 0..255) because Annex K's baseline AC alphabet
+# has no EOBn>0 symbols; flat-9 is a valid incomplete code (Kraft sum 0.5,
+# all-ones codeword unused) that trades size for exercising every decoder
+# path including EOB runs up to 0x7FFF.
+# ---------------------------------------------------------------------------
+
+# DHT bits counts are single bytes, so a flat 256@9 table is unrepresentable:
+# 255 symbols at 9 bits + 0xFF (r=15,s=15, never emitted) at 10 bits.
+_AC_FLAT_BITS = [0] * 8 + [255, 1] + [0] * 6
+_AC_FLAT_VALS = list(range(256))
+
+
+def _default_progressive_scans(nc: int) -> list[tuple]:
+    """(comp_indices, Ss, Se, Ah, Al) per scan — the libjpeg standard
+    simple progression (jcparam.c): DC at Al=1 first, low-frequency luma
+    band, full chroma bands, luma remainder, then refinements."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _quantize_component(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Padded plane -> (bh, bw, 64) int32 quantized coefficients in zigzag
+    order, per-block _fdct2 so the arithmetic matches _encode_block bit for
+    bit (einsum would associate sums differently and could flip an rint)."""
+    hh, ww = plane.shape
+    bh, bw_ = hh // 8, ww // 8
+    out = np.empty((bh, bw_, 64), dtype=np.int32)
+    qz = q[ZIGZAG]
+    for by in range(bh):
+        for bx in range(bw_):
+            coef = _fdct2(plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0)
+            out[by, bx] = np.rint(coef.reshape(-1)[ZIGZAG] / qz).astype(np.int64)
+    return out
+
+
+class _ProgACState:
+    """Per-AC-scan EOB-run accumulator with the buffered correction bits
+    that must be emitted together with the run (G.1.2.3)."""
+
+    __slots__ = ("bw", "enc", "eobrun", "bitbuf")
+
+    def __init__(self, bw: _BitWriterMSB, enc: dict):
+        self.bw = bw
+        self.enc = enc
+        self.eobrun = 0
+        self.bitbuf: list[int] = []
+
+    def emit_sym(self, sym: int) -> None:
+        code, ln = self.enc[sym]
+        self.bw.write(code, ln)
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for bit in self.bitbuf:
+            self.bw.write(bit, 1)
+        self.bitbuf = []
+
+
+def _emit_ac_first(st: _ProgACState, zz: np.ndarray, ss: int, se: int,
+                   al: int) -> None:
+    r = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        t = (abs(c) >> al)
+        if t == 0:
+            r += 1
+            continue
+        st.flush()
+        wrote = True
+        while r > 15:
+            st.emit_sym(0xF0)
+            r -= 16
+        v = t if c > 0 else -t
+        s = t.bit_length()
+        st.emit_sym((r << 4) | s)
+        st.bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0 or not wrote:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _emit_ac_refine(st: _ProgACState, zz: np.ndarray, ss: int, se: int,
+                    al: int) -> None:
+    absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    eob_rel = -1  # index (relative) of the last newly-significant coef
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_rel = i
+    r = 0
+    pending: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_rel:
+            st.flush()
+            st.emit_sym(0xF0)
+            r -= 16
+            for bit in pending:
+                st.bw.write(bit, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        st.flush()
+        st.emit_sym((r << 4) | 1)
+        r = 0
+        st.bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for bit in pending:
+            st.bw.write(bit, 1)
+        pending = []
+    if r > 0 or pending:
+        st.eobrun += 1
+        st.bitbuf.extend(pending)
+        if st.eobrun == 0x7FFF or len(st.bitbuf) > 900:
+            st.flush()
+
+
+def encode_jpeg_progressive(pixels: "np.ndarray", quality: int = 85,
+                            subsample: str = "444", restart_interval: int = 0,
+                            scans: list[tuple] | None = None) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> progressive (SOF2) JFIF
+    bytes. Same quantization as encode_jpeg at the same quality/subsample,
+    so decode of both yields the same pixels. scans overrides the default
+    (comp_indices, Ss, Se, Ah, Al) script; successive-approximation
+    refinements must step Al down by exactly 1 with Ah = previous Al.
+    restart_interval > 0 emits DRI + RSTn every that-many MCUs/blocks in
+    every scan (flushing EOB runs first, as the spec requires)."""
+    gray, h, w, planes, ql, qc = _prepare_planes(pixels, quality, subsample)
+    sub420 = subsample == "420" and not gray
+    nc = 1 if gray else 3
+    mcu = 16 if sub420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if sub420:
+        padded = [
+            _pad_plane(planes[0], ph, pw),
+            _pad_plane(planes[1], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+            _pad_plane(planes[2], ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)),
+        ]
+    else:
+        padded = [_pad_plane(pl, ph, pw) for pl in planes]
+    qmap = [ql] if gray else [ql, qc, qc]
+    coefs = [_quantize_component(p, qmap[min(i, 1)])
+             for i, p in enumerate(padded)]
+    samp = [(2, 2) if (sub420 and i == 0) else (1, 1) for i in range(nc)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def nonint_grid(i: int) -> tuple[int, int]:
+        cw = -(-w * samp[i][0] // hmax)
+        ch = -(-h * samp[i][1] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # ---- header ----------------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in ((0, ql),) + (((1, qc),) if not gray else ()):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tq,)) + \
+            bytes(int(x) for x in q[ZIGZAG])
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes((i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1))
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+           (0x10, _AC_FLAT_BITS, _AC_FLAT_VALS)]
+    if not gray:
+        hts.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    for tc_th, bits, vals in hts:
+        body = bytes((tc_th,)) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    dc_encs = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_enc = _build_encode_table(_AC_FLAT_BITS, _AC_FLAT_VALS)
+
+    # ---- scans -----------------------------------------------------------
+    for comp_idx, ss, se, ah, al in (scans or _default_progressive_scans(nc)):
+        sos = bytes((len(comp_idx),))
+        for i in comp_idx:
+            td = 0 if i == 0 else 1
+            sos += bytes((i + 1, (td << 4) | 0))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        bw = _BitWriterMSB()
+        rst = 0
+        unit = 0
+        st = _ProgACState(bw, ac_enc)
+
+        def maybe_restart(preds=None):
+            nonlocal rst, unit
+            if restart_interval and unit and unit % restart_interval == 0:
+                st.flush()
+                bw.restart_marker(rst)
+                rst += 1
+                if preds is not None:
+                    for j in range(len(preds)):
+                        preds[j] = 0
+
+        if ss == 0:
+            preds = [0] * nc
+
+            def dc_block(i: int, by: int, bx: int) -> None:
+                c0 = int(coefs[i][by, bx, 0])
+                if ah == 0:
+                    v = c0 >> al
+                    diff = v - preds[i]
+                    preds[i] = v
+                    t = abs(diff).bit_length()
+                    code, ln = dc_encs[min(i, 1)][t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                else:
+                    bw.write((c0 >> al) & 1, 1)
+
+            if len(comp_idx) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart(preds)
+                        for i in comp_idx:
+                            hv, vv = samp[i]
+                            for vy in range(vv):
+                                for vx in range(hv):
+                                    dc_block(i, my * vv + vy, mx * hv + vx)
+                        unit += 1
+            else:
+                i = comp_idx[0]
+                bh_, bw2 = nonint_grid(i)
+                for by in range(bh_):
+                    for bx in range(bw2):
+                        maybe_restart(preds)
+                        dc_block(i, by, bx)
+                        unit += 1
+        else:
+            i = comp_idx[0]
+            bh_, bw2 = nonint_grid(i)
+            emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+            for by in range(bh_):
+                for bx in range(bw2):
+                    maybe_restart()
+                    emit(st, coefs[i][by, bx], ss, se, al)
+                    unit += 1
+            st.flush()
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -451,12 +451,13 @@ def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """PNG, GIF, and baseline JPEG payloads decode FOR REAL (decode_png /
-    decode_gif here, operators.jpeg.decode_jpeg — all pure stdlib+numpy).
-    Other formats (webp, tiff, progressive jpeg, ...) still need codecs
-    absent from this container: they raise NotImplementedError unless
-    fake=True, where a deterministic fake derives stable pseudo-features
-    from the payload hash so tests can exercise the distributed path."""
+    """PNG, GIF, and JPEG (baseline SOF0 + progressive SOF2) payloads
+    decode FOR REAL (decode_png / decode_gif here,
+    operators.jpeg.decode_jpeg — all pure stdlib+numpy). Other formats
+    (webp, tiff, ...) still need codecs absent from this container: they
+    raise NotImplementedError unless fake=True, where a deterministic fake
+    derives stable pseudo-features from the payload hash so tests can
+    exercise the distributed path."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):

@@ -94,16 +94,49 @@ def test_unsupported_and_malformed():
     good = J.encode_jpeg(_grad(8, 8))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: the stream becomes a MALFORMED progressive JPEG
+    # (its baseline scan header has Se=63 with Ss=0) — still ValueError,
+    # now from the progressive scan-header validation
     sof = good.index(b"\xff\xc0")
     prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         J.decode_jpeg(prog)
+    # flip SOF0 -> SOF9 (arithmetic): unsupported frame type
+    arith = good[:sof + 1] + b"\xc9" + good[sof + 2:]
+    with pytest.raises(ValueError, match="SOF9"):
+        J.decode_jpeg(arith)
     with pytest.raises(ValueError):
         J.decode_jpeg(good[:40])  # truncated before any scan
     # entropy data truncated mid-scan
     with pytest.raises(ValueError):
         J.decode_jpeg(good[: len(good) - 20] )
+
+
+def test_malformed_headers_raise_valueerror_not_indexerror():
+    """ADVICE r4: decode_jpeg's error contract is ValueError for ALL
+    structurally malformed headers — an SOF0 declaring 3 components in a
+    segment holding 1 must not leak IndexError to direct callers."""
+    good = J.encode_jpeg(_grad(8, 8))
+    sof = good.index(b"\xff\xc0")
+    # SOF seglen covers 1 component but nc byte claims 3
+    seglen = int.from_bytes(good[sof + 2:sof + 4], "big")
+    mut = bytearray(good)
+    mut[sof + 2 + 2 + 5] = 3  # nc byte (after len, prec, h, w)
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
+        J.decode_jpeg(bytes(mut))
+    # DHT whose BITS counts exceed the segment
+    dht = good.index(b"\xff\xc4")
+    mut = bytearray(good)
+    mut[dht + 2 + 2 + 1 + 10] = 255  # inflate one BITS count
+    with pytest.raises(ValueError, match="truncated JPEG DHT"):
+        J.decode_jpeg(bytes(mut))
+    # SOS claiming more components than its segment holds
+    sos = good.index(b"\xff\xda")
+    mut = bytearray(good)
+    mut[sos + 4] = 4  # ns byte
+    with pytest.raises(ValueError, match="truncated JPEG SOS"):
+        J.decode_jpeg(bytes(mut))
+    assert seglen >= 8  # sanity: the fixture had a real SOF
 
 
 def test_decode_image_routes_jpeg():
@@ -199,3 +232,112 @@ def test_bit_reader_acc_stays_bounded():
     d = J.decode_jpeg(enc)
     assert time.time() - t0 < 30.0  # generous CI bound; quadratic took minutes
     assert (d["width"], d["height"]) == (480, 320)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — decode paths: DC first/refine, AC first/refine,
+# EOB runs, spectral bands, restarts; encoder twin equality vs baseline
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_pixels():
+    """encode_jpeg and encode_jpeg_progressive share quantization, so the
+    decoded pixels must match exactly (the progressive scans transmit the
+    same coefficients, just reordered into bands + bit-planes)."""
+    rng = np.random.default_rng(11)
+    for shape, sub in [((8, 8), "444"), ((17, 9), "444"), ((1, 1), "444"),
+                       ((16, 16, 3), "444"), ((33, 31, 3), "420")]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for q in (25, 50, 85, 95):
+            db = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample=sub),
+                               return_luma=True)
+            dp = J.decode_jpeg(
+                J.encode_jpeg_progressive(img, quality=q, subsample=sub),
+                return_luma=True)
+            assert (db["width"], db["height"], db["channels"]) == \
+                (dp["width"], dp["height"], dp["channels"])
+            assert np.abs(db["luma"] - dp["luma"]).max() < 1e-8
+
+
+def test_progressive_smooth_image_long_eob_runs():
+    """A smooth image makes most high-frequency bands all-zero, driving
+    EOB runs far above 1 — the EOBn path the flat 9-bit table exists for."""
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.clip(128 + 40 * np.sin(x / 20) + 30 * np.cos(y / 15),
+                  0, 255).astype(np.uint8)
+    db = J.decode_jpeg(J.encode_jpeg(img, quality=60), return_luma=True)
+    dp = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=60),
+                       return_luma=True)
+    assert np.abs(db["luma"] - dp["luma"]).max() < 1e-8
+
+
+def test_progressive_restart_markers():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(33, 31, 3), dtype=np.uint8)
+    payload = J.encode_jpeg_progressive(img, quality=75, subsample="420",
+                                        restart_interval=2)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert any(bytes((0xFF, 0xD0 + i)) in payload for i in range(8))
+    db = J.decode_jpeg(J.encode_jpeg(img, quality=75, subsample="420"),
+                       return_luma=True)
+    dp = J.decode_jpeg(payload, return_luma=True)
+    assert np.abs(db["luma"] - dp["luma"]).max() < 1e-8
+
+
+def test_progressive_flat_tiles_exact():
+    """8x8-aligned flat tiles with even offsets from 128 quantize exactly
+    at quality 50 (q0=16, DC = 8*(v-128) divisible) — decode reproduces
+    every pixel and the integer luma sum analytically (the jpeg_decode
+    driver oracle leans on this)."""
+    tiles = np.array([[130, 200], [78, 128], [226, 140]])
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1).astype(np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=50),
+                      return_luma=True)
+    assert np.abs(d["luma"] - img.astype(np.float64)).max() < 1e-9
+    assert d["luma_sum"] == int(img.astype(np.int64).sum())
+
+
+def test_progressive_truncated_decodes_coarse():
+    """Dropping the tail scans of a progressive stream still decodes — the
+    format's point is coarse-to-fine delivery. The result keeps the frame
+    dimensions and lands near the full-precision image."""
+    img = _grad(24, 24, seed=9)
+    full = J.encode_jpeg_progressive(img, quality=85)
+    # cut at the 4th SOS: keeps DC + first AC band scans only
+    cut = full
+    for _ in range(3):
+        cut = cut[:cut.rindex(b"\xff\xda")]
+    d = J.decode_jpeg(cut, return_luma=True)
+    assert (d["width"], d["height"]) == (24, 24)
+    # coarse but recognizable: mean error bounded
+    assert np.abs(d["luma"] - img.astype(np.float64)).mean() < 32.0
+
+
+def test_progressive_decode_image_routing():
+    img = _grad(16, 16)
+    enc = J.encode_jpeg_progressive(img)
+    d = M.decode_image(enc, fake=False)
+    assert (d["width"], d["height"], d["channels"]) == (16, 16, 1)
+
+
+def test_progressive_chaos_corpus():
+    """Byte-level mutations of a progressive stream must raise ValueError
+    (the row-level error-channel contract) or decode to a sane dict —
+    never IndexError/struct.error/infinite loop."""
+    img = _grad(17, 13, seed=4)
+    good = J.encode_jpeg_progressive(img, quality=70)
+    rng = np.random.default_rng(99)
+    for trial in range(300):
+        mut = bytearray(good)
+        mode = trial % 3
+        if mode == 0:
+            mut[rng.integers(2, len(mut))] = rng.integers(0, 256)
+        elif mode == 1:
+            del mut[rng.integers(2, len(mut))]
+        else:
+            mut = mut[: rng.integers(2, len(mut))]
+        try:
+            d = J.decode_jpeg(bytes(mut))
+            assert set(d) >= {"width", "height", "channels", "luma_sum"}
+        except ValueError:
+            pass
