@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side machinery — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested. The codec layer: PNG decodes FOR REAL
-(pure stdlib zlib + numpy unfiltering — `decode_png` below handles 8-bit
-gray/RGB/palette/alpha, all five scanline filters); JPEG and the other
-formats stay STUBBED (their codecs aren't stdlib and the sandbox has no
-image libraries): for them `decode_image` raises NotImplementedError
-unless `fake=True`, in which case a deterministic fake decoder produces
-stable per-payload features so the distributed plumbing can be exercised
-end-to-end. `encode_png` is the matching sink (filter-0 scanlines), so
-image bytes can be both produced and consumed without any external lib.
+signatures — is real and tested. The codec layer decodes the common web
+formats FOR REAL, pure stdlib+numpy: PNG (`decode_png`: 8-bit gray/RGB/
+palette/alpha, all five scanline filters), GIF (`decode_gif`: LZW,
+palettes, interlace), JPEG (operators.jpeg: baseline SOF0 + progressive
+SOF2), and WebP (operators.webp: VP8L lossless incl. every transform,
+validated bit-exact against libwebp streams). Each has an encoder sink
+twin. Remaining formats (tiff, lossy VP8, ...) raise NotImplementedError/
+ValueError unless `fake=True`, in which case a deterministic fake decoder
+produces stable per-payload features so the distributed plumbing can be
+exercised end-to-end.
 
 Scale notes: binary payloads dominate row size, so the operators here
 aggressively column-prune before the Python stage, bound Arrow batch bytes
@@ -49,6 +50,8 @@ _MAGIC = {
 def sniff_magic(payload: bytes | None) -> str:
     if not payload:
         return "empty"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     for prefix, name in _MAGIC.items():
         if payload[: len(prefix)] == prefix:
             return name
@@ -451,11 +454,14 @@ def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """PNG, GIF, and JPEG (baseline SOF0 + progressive SOF2) payloads
-    decode FOR REAL (decode_png / decode_gif here,
-    operators.jpeg.decode_jpeg — all pure stdlib+numpy). Other formats
-    (webp, tiff, ...) still need codecs absent from this container: they
-    raise NotImplementedError unless fake=True, where a deterministic fake
+    """PNG, GIF, JPEG (baseline SOF0 + progressive SOF2), and WebP (VP8L
+    lossless incl. all transforms) payloads decode FOR REAL (decode_png /
+    decode_gif here, operators.jpeg.decode_jpeg, operators.webp.decode_webp
+    — all pure stdlib+numpy; the WebP decoder is validated bit-exact
+    against libwebp-encoded streams). Lossy WebP (VP8) raises ValueError
+    into the error channel (documented scope). Other formats (tiff, ...)
+    still need codecs absent from this container: they raise
+    NotImplementedError unless fake=True, where a deterministic fake
     derives stable pseudo-features from the payload hash so tests can
     exercise the distributed path."""
     if payload[:8] == _PNG_SIG:
@@ -466,6 +472,10 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     if not fake:
         raise NotImplementedError(
             "image decode for this format requires an imaging library "
@@ -493,6 +503,8 @@ def media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         .when(F.startswith(p, F.lit(b"\x89PNG")), F.lit("png"))
         .when(F.startswith(p, F.lit(b"\xff\xd8\xff")), F.lit("jpeg"))
         .when(F.startswith(p, F.lit(b"GIF8")), F.lit("gif"))
+        .when(F.startswith(p, F.lit(b"RIFF")) &
+              (F.substring(p, 9, 4) == F.lit(b"WEBP")), F.lit("webp"))
         .when(F.startswith(p, F.lit(b"RIFF")), F.lit("riff"))
         .when(F.startswith(p, F.lit(b"ID3")), F.lit("mp3"))
         .when(F.startswith(p, F.lit(b"OggS")), F.lit("ogg"))

@@ -2285,6 +2285,68 @@ ORDER BY doc_id
 """
 
 
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WebP/VP8L codec end-to-end (r5): per doc, synthesize a
+    deterministic (4+doc_id%6) x (3+doc_id%4) grayscale gradient
+    pixel(x,y) = (doc_id*5 + 3x + 7y) % 256, encode to actual RIFF/VP8L
+    lossless bytes (operators.webp.encode_webp: prefix-coded literals +
+    dist-1 LZ77 runs), decode through the decode_image router (the same
+    decoder is validated bit-exact against libwebp-encoded streams in
+    tests/test_webp.py), and emit dimensions + the exact integer luma sum.
+    VP8L is lossless so the oracle recomputes the pixel arithmetic
+    analytically — any prefix-code, bit-order, or LZ77 divergence fails
+    the hash."""
+    from .operators import multimodal as MM
+    from .operators.webp import encode_webp
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [],
+                   "luma_sum": [], "magic": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 6, 3 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((did * 5 + 3 * x + 7 * y) % 256).astype(np.uint8)
+                payload = encode_webp(arr)
+                d = MM.decode_image(payload)
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+                out["luma_sum"].append(d["luma_sum"])
+                out["magic"].append(MM.sniff_magic(payload))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, channels int, luma_sum long, "
+        "magic string",
+    ).orderBy("doc_id")
+
+
+ORACLE_WEBP_DECODE = """
+WITH xs AS (SELECT g FROM generate_series(0, 8) t(g)),
+     ys AS (SELECT g FROM generate_series(0, 5) t(g))
+SELECT d.doc_id,
+       CAST(4 + d.doc_id % 6 AS INT) AS width,
+       CAST(3 + d.doc_id % 4 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST((SELECT SUM((d.doc_id * 5 + 3 * x.g + 7 * y.g) % 256)
+             FROM xs x, ys y
+             WHERE x.g < 4 + d.doc_id % 6
+               AND y.g < 3 + d.doc_id % 4) AS BIGINT) AS luma_sum,
+       'webp' AS magic
+FROM documents d
+ORDER BY doc_id
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real GIF codec end-to-end (r4): per doc, synthesize a deterministic
     (3+doc_id%7) x (2+doc_id%4) index gradient pixel(x,y) =
@@ -2449,6 +2511,7 @@ ORDER BY doc_id
 QUERIES = {
     "png_decode": q_png_decode,
     "jpeg_decode": q_jpeg_decode,
+    "webp_decode": q_webp_decode,
     "gif_decode": q_gif_decode,
     "plot_sink": q_plot_sink,
     "pdf_layout": q_pdf_layout,
@@ -2599,6 +2662,7 @@ ORACLES = {
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "png_decode": ORACLE_PNG_DECODE,
     "jpeg_decode": ORACLE_JPEG_DECODE,
+    "webp_decode": ORACLE_WEBP_DECODE,
     "gif_decode": ORACLE_GIF_DECODE,
     "plot_sink": ORACLE_PLOT_SINK,
     "pdf_layout": ORACLE_PDF_LAYOUT,
@@ -2622,6 +2686,7 @@ _SAMPLE_HORIZON = 50
 _LAST_DRIVER_CHECK = {
     # never externally checked (new r5)
     "jpeg_decode": 0,
+    "webp_decode": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -2737,6 +2802,7 @@ _REGISTRY_ORDER = [
     "pdf_layout",
     "png_decode",
     "jpeg_decode",
+    "webp_decode",
     "gif_decode",
     "binary_meta",
     "extract_main_text",
@@ -2756,11 +2822,11 @@ _REGISTRY_ORDER = [
     "decontaminate",
     "pii_redact",
     "quality_score",
-    "lang_id",
     "sessionize",
     # ---------------- sampling horizon (50) ends here ----------------
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
+    "lang_id",
     "latest_capture",
     "after_anchor_flag",
     "bucket_summarize",

@@ -1,0 +1,192 @@
+"""WebP/VP8L codec: byte-exact roundtrips (lossless), bit-exact decode of
+real libwebp-encoded streams (transforms, palettes, color cache, backward
+references), container probing, documented lossy scope, chaos corpus."""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+
+import numpy as np
+import pytest
+
+from space_launch_telemetry_analyzer_spark.operators import multimodal as M
+from space_launch_telemetry_analyzer_spark.operators import webp as W
+
+
+def _rgb(d):
+    return np.stack([(d["argb"] >> 16) & 0xFF, (d["argb"] >> 8) & 0xFF,
+                     d["argb"] & 0xFF], axis=2).astype(np.uint8)
+
+
+def test_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (3, 5), (17, 9), (16, 16, 3), (33, 31, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d = W.decode_webp(W.encode_webp(img), return_luma=True)
+        rgb = np.stack([img] * 3, axis=2) if img.ndim == 2 else img
+        assert np.array_equal(_rgb(d), rgb)
+        assert (d["width"], d["height"]) == (rgb.shape[1], rgb.shape[0])
+
+
+def test_rle_backward_refs():
+    """Flat regions go through the encoder's dist=1 LZ77 path; the stream
+    must shrink and still roundtrip exactly."""
+    flat = np.full((80, 80), 7, dtype=np.uint8)
+    enc = W.encode_webp(flat)
+    noise = W.encode_webp(
+        np.random.default_rng(0).integers(0, 256, (80, 80), dtype=np.uint8))
+    assert len(enc) < len(noise) / 20
+    d = W.decode_webp(enc, return_luma=True)
+    assert bool(np.all(d["luma"] == 7.0))
+    assert d["luma_sum"] == 7 * 80 * 80
+
+
+def test_dimensions_probe():
+    img = np.zeros((21, 34), dtype=np.uint8)
+    w, h, fmt = W.webp_dimensions(W.encode_webp(img))
+    assert (w, h, fmt) == (34, 21, "vp8l")
+    with pytest.raises(ValueError, match="RIFF"):
+        W.webp_dimensions(b"nope")
+
+
+def test_lossy_vp8_raises_documented():
+    """A minimal VP8 (lossy) container: pixel decode is documented out of
+    scope and must raise ValueError (error channel), while the cheap
+    dimensions probe still reads the frame header."""
+    frame = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 99, 77) + bytes(10)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="VP8"):
+        W.decode_webp(payload)
+    w, h, fmt = W.webp_dimensions(payload)
+    assert (w, h, fmt) == (99, 77, "vp8")
+
+
+def test_distance_map_shape():
+    """The 2D distance map was extracted from this system's libwebp
+    packed table (byte = y<<4 | 8-x): 120 entries, x in [-7,8], y in
+    [0,7], spec-known leading diagonal."""
+    assert len(W._DIST_MAP) == 120
+    assert W._DIST_MAP[:8] == [(0, 1), (1, 0), (1, 1), (-1, 1),
+                               (0, 2), (2, 0), (1, 2), (-1, 2)]
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in W._DIST_MAP)
+    assert len(set(W._DIST_MAP)) == 120
+    assert W._plane_dist(1, 100) == 100  # (0,1): one row up
+    assert W._plane_dist(2, 100) == 1    # (1,0): previous pixel
+    assert W._plane_dist(121, 100) == 1  # plain distance
+
+
+def _libwebp():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    return lib
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp unavailable")
+def test_decodes_real_libwebp_streams_bit_exact():
+    """The decode paths our own encoder never emits — predictor + color
+    transforms, color-indexing at every packing width, color cache, 2D
+    distance map, meta groups — validated against streams produced by the
+    reference implementation itself."""
+    lib = _libwebp()
+
+    def enc(rgb):
+        h, w, _ = rgb.shape
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeLosslessRGB(rgb.tobytes(), w, h, w * 3,
+                                      ctypes.byref(out))
+        assert n > 0
+        data = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents))
+        lib.WebPFree(out)
+        return data
+
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:64, 0:48]
+    smooth = np.clip(128 + 60 * np.sin(x / 10) * np.cos(y / 8),
+                     0, 255).astype(np.uint8)
+    pal2 = np.zeros((30, 30, 3), dtype=np.uint8)
+    pal2[::2, :] = 255
+    cases = [
+        np.stack([(x * 3 + y) % 256, (x + y * 2) % 256,
+                  (x * 2 + y * 3) % 256], axis=2).astype(np.uint8),
+        np.stack([smooth, np.roll(smooth, 3, 0), np.roll(smooth, 5, 1)],
+                 axis=2),
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+        np.full((50, 50, 3), 77, dtype=np.uint8),
+        pal2,
+        np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+                 dtype=np.uint8)[rng.integers(0, 4, (40, 40))],
+        rng.integers(0, 256, (16, 3), dtype=np.uint8)[
+            rng.integers(0, 16, (25, 37))],
+        rng.integers(0, 256, (200, 3), dtype=np.uint8)[
+            rng.integers(0, 200, (31, 29))],
+    ]
+    # repeated-region photo: triggers long backward refs + meta groups
+    big = np.zeros((120, 160, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:120, 0:160]
+    big[:, :, 0] = np.clip(100 + 80 * np.sin(xx / 13) + 40 * np.cos(yy / 7), 0, 255)
+    big[:, :, 1] = np.clip(120 + 70 * np.sin((xx + yy) / 17), 0, 255)
+    big[:, :, 2] = np.clip(90 + 90 * np.cos(xx / 9) * np.sin(yy / 11), 0, 255)
+    big[30:60, 40:80] = big[20:50, 20:60]
+    cases.append(big)
+
+    for img in cases:
+        d = W.decode_webp(enc(np.ascontiguousarray(img)), return_luma=True)
+        assert np.array_equal(_rgb(d), img)
+
+
+def test_decode_image_routing_and_magic():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = W.encode_webp(img)
+    assert M.sniff_magic(enc) == "webp"
+    assert M.sniff_magic(b"RIFF\x00\x00\x00\x00WAVE") == "riff"
+    d = M.decode_image(enc, fake=False)
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
+    # lossless: exact equality with the PNG decode of the same pixels
+    p = M.decode_image(M.encode_png(img), fake=False)
+    assert d["luma_sum"] == p["luma_sum"]
+    assert d["mean_luma"] == pytest.approx(p["mean_luma"], abs=1e-12)
+
+
+def test_chaos_corpus():
+    img = np.arange(16 * 13, dtype=np.uint8).reshape(16, 13) % 251
+    good = W.encode_webp(img)
+    rng = np.random.default_rng(42)
+    for trial in range(300):
+        mut = bytearray(good)
+        mode = trial % 3
+        if mode == 0:
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        elif mode == 1:
+            del mut[rng.integers(0, len(mut))]
+        else:
+            mut = mut[: rng.integers(0, len(mut))]
+        try:
+            d = W.decode_webp(bytes(mut))
+            assert set(d) >= {"width", "height", "channels", "luma_sum"}
+        except ValueError:
+            pass
+
+
+def test_image_features_webp_through_spark(spark):
+    img = np.arange(144, dtype=np.uint8).reshape(12, 12)
+    rows = [
+        (1, W.encode_webp(img)),
+        (2, M.encode_png(img)),
+        (3, b"RIFF\x10\x00\x00\x00WEBPjunkjunk"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           M.image_features(df, "media_id", "payload", fake=False).collect()}
+    assert out[1]["error"] is None and out[1]["width"] == 12
+    # lossless twins agree exactly
+    assert out[1]["mean_luma"] == pytest.approx(out[2]["mean_luma"], abs=1e-12)
+    assert out[3]["error"] is not None
