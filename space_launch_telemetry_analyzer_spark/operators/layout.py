@@ -97,11 +97,322 @@ def layout_text(df: DataFrame, id_col: str, boxes_col: str) -> DataFrame:
 # real PDF text-subset codec (pure stdlib)
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?:\s+(\d+)\s+R)?")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
+
+
+def _iter_objects(payload: bytes):
+    """Yields (obj_num, head_bytes, raw_stream_bytes|None) walking the file
+    with a sequential cursor. Stream data is sliced by the dictionary's
+    /Length when present and consistent (ADVICE r4: a FlateDecode stream
+    whose bytes happen to contain b'endobj'/b'endstream' must not truncate),
+    falling back to the endstream regex otherwise. Indirect /Length (N 0 R)
+    is resolved by a targeted lookup of that object's integer body."""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(payload, pos)
+        if not m:
+            break
+        start = m.end()
+        sm = _STREAM_KW_RE.search(payload, start)
+        em = payload.find(b"endobj", start)
+        if sm and (em == -1 or sm.start() < em):
+            head = payload[start:sm.start()]
+            data = None
+            lm = _LENGTH_RE.search(head)
+            length = None
+            if lm:
+                if lm.group(2) is None:
+                    length = int(lm.group(1))
+                else:
+                    rm = re.search(
+                        rb"\b" + lm.group(1) + rb"\s+" + lm.group(2)
+                        + rb"\s+obj\b\s*(\d+)", payload)
+                    if rm:
+                        length = int(rm.group(1))
+            if length is not None:
+                cand = payload[sm.end():sm.end() + length]
+                tail = payload[sm.end() + length:sm.end() + length + 20]
+                if re.match(rb"\s*endstream", tail):
+                    data = cand
+            if data is None:  # /Length absent or inconsistent: regex
+                fm = _STREAM_RE.match(payload, sm.start())
+                if fm:
+                    data = fm.group(1)
+                else:
+                    data = payload[sm.end():]
+            yield int(m.group(1)), head, data
+            em = payload.find(b"endobj", sm.end() + (len(data) if data else 0))
+            pos = em + 6 if em != -1 else n
+        else:
+            yield int(m.group(1)), payload[start:em if em != -1 else n], None
+            pos = em + 6 if em != -1 else n
+
+
+class _Name:
+    """PDF name token (/F1). A DISTINCT type so Tj/'/TJ string guards can
+    never mistake a name for a string operand (ADVICE r4)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v: str):
+        self.v = v
+
+    def __repr__(self):  # debug aid only
+        return f"/{self.v}"
+
+
+# ---------------------------------------------------------------------------
+# font encodings: WinAnsi, /Differences (AGL subset), /ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+# Adobe Glyph List subset: everything the latin web-PDF corpus commonly
+# puts in /Differences arrays. Letters/digits map through their names;
+# uniXXXX / uXXXXXX names parse below.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "fraction": "⁄", "Euro": "€",
+    "trademark": "™", "minus": "−", "fi": "ﬁ",
+    "fl": "ﬂ", "florin": "ƒ", "circumflex": "ˆ",
+    "caron": "ˇ", "tilde": "˜", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+    "hungarumlaut": "˝", "cedilla": "¸", "dieresis": "¨",
+    "macron": "¯", "acute": "´", "exclamdown": "¡",
+    "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§",
+    "copyright": "©", "ordfeminine": "ª",
+    "guillemotleft": "«", "logicalnot": "¬",
+    "registered": "®", "degree": "°", "plusminus": "±",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    "germandbls": "ß", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "atilde": "ã", "adieresis": "ä",
+    "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "eth": "ð",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ", "Scaron": "Š",
+    "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "OE": "Œ", "oe": "œ", "Ydieresis": "Ÿ",
+    "Lslash": "Ł", "lslash": "ł", "dotlessi": "ı",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    if len(name) == 1:
+        return name  # A..Z a..z and other single-char names are themselves
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _winansi_table() -> list[str]:
+    """WinAnsiEncoding == cp1252 with the five undefined slots (81 8D 8F
+    90 9D) left as U+FFFD sentinels (dropped at emit)."""
+    table = []
+    for b in range(256):
+        try:
+            table.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            table.append("�")
+    return table
+
+
+_LATIN1_TABLE = [chr(b) for b in range(256)]
+
+
+class _FontDecoder:
+    """byte-string -> str for one simple (single-byte) font. Precedence:
+    ToUnicode CMap > /Differences > base encoding (WinAnsi or the latin-1
+    default that doubles for Standard/unspecified — exact for the ASCII
+    range every Standard-encoded latin PDF uses)."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, base: list[str] | None = None,
+                 differences: dict[int, str] | None = None,
+                 tounicode: dict[int, str] | None = None):
+        table = list(base if base is not None else _LATIN1_TABLE)
+        for code, ch in (differences or {}).items():
+            if 0 <= code <= 255:
+                table[code] = ch
+        for code, ch in (tounicode or {}).items():
+            if 0 <= code <= 255:
+                table[code] = ch
+        self.table = table
+
+    def decode(self, raw: bytes) -> str:
+        t = self.table
+        return "".join(t[b] for b in raw).replace("�", "")
+
+
+_DEFAULT_DECODER = _FontDecoder()
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.DOTALL)
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream -> {single-byte code: unicode str}. Handles
+    bfchar pairs and bfrange runs (scalar-dst increments and array dsts)."""
+    out: dict[int, str] = {}
+    for section in _BFCHAR_RE.findall(data):
+        for src, dst in _HEXPAIR_RE.findall(section):
+            code = int(src, 16)
+            if code <= 255:
+                out[code] = _utf16be(dst)
+    for section in _BFRANGE_RE.findall(data):
+        for m in _HEXTRIPLE_RE.finditer(section):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if lo > 255:
+                continue
+            hi = min(hi, 255)
+            if m.group(3) is not None:
+                base = m.group(3)
+                s = _utf16be(base)
+                if not s:
+                    continue
+                base_cp = ord(s[-1])
+                for i, code in enumerate(range(lo, hi + 1)):
+                    out[code] = s[:-1] + chr(base_cp + i)
+            else:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(4))
+                for i, code in enumerate(range(lo, hi + 1)):
+                    if i < len(dsts):
+                        out[code] = _utf16be(dsts[i])
+    return out
+
+
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]()<>]+)")
+_FONTRES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/(\w+)")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/(\w+)")
+
+
+def _parse_differences(body: bytes) -> dict[int, str]:
+    diffs: dict[int, str] = {}
+    dm = _DIFF_RE.search(body)
+    if not dm:
+        return diffs
+    code = 0
+    for num, name in _DIFF_TOKEN_RE.findall(dm.group(1)):
+        if num:
+            code = int(num)
+        else:
+            ch = _glyph_to_char(name.decode("latin-1"))
+            if ch is not None:
+                diffs[code] = ch
+            code += 1
+    return diffs
+
+
+def _base_table(name: bytes | None) -> list[str]:
+    if name and name.strip(b"/") == b"WinAnsiEncoding":
+        return _winansi_table()
+    # StandardEncoding / MacRomanEncoding / unspecified: latin-1 is exact
+    # on ASCII (all the reference corpus uses) — documented approximation
+    # above it
+    return _LATIN1_TABLE
+
+
+def _build_fonts(objects: dict[int, tuple[bytes, bytes | None]],
+                 inflate) -> dict[str, _FontDecoder]:
+    """Resource-name -> decoder, from every /Font resource dict in the
+    document (inline name->ref pairs; font objects with /Encoding as a
+    name or an indirect dict with /BaseEncoding + /Differences, and
+    optional /ToUnicode streams)."""
+    fonts: dict[str, _FontDecoder] = {}
+    for num, (head, _data) in objects.items():
+        for resm in _FONTRES_RE.finditer(head):
+            for res_name, ref in _FONTREF_RE.findall(resm.group(1)):
+                ref = int(ref)
+                if ref not in objects:
+                    continue
+                fhead, _ = objects[ref]
+                base = None
+                diffs: dict[int, str] = {}
+                touni: dict[int, str] = {}
+                em = _ENC_NAME_RE.search(fhead)
+                if em:
+                    base = em.group(1)
+                else:
+                    erm = _ENC_REF_RE.search(fhead)
+                    if erm and int(erm.group(1)) in objects:
+                        ehead, _ = objects[int(erm.group(1))]
+                        bm = _BASEENC_RE.search(ehead)
+                        if bm:
+                            base = bm.group(1)
+                        diffs = _parse_differences(ehead)
+                tm = _TOUNI_RE.search(fhead)
+                if tm and int(tm.group(1)) in objects:
+                    thead, tdata = objects[int(tm.group(1))]
+                    if tdata is not None:
+                        touni = _parse_tounicode(inflate(thead, tdata))
+                fonts[res_name.decode("latin-1")] = _FontDecoder(
+                    _base_table(base), diffs, touni)
+    return fonts
 # content-stream tokens: strings, numbers, names, brackets, operators
 _TOKEN_RE = re.compile(
     rb"\((?:\\.|[^\\()])*\)"
@@ -117,13 +428,14 @@ _STR_ESCAPES = {
 }
 
 
-def _pdf_string(tok: bytes) -> str:
-    """Literal `(...)` (escapes + octal) or hex `<...>` string -> str."""
+def _pdf_string(tok: bytes) -> bytes:
+    """Literal `(...)` (escapes + octal) or hex `<...>` string -> raw
+    BYTES; the current font's decoder maps them to text at emit time."""
     if tok.startswith(b"<"):
         hexs = re.sub(rb"\s", b"", tok[1:-1])
         if len(hexs) % 2:
             hexs += b"0"
-        return bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+        return bytes.fromhex(hexs.decode("ascii"))
     out = bytearray()
     i, end = 1, len(tok) - 1
     while i < end:
@@ -147,21 +459,28 @@ def _pdf_string(tok: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
-def _parse_content(data: bytes, page_h: float) -> list[dict]:
+def _parse_content(data: bytes, page_h: float,
+                   fonts: dict[str, _FontDecoder] | None = None) -> list[dict]:
     """Text operators of one content stream -> positioned boxes (top-down
     y). Box width is a Helvetica-ish 0.5*size/char estimate — the layout
-    valley-split keys on x-centers and gaps, not exact glyph metrics."""
+    valley-split keys on x-centers and gaps, not exact glyph metrics.
+    String operands stay raw bytes until emit, where the CURRENT font's
+    decoder (Tf tracks it) maps them through ToUnicode / Differences /
+    WinAnsi / latin-1."""
     boxes: list[dict] = []
     font_size, leading = 12.0, 14.0
     x = y = 0.0
     in_text = False
     stack: list = []
     arr: list | None = None
+    fonts = fonts or {}
+    decoder = _DEFAULT_DECODER
 
-    def emit(s: str) -> None:
+    def emit(raw: bytes) -> None:
+        s = decoder.decode(raw)
         if not s:
             return
         boxes.append({
@@ -193,7 +512,7 @@ def _parse_content(data: bytes, page_h: float) -> list[dict]:
             (arr if arr is not None else stack).append(float(tok))
             continue
         if c0 == b"/":
-            stack.append(tok.decode("latin-1"))
+            stack.append(_Name(tok[1:].decode("latin-1")))
             continue
         op = tok
         if op == b"BT":
@@ -202,6 +521,8 @@ def _parse_content(data: bytes, page_h: float) -> list[dict]:
             in_text = False
         elif op == b"Tf" and stack:
             font_size = fnum(stack[-1], font_size)
+            if len(stack) >= 2 and isinstance(stack[-2], _Name):
+                decoder = fonts.get(stack[-2].v, _DEFAULT_DECODER)
         elif op == b"TL" and stack:
             leading = fnum(stack[-1], leading)
         elif op in (b"Td", b"TD") and len(stack) >= 2:
@@ -214,13 +535,13 @@ def _parse_content(data: bytes, page_h: float) -> list[dict]:
             x, y = fnum(stack[-2], x), fnum(stack[-1], y)
         elif op == b"T*":
             y -= leading
-        elif op == b"Tj" and in_text and stack and isinstance(stack[-1], str):
+        elif op == b"Tj" and in_text and stack and isinstance(stack[-1], bytes):
             emit(stack[-1])
-        elif op == b"'" and in_text and stack and isinstance(stack[-1], str):
+        elif op == b"'" and in_text and stack and isinstance(stack[-1], bytes):
             y -= leading
             emit(stack[-1])
         elif op == b"TJ" and in_text and stack and isinstance(stack[-1], list):
-            emit("".join(s for s in stack[-1] if isinstance(s, str)))
+            emit(b"".join(s for s in stack[-1] if isinstance(s, bytes)))
         stack = stack[-8:]  # operands are consumed loosely; bound the stack
     return boxes
 
@@ -228,57 +549,73 @@ def _parse_content(data: bytes, page_h: float) -> list[dict]:
 def parse_pdf_real(payload: bytes) -> list[dict]:
     """Text-subset PDF -> positioned boxes. Raises ValueError (the row-level
     error channel) on non-PDF bytes, bad Flate data, or a PDF with no text
-    content stream."""
+    content stream. Font-aware since r5: /Font resources resolve to
+    per-font decoders (WinAnsiEncoding, /Differences via the AGL subset,
+    /ToUnicode CMaps) switched by Tf."""
+    import zlib
+
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     page_h = 792.0
     m = _MEDIABOX_RE.search(payload)
     if m:
         page_h = float(m.group(4)) - float(m.group(2))
-    boxes: list[dict] = []
-    saw_text_stream = False
-    for om in _OBJ_RE.finditer(payload):
-        body = om.group(3)
-        sm = _STREAM_RE.search(body)
-        if not sm:
-            continue
-        data = sm.group(1)
-        if b"/FlateDecode" in body[: sm.start()]:
-            import zlib
 
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, head, data in _iter_objects(payload):
+        objects.setdefault(num, (head, data))
+
+    def inflate(head: bytes, data: bytes) -> bytes:
+        if b"/FlateDecode" in head:
             try:
-                data = zlib.decompress(data)
+                return zlib.decompress(data)
             except zlib.error as e:
                 raise ValueError(f"bad FlateDecode stream: {e}")
+        return data
+
+    fonts = _build_fonts(objects, inflate)
+
+    boxes: list[dict] = []
+    saw_text_stream = False
+    for num, (head, data) in objects.items():
+        if data is None:
+            continue
+        data = inflate(head, data)
         if b"BT" not in data:
             continue
         saw_text_stream = True
-        boxes.extend(_parse_content(data, page_h))
+        boxes.extend(_parse_content(data, page_h, fonts))
     if not saw_text_stream:
         raise ValueError("PDF contains no text content stream")
     return boxes
 
 
-def _esc_pdf(s: str) -> bytes:
+def _esc_pdf(s: str, codec: str = "latin-1") -> bytes:
     return (
         s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    ).encode("latin-1", "replace")
+    ).encode(codec, "replace")
 
 
 def make_pdf(boxes: list[dict], page_w: float = 612.0, page_h: float = 792.0,
-             compress: bool = True) -> bytes:
+             compress: bool = True, encoding: str | None = None) -> bytes:
     """Boxes (top-down coords, the shape parse_pdf returns) -> a valid
     single-page Helvetica PDF (xref + trailer; FlateDecode by default).
-    The engine's PDF SINK twin — round-trips through parse_pdf."""
+    The engine's PDF SINK twin — round-trips through parse_pdf.
+    encoding='winansi' declares /Encoding /WinAnsiEncoding and encodes
+    text as cp1252, so accented/€-range text round-trips exactly through
+    the r5 font-aware parser."""
     import zlib
 
+    if encoding not in (None, "winansi"):
+        raise ValueError("encoding must be None or 'winansi'")
+    codec = "cp1252" if encoding == "winansi" else "latin-1"
     parts = [b"BT"]
     for b in boxes:
         size = b.get("h", 12.0) or 12.0
         ypdf = page_h - b["y"] - size
         parts.append(f"/F1 {size:g} Tf".encode())
         parts.append(f"1 0 0 1 {b['x']:g} {ypdf:g} Tm".encode())
-        parts.append(b"(" + _esc_pdf(b.get("text") or "") + b") Tj")
+        parts.append(b"(" + _esc_pdf(b.get("text") or "", codec) + b") Tj")
     parts.append(b"ET")
     content = b"\n".join(parts)
     filt = b""
@@ -286,6 +623,10 @@ def make_pdf(boxes: list[dict], page_w: float = 612.0, page_h: float = 792.0,
         content = zlib.compress(content)
         filt = b"/Filter /FlateDecode "
 
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    if encoding == "winansi":
+        font += b" /Encoding /WinAnsiEncoding"
+    font += b" >>"
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -293,7 +634,7 @@ def make_pdf(boxes: list[dict], page_w: float = 612.0, page_h: float = 792.0,
          f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>").encode(),
         b"<< " + filt + f"/Length {len(content)}".encode() + b" >>\nstream\n"
         + content + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        font,
     ]
     out = bytearray(b"%PDF-1.4\n")
     offsets = []

@@ -2504,6 +2504,57 @@ ORDER BY doc_id
 """
 
 
+def q_pdf_winansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Font-aware PDF text decode end-to-end (r5 — VERDICT r4 #5): per
+    doc, build a page whose lines carry cp1252-ONLY characters (€ ™ Š œ
+    curly quotes — bytes 0x80-0x9F where latin-1 and WinAnsi disagree),
+    serialize with make_pdf(encoding='winansi') (declares /Encoding
+    /WinAnsiEncoding), parse back through the font-resolving parser, and
+    emit the reassembled text. The oracle rebuilds the exact unicode
+    strings in SQL — a WinAnsi table, /Encoding resolution, or byte-vs-
+    text regression fails the hash byte-exactly."""
+    from .operators import layout as LY
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_boxes": [], "layout_text": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                # equal-length lines: the parser's width estimate is
+                # per-char, so equal lengths keep x-centers aligned and
+                # the valley split sees one column
+                lines = [
+                    f"Café “€{did % 10}”™",
+                    f"œuvre Š{did % 7}—ž",
+                ]
+                boxes = [{"x": 50.0, "y": 80.0 + 40.0 * i, "w": 100.0,
+                          "h": 12.0, "text": t} for i, t in enumerate(lines)]
+                blob = LY.make_pdf(boxes, encoding="winansi")
+                _n, t = LY.reading_order(LY.parse_pdf_real(blob))
+                out["doc_id"].append(did)
+                out["n_boxes"].append(len(boxes))
+                out["layout_text"].append(t)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, n_boxes int, layout_text string"
+    ).orderBy("doc_id")
+
+
+ORACLE_PDF_WINANSI = """
+SELECT doc_id,
+       CAST(2 AS INT) AS n_boxes,
+       'Café “€' || (doc_id % 10) || '”™' || chr(10) ||
+       'œuvre Š' || (doc_id % 7) || '—ž' AS layout_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2515,6 +2566,7 @@ QUERIES = {
     "gif_decode": q_gif_decode,
     "plot_sink": q_plot_sink,
     "pdf_layout": q_pdf_layout,
+    "pdf_winansi": q_pdf_winansi,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -2666,6 +2718,7 @@ ORACLES = {
     "gif_decode": ORACLE_GIF_DECODE,
     "plot_sink": ORACLE_PLOT_SINK,
     "pdf_layout": ORACLE_PDF_LAYOUT,
+    "pdf_winansi": ORACLE_PDF_WINANSI,
 }
 
 
@@ -2687,6 +2740,7 @@ _LAST_DRIVER_CHECK = {
     # never externally checked (new r5)
     "jpeg_decode": 0,
     "webp_decode": 0,
+    "pdf_winansi": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -2800,6 +2854,7 @@ _REGISTRY_ORDER = [
     # -- operators touched in r5 + flagship/heavy watch list ----------
     "plot_sink",
     "pdf_layout",
+    "pdf_winansi",
     "png_decode",
     "jpeg_decode",
     "webp_decode",
@@ -2821,13 +2876,13 @@ _REGISTRY_ORDER = [
     "pagerank_dangling",
     "decontaminate",
     "pii_redact",
-    "quality_score",
     "sessionize",
     # ---------------- sampling horizon (50) ends here ----------------
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",
     "latest_capture",
+    "quality_score",
     "after_anchor_flag",
     "bucket_summarize",
     "detect_series",

@@ -62,7 +62,7 @@ def test_pdf_string_escape_totality(payload):
     string token (escapes, octal, stray backslashes, high bytes)."""
     body = payload.replace(b"(", b"").replace(b")", b"")
     out = L._pdf_string(b"(" + body + b")")
-    assert isinstance(out, str)
+    assert isinstance(out, bytes)  # r5: decode happens at emit, per font
 
 
 def test_robots_pct_normalization_idempotent_cases(spark):
