@@ -83,12 +83,17 @@ def _png_chunks(payload: bytes):
     raise ValueError("PNG missing IEND")
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filtering -> (height, width*bpp) uint8 array.
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int,
+                  stride: int | None = None) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (height, stride) uint8 array.
     Filters 0/2 are pure numpy; 1 (Sub) is a per-byte-lane cumsum; 3/4
     (Average/Paeth) fall back to a per-byte loop — row-local, and rare in
-    practice for the small fixtures this in-sandbox path serves."""
-    stride = width * bpp
+    practice for the small fixtures this in-sandbox path serves.
+    stride defaults to width*bpp (8-bit pixels); sub-byte and 16-bit
+    callers pass the packed byte stride with bpp = the FILTER bpp
+    (ceil(depth/8)*channels, min 1, per the spec)."""
+    if stride is None:
+        stride = width * bpp
     if len(raw) < height * (1 + stride):
         raise ValueError("IDAT too short for declared dimensions")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -143,14 +148,23 @@ def luma_features(luma: "np.ndarray", channels: int) -> dict:
     }
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec section 4.5.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> dict:
     """Real pure-stdlib PNG decode: dimensions, channels, Rec.601 mean
     luma, and a 4x4 block-mean luma grid as the 16-dim feature vector.
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced — the
-    overwhelmingly common web case; 16-bit and Adam7 raise ValueError into
-    the row-level error channel. Returns the same dict shape as
-    decode_image's fake path plus 'luma_sum' (exact integer sum of the
-    rounded per-pixel luma — integer, so oracles can check it bitwise)."""
+    Supports bit depths 1/2/4/8/16, color types 0/2/3/4/6, and both
+    non-interlaced and Adam7 interlaced layouts (r5 — validated against
+    the system libpng's simplified read API in tests). 16-bit samples map
+    to 0..255 as v/257 (65535 -> 255 exactly); sub-byte gray scales by
+    255/(2^d-1). Returns the same dict shape as decode_image's fake path
+    plus 'luma_sum' (exact integer sum of the rounded per-pixel luma —
+    integer, so oracles can check it bitwise)."""
     ihdr = None
     plte = None
     idat = bytearray()
@@ -166,19 +180,56 @@ def decode_png(payload: bytes) -> dict:
     width, height, depth, color_type, comp, filt, interlace = _struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"PNG depth {depth} invalid for color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("PNG depth 16 invalid for palette color type")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("unsupported: Adam7 interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
-    bpp = _PNG_CHANNELS[color_type]
+    nch = _PNG_CHANNELS[color_type]
+    fbpp = max(1, nch * depth // 8)  # filter bpp per spec (floor, min 1)
     raw = zlib.decompress(bytes(idat))
-    px = _png_unfilter(raw, width, height, bpp)
+
+    def region(buf: bytes, w: int, h: int) -> np.ndarray:
+        """Filtered bytes of one w x h (sub)image -> (h, w, nch) samples
+        (uint8, or uint16 for depth 16)."""
+        stride = (w * nch * depth + 7) // 8
+        rows = _png_unfilter(buf, w, h, fbpp, stride=stride)
+        if depth == 8:
+            return rows[:, : w * nch].reshape(h, w, nch)
+        if depth == 16:
+            b2 = rows[:, : w * nch * 2].reshape(h, w * nch, 2)
+            v = (b2[:, :, 0].astype(np.uint16) << 8) | b2[:, :, 1]
+            return v.reshape(h, w, nch)
+        bits = np.unpackbits(rows, axis=1)
+        vals = bits.reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        v = (vals * weights).sum(axis=2).astype(np.uint8)
+        return v[:, : w * nch].reshape(h, w, nch)
+
+    if interlace == 0:
+        samples = region(raw, width, height)
+    else:
+        samples = np.zeros((height, width, nch),
+                           dtype=np.uint16 if depth == 16 else np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * nch * depth + 7) // 8
+            need = ph * (1 + stride)
+            samples[y0::dy, x0::dx] = region(raw[pos:pos + need], pw, ph)
+            pos += need
 
     if color_type == 3:
         if plte is None:
@@ -190,12 +241,18 @@ def decode_png(payload: bytes) -> dict:
         # clamp out-of-palette indices (corrupt-but-framed data) instead
         # of IndexError — the contract is ValueError or a best-effort
         # decode, never a foreign exception type
-        rgb = pal[np.minimum(px.reshape(height, width), len(pal) - 1)].astype(np.float64)
+        idx = np.minimum(samples[:, :, 0].astype(np.int64), len(pal) - 1)
+        rgb = pal[idx].astype(np.float64)
         luma = rgb @ np.array([0.299, 0.587, 0.114])
         channels = 3
     else:
-        px = px.reshape(height, width, bpp).astype(np.float64)
-        channels = bpp
+        if depth == 16:
+            px = samples.astype(np.float64) / 257.0
+        elif depth < 8:
+            px = samples.astype(np.float64) * (255.0 / ((1 << depth) - 1))
+        else:
+            px = samples.astype(np.float64)
+        channels = nch
         if color_type in (0, 4):
             luma = px[:, :, 0]
         else:  # 2 (RGB) / 6 (RGBA): luma from the color channels
