@@ -7,10 +7,12 @@ palette/alpha, all five scanline filters), GIF (`decode_gif`: LZW,
 palettes, interlace), JPEG (operators.jpeg: baseline SOF0 + progressive
 SOF2), and WebP (operators.webp: VP8L lossless incl. every transform,
 validated bit-exact against libwebp streams). Each has an encoder sink
-twin. Remaining formats (tiff, lossy VP8, ...) raise NotImplementedError/
-ValueError unless `fake=True`, in which case a deterministic fake decoder
-produces stable per-payload features so the distributed plumbing can be
-exercised end-to-end.
+twin. TIFF decodes for real too (operators.tiff: strips, LZW/PackBits/Deflate,
+predictor 2, palette/gray/RGB — cross-validated both directions against
+the system libtiff). Remaining formats (lossy VP8 pixels, fax TIFF, ...)
+raise NotImplementedError/ValueError unless `fake=True`, in which case a
+deterministic fake decoder produces stable per-payload features so the
+distributed plumbing can be exercised end-to-end.
 
 Scale notes: binary payloads dominate row size, so the operators here
 aggressively column-prune before the Python stage, bound Arrow batch bytes
@@ -43,7 +45,7 @@ FRAME_SAMPLE_DDL = "media_id long, frame_idx int, frame_sha256 string"
 _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
     b"RIFF": "riff", b"\x00\x00\x00": "mp4ish", b"ID3": "mp3", b"OggS": "ogg",
-    b"%PDF": "pdf",
+    b"%PDF": "pdf", b"II*\x00": "tiff", b"MM\x00*": "tiff",
 }
 
 
@@ -533,6 +535,10 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         from .webp import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
     if not fake:
         raise NotImplementedError(
             "image decode for this format requires an imaging library "
@@ -563,6 +569,8 @@ def media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         .when(F.startswith(p, F.lit(b"RIFF")) &
               (F.substring(p, 9, 4) == F.lit(b"WEBP")), F.lit("webp"))
         .when(F.startswith(p, F.lit(b"RIFF")), F.lit("riff"))
+        .when(F.startswith(p, F.lit(b"II*\x00")) |
+              F.startswith(p, F.lit(b"MM\x00*")), F.lit("tiff"))
         .when(F.startswith(p, F.lit(b"ID3")), F.lit("mp3"))
         .when(F.startswith(p, F.lit(b"OggS")), F.lit("ogg"))
         .when(F.startswith(p, F.lit(b"%PDF")), F.lit("pdf"))

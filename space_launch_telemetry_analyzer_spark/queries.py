@@ -2347,6 +2347,67 @@ ORDER BY doc_id
 """
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF codec end-to-end (r5): per doc, synthesize a deterministic
+    (3+doc_id%5) x (2+doc_id%6) grayscale gradient pixel(x,y) =
+    (doc_id*7 + 11x + 13y) % 256, encode to actual strip-organized TIFF
+    bytes with LZW compression (operators.tiff.encode_tiff — the codec is
+    cross-validated both directions against the system libtiff in
+    tests/test_tiff.py), decode through the decode_image router, and emit
+    dimensions + the exact integer luma sum. TIFF LZW is lossless, so the
+    oracle recomputes the pixel arithmetic analytically — an IFD, strip,
+    LZW width-schedule, or predictor divergence fails the hash."""
+    from .operators import multimodal as MM
+    from .operators.tiff import encode_tiff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [],
+                   "luma_sum": [], "magic": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 3 + did % 5, 2 + did % 6
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((did * 7 + 11 * x + 13 * y) % 256).astype(np.uint8)
+                payload = encode_tiff(arr, compression="lzw")
+                d = MM.decode_image(payload)
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+                out["luma_sum"].append(d["luma_sum"])
+                out["magic"].append(MM.sniff_magic(payload))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, channels int, luma_sum long, "
+        "magic string",
+    ).orderBy("doc_id")
+
+
+ORACLE_TIFF_DECODE = """
+WITH xs AS (SELECT g FROM generate_series(0, 7) t(g)),
+     ys AS (SELECT g FROM generate_series(0, 7) t(g))
+SELECT d.doc_id,
+       CAST(3 + d.doc_id % 5 AS INT) AS width,
+       CAST(2 + d.doc_id % 6 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST((SELECT SUM((d.doc_id * 7 + 11 * x.g + 13 * y.g) % 256)
+             FROM xs x, ys y
+             WHERE x.g < 3 + d.doc_id % 5
+               AND y.g < 2 + d.doc_id % 6) AS BIGINT) AS luma_sum,
+       'tiff' AS magic
+FROM documents d
+ORDER BY doc_id
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real GIF codec end-to-end (r4): per doc, synthesize a deterministic
     (3+doc_id%7) x (2+doc_id%4) index gradient pixel(x,y) =
@@ -2563,6 +2624,7 @@ QUERIES = {
     "png_decode": q_png_decode,
     "jpeg_decode": q_jpeg_decode,
     "webp_decode": q_webp_decode,
+    "tiff_decode": q_tiff_decode,
     "gif_decode": q_gif_decode,
     "plot_sink": q_plot_sink,
     "pdf_layout": q_pdf_layout,
@@ -2715,6 +2777,7 @@ ORACLES = {
     "png_decode": ORACLE_PNG_DECODE,
     "jpeg_decode": ORACLE_JPEG_DECODE,
     "webp_decode": ORACLE_WEBP_DECODE,
+    "tiff_decode": ORACLE_TIFF_DECODE,
     "gif_decode": ORACLE_GIF_DECODE,
     "plot_sink": ORACLE_PLOT_SINK,
     "pdf_layout": ORACLE_PDF_LAYOUT,
@@ -2740,6 +2803,7 @@ _LAST_DRIVER_CHECK = {
     # never externally checked (new r5)
     "jpeg_decode": 0,
     "webp_decode": 0,
+    "tiff_decode": 0,
     "pdf_winansi": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
@@ -2858,6 +2922,7 @@ _REGISTRY_ORDER = [
     "png_decode",
     "jpeg_decode",
     "webp_decode",
+    "tiff_decode",
     "gif_decode",
     "binary_meta",
     "extract_main_text",
@@ -2876,12 +2941,12 @@ _REGISTRY_ORDER = [
     "pagerank_dangling",
     "decontaminate",
     "pii_redact",
-    "sessionize",
     # ---------------- sampling horizon (50) ends here ----------------
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",
     "latest_capture",
+    "sessionize",
     "quality_score",
     "after_anchor_flag",
     "bucket_summarize",
