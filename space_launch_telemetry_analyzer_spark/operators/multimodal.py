@@ -54,6 +54,8 @@ def sniff_magic(payload: bytes | None) -> str:
         return "empty"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     for prefix, name in _MAGIC.items():
         if payload[: len(prefix)] == prefix:
             return name
@@ -568,6 +570,8 @@ def media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         .when(F.startswith(p, F.lit(b"GIF8")), F.lit("gif"))
         .when(F.startswith(p, F.lit(b"RIFF")) &
               (F.substring(p, 9, 4) == F.lit(b"WEBP")), F.lit("webp"))
+        .when(F.startswith(p, F.lit(b"RIFF")) &
+              (F.substring(p, 9, 4) == F.lit(b"WAVE")), F.lit("wav"))
         .when(F.startswith(p, F.lit(b"RIFF")), F.lit("riff"))
         .when(F.startswith(p, F.lit(b"II*\x00")) |
               F.startswith(p, F.lit(b"MM\x00*")), F.lit("tiff"))

@@ -2408,6 +2408,65 @@ ORDER BY doc_id
 """
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV/PCM audio codec end-to-end (r5 — audio-as-binary made
+    real): per doc, synthesize a deterministic sawtooth of
+    (100 + doc_id % 50) frames, sample(i) = (doc_id*31 + i*17) % 2001
+    - 1000, encode to actual RIFF/WAVE 16-bit PCM (operators.audio.
+    encode_wav), decode through decode_wav, and emit the exact integer
+    features. PCM is lossless so the oracle recomputes sum|s| and peak
+    analytically with generate_series."""
+    from .operators import multimodal as MM
+    from .operators.audio import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "channels": [], "peak": [], "abs_sum": [], "magic": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 100 + did % 50
+                i = np.arange(n)
+                s = ((did * 31 + i * 17) % 2001 - 1000).astype(np.int16)
+                payload = encode_wav(s, 16000)
+                d = decode_wav(payload)
+                out["doc_id"].append(did)
+                out["n_samples"].append(d["n_samples"])
+                out["sample_rate"].append(d["sample_rate"])
+                out["channels"].append(d["channels"])
+                out["peak"].append(d["peak"])
+                out["abs_sum"].append(d["abs_sum"])
+                out["magic"].append(MM.sniff_magic(payload))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, n_samples long, sample_rate int, channels int, "
+        "peak long, abs_sum long, magic string",
+    ).orderBy("doc_id")
+
+
+ORACLE_WAV_DECODE = """
+WITH idx AS (SELECT g FROM generate_series(0, 148) t(g))
+SELECT d.doc_id,
+       CAST(100 + d.doc_id % 50 AS BIGINT) AS n_samples,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       (SELECT MAX(ABS((d.doc_id * 31 + i.g * 17) % 2001 - 1000))
+        FROM idx i WHERE i.g < 100 + d.doc_id % 50) AS peak,
+       (SELECT SUM(ABS((d.doc_id * 31 + i.g * 17) % 2001 - 1000))
+        FROM idx i WHERE i.g < 100 + d.doc_id % 50) AS abs_sum,
+       'wav' AS magic
+FROM documents d
+ORDER BY doc_id
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real GIF codec end-to-end (r4): per doc, synthesize a deterministic
     (3+doc_id%7) x (2+doc_id%4) index gradient pixel(x,y) =
@@ -2625,6 +2684,7 @@ QUERIES = {
     "jpeg_decode": q_jpeg_decode,
     "webp_decode": q_webp_decode,
     "tiff_decode": q_tiff_decode,
+    "wav_decode": q_wav_decode,
     "gif_decode": q_gif_decode,
     "plot_sink": q_plot_sink,
     "pdf_layout": q_pdf_layout,
@@ -2778,6 +2838,7 @@ ORACLES = {
     "jpeg_decode": ORACLE_JPEG_DECODE,
     "webp_decode": ORACLE_WEBP_DECODE,
     "tiff_decode": ORACLE_TIFF_DECODE,
+    "wav_decode": ORACLE_WAV_DECODE,
     "gif_decode": ORACLE_GIF_DECODE,
     "plot_sink": ORACLE_PLOT_SINK,
     "pdf_layout": ORACLE_PDF_LAYOUT,
@@ -2804,6 +2865,7 @@ _LAST_DRIVER_CHECK = {
     "jpeg_decode": 0,
     "webp_decode": 0,
     "tiff_decode": 0,
+    "wav_decode": 0,
     "pdf_winansi": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
@@ -2923,6 +2985,7 @@ _REGISTRY_ORDER = [
     "jpeg_decode",
     "webp_decode",
     "tiff_decode",
+    "wav_decode",
     "gif_decode",
     "binary_meta",
     "extract_main_text",
@@ -2940,12 +3003,12 @@ _REGISTRY_ORDER = [
     "pagerank",
     "pagerank_dangling",
     "decontaminate",
-    "pii_redact",
     # ---------------- sampling horizon (50) ends here ----------------
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",
     "latest_capture",
+    "pii_redact",
     "sessionize",
     "quality_score",
     "after_anchor_flag",
