@@ -450,7 +450,9 @@ def _decode_scan(payload, pos, frame, scan, qtables, dc_tables, ac_tables,
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
         rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
-        luma = rgb @ np.array([0.299, 0.587, 0.114])
+        from .multimodal import REC601
+
+        luma = rgb @ REC601
         channels = 3
 
     from .multimodal import luma_features
@@ -683,12 +685,14 @@ def _finish_progressive(frame, coefs, qtables, return_luma=False) -> dict:
         luma = np.clip(full[0], 0, 255)
         channels = 1
     else:
+        from .multimodal import REC601
+
         y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
         rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
-        luma = rgb @ np.array([0.299, 0.587, 0.114])
+        luma = rgb @ REC601
         channels = 3
     from .multimodal import luma_features
 

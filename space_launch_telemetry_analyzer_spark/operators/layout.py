@@ -563,7 +563,10 @@ def parse_pdf_real(payload: bytes) -> list[dict]:
 
     objects: dict[int, tuple[bytes, bytes | None]] = {}
     for num, head, data in _iter_objects(payload):
-        objects.setdefault(num, (head, data))
+        # LAST definition wins: incremental updates append replacement
+        # objects at the end of the file (resolving via the newest xref
+        # chain would agree for the append-only updates crawls see)
+        objects[num] = (head, data)
 
     def inflate(head: bytes, data: bytes) -> bytes:
         if b"/FlateDecode" in head:

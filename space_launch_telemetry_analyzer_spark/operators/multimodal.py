@@ -62,6 +62,11 @@ def sniff_magic(payload: bytes | None) -> str:
     return "unknown"
 
 
+# the ONE Rec.601 luma vector every codec's feature path uses — keep the
+# formats' outputs aligned by construction (decode_png/gif here, jpeg.py,
+# webp.py, tiff.py all import it)
+REC601 = np.array([0.299, 0.587, 0.114])
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type (3 = palette: 1 index byte -> 3 RGB via PLTE)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -247,7 +252,7 @@ def decode_png(payload: bytes) -> dict:
         # decode, never a foreign exception type
         idx = np.minimum(samples[:, :, 0].astype(np.int64), len(pal) - 1)
         rgb = pal[idx].astype(np.float64)
-        luma = rgb @ np.array([0.299, 0.587, 0.114])
+        luma = rgb @ REC601
         channels = 3
     else:
         if depth == 16:
@@ -260,7 +265,7 @@ def decode_png(payload: bytes) -> dict:
         if color_type in (0, 4):
             luma = px[:, :, 0]
         else:  # 2 (RGB) / 6 (RGBA): luma from the color channels
-            luma = px[:, :, :3] @ np.array([0.299, 0.587, 0.114])
+            luma = px[:, :, :3] @ REC601
 
     return luma_features(luma, channels)
 
@@ -454,7 +459,7 @@ def decode_gif(payload: bytes) -> dict:
     if len(p) == 0:
         raise ValueError("GIF color table empty")
     rgb = p[np.minimum(arr, len(p) - 1)].astype(np.float64)
-    luma = rgb @ np.array([0.299, 0.587, 0.114])
+    luma = rgb @ REC601
     out = luma_features(luma, 3)
     out["n_frames"] = int(n_frames)
     return out
@@ -515,16 +520,16 @@ def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """PNG, GIF, JPEG (baseline SOF0 + progressive SOF2), and WebP (VP8L
-    lossless incl. all transforms) payloads decode FOR REAL (decode_png /
-    decode_gif here, operators.jpeg.decode_jpeg, operators.webp.decode_webp
-    — all pure stdlib+numpy; the WebP decoder is validated bit-exact
-    against libwebp-encoded streams). Lossy WebP (VP8) raises ValueError
-    into the error channel (documented scope). Other formats (tiff, ...)
-    still need codecs absent from this container: they raise
-    NotImplementedError unless fake=True, where a deterministic fake
-    derives stable pseudo-features from the payload hash so tests can
-    exercise the distributed path."""
+    """PNG, GIF, JPEG (baseline SOF0 + progressive SOF2), WebP (VP8L
+    lossless incl. all transforms), and TIFF payloads decode FOR REAL
+    (decode_png / decode_gif here, operators.jpeg.decode_jpeg,
+    operators.webp.decode_webp, operators.tiff.decode_tiff — all pure
+    stdlib+numpy; WebP/TIFF are cross-validated against the system
+    libwebp/libtiff). Lossy WebP (VP8) raises ValueError into the error
+    channel (documented scope). Formats with no codec here (mp4, ogg,
+    fax TIFF, ...) raise NotImplementedError/ValueError unless fake=True,
+    where a deterministic fake derives stable pseudo-features from the
+    payload hash so tests can exercise the distributed path."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):

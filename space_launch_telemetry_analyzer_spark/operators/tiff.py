@@ -235,7 +235,7 @@ def decode_tiff(payload: bytes, return_luma: bool = False) -> dict:
     elif predictor != 1:
         raise ValueError(f"TIFF predictor {predictor} unsupported")
 
-    from .multimodal import luma_features
+    from .multimodal import REC601, luma_features
 
     if photometric == 3:
         cmap = tags[_T_COLORMAP]
@@ -247,13 +247,13 @@ def decode_tiff(payload: bytes, return_luma: bool = False) -> dict:
                .reshape(3, n).T / 257.0)
         idx = np.minimum(samples[:, :, 0].astype(np.int64), n - 1)
         rgb = pal[idx]
-        luma = rgb @ np.array([0.299, 0.587, 0.114])
+        luma = rgb @ REC601
         channels = 3
     elif photometric == 2:
         if spp < 3:
             raise ValueError("TIFF RGB with fewer than 3 samples")
         px = samples[:, :, :3].astype(np.float64)
-        luma = px @ np.array([0.299, 0.587, 0.114])
+        luma = px @ REC601
         channels = 3
     else:
         maxv = float((1 << depth) - 1)

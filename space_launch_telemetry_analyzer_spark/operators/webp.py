@@ -529,6 +529,11 @@ def _decode_vp8l_stream(data: bytes) -> tuple[np.ndarray, int, int, bool]:
     br = _LSBReader(data[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1
+    # decode work is per-pixel Python and LZ77/0-bit codes decouple it
+    # from payload size — cap the pixel count so a 40-byte adversarial
+    # header cannot buy minutes of CPU (error channel, like TIFF's cap)
+    if w * h > (1 << 24):
+        raise ValueError("VP8L dimensions exceed the 16.7MP decode cap")
     has_alpha = bool(br.read(1))
     version = br.read(3)
     if version != 0:
@@ -614,11 +619,11 @@ def decode_webp(payload: bytes, return_luma: bool = False) -> dict:
             raise ValueError("truncated WebP chunk")
         if tag == b"VP8L":
             img, w, h, _ = _decode_vp8l_stream(body)
-            r = ((img >> 16) & 0xFF).astype(np.float64)
-            g = ((img >> 8) & 0xFF).astype(np.float64)
-            b = (img & 0xFF).astype(np.float64)
-            luma = (0.299 * r + 0.587 * g + 0.114 * b).reshape(h, w)
-            from .multimodal import luma_features
+            from .multimodal import REC601, luma_features
+
+            rgb = np.stack([(img >> 16) & 0xFF, (img >> 8) & 0xFF,
+                            img & 0xFF], axis=1).astype(np.float64)
+            luma = (rgb @ REC601).reshape(h, w)
 
             out = luma_features(luma, 3)
             if return_luma:

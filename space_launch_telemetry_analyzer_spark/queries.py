@@ -2457,10 +2457,10 @@ SELECT d.doc_id,
        CAST(100 + d.doc_id % 50 AS BIGINT) AS n_samples,
        CAST(16000 AS INT) AS sample_rate,
        CAST(1 AS INT) AS channels,
-       (SELECT MAX(ABS((d.doc_id * 31 + i.g * 17) % 2001 - 1000))
-        FROM idx i WHERE i.g < 100 + d.doc_id % 50) AS peak,
-       (SELECT SUM(ABS((d.doc_id * 31 + i.g * 17) % 2001 - 1000))
-        FROM idx i WHERE i.g < 100 + d.doc_id % 50) AS abs_sum,
+       CAST((SELECT MAX(ABS((d.doc_id * 31 + i.g * 17) % 2001 - 1000))
+             FROM idx i WHERE i.g < 100 + d.doc_id % 50) AS BIGINT) AS peak,
+       CAST((SELECT SUM(ABS((d.doc_id * 31 + i.g * 17) % 2001 - 1000))
+             FROM idx i WHERE i.g < 100 + d.doc_id % 50) AS BIGINT) AS abs_sum,
        'wav' AS magic
 FROM documents d
 ORDER BY doc_id

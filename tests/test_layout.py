@@ -283,3 +283,19 @@ def test_pdf_name_token_never_emits_as_text():
            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
     got = parse_pdf_real(pdf)
     assert [g["text"] for g in got] == ["real"]
+
+
+def test_pdf_incremental_update_last_definition_wins():
+    """Review r5: an incremental update appends a replacement object at
+    the end of the file — the parser must use the NEWEST definition, not
+    the first (crawled PDFs with appended edits)."""
+    old = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (stale) Tj ET"
+    new = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (fresh) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Length " + str(len(old)).encode()
+           + b" >>\nstream\n" + old + b"\nendstream\nendobj\n"
+           b"%%EOF\n"
+           b"1 0 obj\n<< /Length " + str(len(new)).encode()
+           + b" >>\nstream\n" + new + b"\nendstream\nendobj\n%%EOF")
+    got = parse_pdf_real(pdf)
+    assert [g["text"] for g in got] == ["fresh"]

@@ -147,7 +147,8 @@ def test_decode_image_routing_and_magic():
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     enc = W.encode_webp(img)
     assert M.sniff_magic(enc) == "webp"
-    assert M.sniff_magic(b"RIFF\x00\x00\x00\x00WAVE") == "riff"
+    assert M.sniff_magic(b"RIFF\x00\x00\x00\x00WAVE") == "wav"
+    assert M.sniff_magic(b"RIFF\x00\x00\x00\x00AVI ") == "riff"
     d = M.decode_image(enc, fake=False)
     assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
     # lossless: exact equality with the PNG decode of the same pixels
@@ -190,3 +191,22 @@ def test_image_features_webp_through_spark(spark):
     # lossless twins agree exactly
     assert out[1]["mean_luma"] == pytest.approx(out[2]["mean_luma"], abs=1e-12)
     assert out[3]["error"] is not None
+
+
+def test_adversarial_dimension_cap():
+    """A tiny well-formed VP8L header can declare huge dimensions and,
+    with 0-bit codes + backward references, buy unbounded per-pixel
+    Python work from a ~40-byte payload — the 16.7MP cap sends it to the
+    error channel instead (review r5)."""
+    from space_launch_telemetry_analyzer_spark.operators.webp import _LSBWriter
+
+    bw = _LSBWriter()
+    bw.write(16383, 14)  # w-1 -> 16384
+    bw.write(16383, 14)  # h-1 -> 16384
+    bw.write(0, 1)
+    bw.write(0, 3)
+    stream = b"\x2f" + bw.finish() + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="16.7MP"):
+        W.decode_webp(payload)
