@@ -5,11 +5,12 @@ signatures — is real and tested. The codec layer decodes the common web
 formats FOR REAL, pure stdlib+numpy: PNG (`decode_png`: 8-bit gray/RGB/
 palette/alpha, all five scanline filters), GIF (`decode_gif`: LZW,
 palettes, interlace), JPEG (operators.jpeg: baseline SOF0 + progressive
-SOF2), and WebP (operators.webp: VP8L lossless incl. every transform,
+SOF2), and WebP (operators.webp: VP8L lossless incl. every transform
+plus the VP8 lossy keyframe decoder in operators.vp8,
 validated bit-exact against libwebp streams). Each has an encoder sink
 twin. TIFF decodes for real too (operators.tiff: strips, LZW/PackBits/Deflate,
 predictor 2, palette/gray/RGB — cross-validated both directions against
-the system libtiff). Remaining formats (lossy VP8 pixels, fax TIFF, ...)
+the system libtiff). Remaining formats (animated WebP, fax TIFF, ...)
 raise NotImplementedError/ValueError unless `fake=True`, in which case a
 deterministic fake decoder produces stable per-payload features so the
 distributed plumbing can be exercised end-to-end.
@@ -523,10 +524,10 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
     """PNG, GIF, JPEG (baseline SOF0 + progressive SOF2), WebP (VP8L
     lossless incl. all transforms), and TIFF payloads decode FOR REAL
     (decode_png / decode_gif here, operators.jpeg.decode_jpeg,
-    operators.webp.decode_webp, operators.tiff.decode_tiff — all pure
-    stdlib+numpy; WebP/TIFF are cross-validated against the system
-    libwebp/libtiff). Lossy WebP (VP8) raises ValueError into the error
-    channel (documented scope). Formats with no codec here (mp4, ogg,
+    operators.webp.decode_webp (both VP8L lossless and, via
+    operators.vp8, VP8 lossy keyframes), operators.tiff.decode_tiff —
+    all pure stdlib+numpy; WebP/TIFF are cross-validated against the
+    system libwebp/libtiff). Formats with no codec here (mp4, ogg,
     fax TIFF, ...) raise NotImplementedError/ValueError unless fake=True,
     where a deterministic fake derives stable pseudo-features from the
     payload hash so tests can exercise the distributed path."""

@@ -11,7 +11,9 @@ container spec and the WebP Lossless Bitstream Specification (RFC 9649):
   both the 2D distance map and plain distances, meta prefix groups, and all
   four transforms (predictor, color, subtract-green, color-indexing with
   sub-byte packing).
-- 'VP8 ' (lossy) parses the frame header for dimensions but raises
+- 'VP8 ' (lossy) decodes for real via operators/vp8.py (RFC 6386
+  keyframe decoder, bit-exact vs libwebp); this docstring line kept for
+  history: it used to raise
   ValueError for pixel decode — the boolean-arithmetic DCT decoder is out
   of scope this round (documented; goes to the row-level error channel).
 - 'VP8X' (extended) parses canvas features and recurses into the inner
@@ -631,10 +633,20 @@ def decode_webp(payload: bytes, return_luma: bool = False) -> dict:
                 out["argb"] = img.reshape(h, w)
             return out
         if tag == b"VP8 ":
-            raise ValueError(
-                "WebP lossy (VP8) pixel decode unsupported — boolean "
-                "arithmetic decoder out of scope; row goes to the error "
-                "channel")
+            # lossy keyframe: real RFC 6386 decode (operators/vp8.py),
+            # bit-exact vs libwebp's WebPDecodeYUV (tests/test_vp8.py).
+            # luma features come straight from the decoded Y plane (the
+            # lossy codec is natively YUV; no RGB roundtrip), channels=3.
+            from .multimodal import luma_features
+            from .vp8 import decode_vp8
+
+            yp, up, vp = decode_vp8(body)
+            luma = yp.astype(np.float64)
+            out = luma_features(luma, 3)
+            if return_luma:
+                out["luma"] = luma
+                out["yuv"] = (yp, up, vp)
+            return out
         if tag == b"VP8X":
             # extended header: parse features, keep walking to the image
             # chunk inside the same RIFF body
