@@ -2347,6 +2347,65 @@ ORDER BY doc_id
 """
 
 
+def q_vp8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real lossy-WebP/VP8 codec end-to-end (r5): per doc, synthesize a
+    deterministic flat-luma frame of (5+doc_id%28) x (7+doc_id%23) with
+    luma value 30 + (doc_id*13) % 200, encode to actual RIFF/VP8 keyframe
+    bytes with 1/2/4 token partitions (operators.vp8.encode_webp_lossy_flat
+    — a conformant RFC 6386 range-coder twin; the decoder it feeds is
+    validated bit-exact against libwebp's WebPDecodeYUV in
+    tests/test_vp8.py), decode through the decode_image router, and emit
+    dimensions + the exact integer luma sum.  VP8 is lossy, but the flat
+    construction routes everything through the Y2/WHT integer path where
+    the decoded value follows a closed form — so the oracle is exact
+    arithmetic: any bool-decoder, WHT/DCT, dequant, prediction, or
+    partition-table divergence fails the hash."""
+    from .operators import multimodal as MM
+    from .operators.vp8 import encode_webp_lossy_flat
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [],
+                   "luma_sum": [], "magic": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 5 + did % 28, 7 + did % 23
+                val = 30 + (did * 13) % 200
+                payload = encode_webp_lossy_flat(val, w, h,
+                                                 nparts=1 << (did % 3))
+                d = MM.decode_image(payload)
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+                out["luma_sum"].append(d["luma_sum"])
+                out["magic"].append(MM.sniff_magic(payload))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, channels int, luma_sum long, "
+        "magic string",
+    ).orderBy("doc_id")
+
+
+ORACLE_VP8_DECODE = """
+SELECT doc_id,
+       CAST(5 + doc_id % 28 AS INT) AS width,
+       CAST(7 + doc_id % 23 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST((30 + (doc_id * 13) % 200) * (5 + doc_id % 28)
+            * (7 + doc_id % 23) AS BIGINT) AS luma_sum,
+       'webp' AS magic
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real TIFF codec end-to-end (r5): per doc, synthesize a deterministic
     (3+doc_id%5) x (2+doc_id%6) grayscale gradient pixel(x,y) =
@@ -2683,6 +2742,7 @@ QUERIES = {
     "png_decode": q_png_decode,
     "jpeg_decode": q_jpeg_decode,
     "webp_decode": q_webp_decode,
+    "vp8_decode": q_vp8_decode,
     "tiff_decode": q_tiff_decode,
     "wav_decode": q_wav_decode,
     "gif_decode": q_gif_decode,
@@ -2837,6 +2897,7 @@ ORACLES = {
     "png_decode": ORACLE_PNG_DECODE,
     "jpeg_decode": ORACLE_JPEG_DECODE,
     "webp_decode": ORACLE_WEBP_DECODE,
+    "vp8_decode": ORACLE_VP8_DECODE,
     "tiff_decode": ORACLE_TIFF_DECODE,
     "wav_decode": ORACLE_WAV_DECODE,
     "gif_decode": ORACLE_GIF_DECODE,
@@ -2864,6 +2925,7 @@ _LAST_DRIVER_CHECK = {
     # never externally checked (new r5)
     "jpeg_decode": 0,
     "webp_decode": 0,
+    "vp8_decode": 0,
     "tiff_decode": 0,
     "wav_decode": 0,
     "pdf_winansi": 0,
@@ -2984,6 +3046,7 @@ _REGISTRY_ORDER = [
     "png_decode",
     "jpeg_decode",
     "webp_decode",
+    "vp8_decode",
     "tiff_decode",
     "wav_decode",
     "gif_decode",
@@ -3002,8 +3065,8 @@ _REGISTRY_ORDER = [
     "kmeans_centroids",
     "pagerank",
     "pagerank_dangling",
-    "decontaminate",
     # ---------------- sampling horizon (50) ends here ----------------
+    "decontaminate",
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",

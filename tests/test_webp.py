@@ -50,15 +50,18 @@ def test_dimensions_probe():
         W.webp_dimensions(b"nope")
 
 
-def test_lossy_vp8_raises_documented():
-    """A minimal VP8 (lossy) container: pixel decode is documented out of
-    scope and must raise ValueError (error channel), while the cheap
-    dimensions probe still reads the frame header."""
-    frame = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 99, 77) + bytes(10)
-    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
-    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-    with pytest.raises(ValueError, match="VP8"):
-        W.decode_webp(payload)
+def test_lossy_vp8_decodes_through_container():
+    """The lossy half is real since r5 (operators/vp8.py): decode_webp
+    routes 'VP8 ' chunks through the RFC 6386 keyframe decoder and emits
+    the shared luma_features contract straight from the Y plane; the cheap
+    dimensions probe still reads only the frame header."""
+    from space_launch_telemetry_analyzer_spark.operators.vp8 import (
+        encode_webp_lossy_flat)
+    payload = encode_webp_lossy_flat(142, 99, 77)
+    d = W.decode_webp(payload, return_luma=True)
+    assert (d["width"], d["height"], d["channels"]) == (99, 77, 3)
+    assert d["luma_sum"] == 142 * 99 * 77
+    assert bool(np.all(d["luma"] == 142.0))
     w, h, fmt = W.webp_dimensions(payload)
     assert (w, h, fmt) == (99, 77, "vp8")
 
