@@ -47,6 +47,7 @@ _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
     b"RIFF": "riff", b"\x00\x00\x00": "mp4ish", b"ID3": "mp3", b"OggS": "ogg",
     b"%PDF": "pdf", b"II*\x00": "tiff", b"MM\x00*": "tiff",
+    b"BM": "bmp", b"\x00\x00\x01\x00": "ico",
 }
 
 
@@ -547,6 +548,14 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         from .tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from .bmp import decode_ico
+
+        return decode_ico(payload)
     if not fake:
         raise NotImplementedError(
             "image decode for this format requires an imaging library "

@@ -17,7 +17,10 @@ container spec and the WebP Lossless Bitstream Specification (RFC 9649):
   ValueError for pixel decode — the boolean-arithmetic DCT decoder is out
   of scope this round (documented; goes to the row-level error channel).
 - 'VP8X' (extended) parses canvas features and recurses into the inner
-  VP8L/VP8 payload; ALPH/ANIM and metadata chunks are skipped.
+  VP8L/VP8 payload; 'ALPH' alpha planes decode for real (raw and
+  VP8L-lossless compression, all four filter methods — r5); animations
+  ('ANIM'/'ANMF') decode the FIRST frame's image data and count frames,
+  mirroring the GIF contract; metadata chunks are skipped.
 
 encode_webp is the sink twin: transform-free VP8L with flat complete
 prefix codes (232x8 + 48x9 bit greens, 256x8 red/blue, single-symbol
@@ -540,7 +543,16 @@ def _decode_vp8l_stream(data: bytes) -> tuple[np.ndarray, int, int, bool]:
     version = br.read(3)
     if version != 0:
         raise ValueError(f"VP8L version {version} unsupported")
+    return _decode_vp8l_body(br, w, h), w, h, has_alpha
 
+
+def _decode_vp8l_body(br: _LSBReader, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image stream: transforms + entropy-coded ARGB +
+    inverse transforms, with dimensions supplied by the caller.  This is
+    both the tail of a full VP8L stream (after signature/dims/version) and
+    the WHOLE stream of a lossless-compressed ALPH alpha plane, which the
+    container spec defines as exactly this bitstream with (w, h) taken
+    from the enclosing frame."""
     transforms = []  # (kind, params, width_before) in read order
     cur_w = w
     seen = set()
@@ -596,7 +608,63 @@ def _decode_vp8l_stream(data: bytes) -> tuple[np.ndarray, int, int, bool]:
         else:
             size_bits, modes, mw = params
             _apply_predictor_inverse(img, cur_w, h, size_bits, modes, mw)
-    return img, w, h, has_alpha
+    return img
+
+
+# ---------------------------------------------------------------------------
+# ALPH chunk (alpha plane for lossy frames; container spec section "Alpha")
+# ---------------------------------------------------------------------------
+
+
+def _decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode an ALPH chunk into an (h, w) uint8 alpha plane.
+
+    Header byte, LSB-first per the container spec: 2-bit compression
+    method (0 raw, 1 VP8L-lossless), 2-bit filtering method (0 none,
+    1 horizontal, 2 vertical, 3 gradient), 2-bit pre-processing (decode
+    no-op), 2 reserved bits that must be zero (libwebp rejects too).
+    Lossless-compressed alpha is a headerless VP8L stream whose GREEN
+    channel carries the values.  Filter inverse adds the prediction mod
+    256; borders: (0,0) predicts 0, leftmost column predicts from above,
+    top row predicts from the left, gradient clamps A+B-C to [0,255]."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    hdr = body[0]
+    method, filt, pre, rsrv = hdr & 3, (hdr >> 2) & 3, (hdr >> 4) & 3, hdr >> 6
+    if method > 1 or pre > 1 or rsrv != 0:
+        raise ValueError("invalid ALPH header byte")
+    if w * h > (1 << 24):
+        raise ValueError("ALPH dimensions exceed the 16.7MP decode cap")
+    if method == 0:
+        if len(body) - 1 < w * h:
+            raise ValueError("truncated raw ALPH data")
+        plane = np.frombuffer(body[1:1 + w * h],
+                              dtype=np.uint8).reshape(h, w).copy()
+    else:
+        img = _decode_vp8l_body(_LSBReader(body[1:]), w, h)
+        plane = ((img >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    if filt == 0:
+        return plane
+    d = plane.astype(np.int64)
+    if filt == 1:  # horizontal: left, leftmost column from above
+        d[:, 0] = np.cumsum(d[:, 0]) & 0xFF
+        d = np.cumsum(d, axis=1) & 0xFF
+    elif filt == 2:  # vertical: above, top row from the left
+        d[0, :] = np.cumsum(d[0, :]) & 0xFF
+        d = np.cumsum(d, axis=0) & 0xFF
+    else:  # gradient: clip(A + B - C); left-dependency forces a scan
+        out = d
+        out[0, :] = np.cumsum(out[0, :]) & 0xFF
+        for y in range(1, h):
+            row, above = out[y], out[y - 1]
+            row[0] = (row[0] + above[0]) & 0xFF
+            a = int(row[0])
+            for x in range(1, w):
+                pred = a + int(above[x]) - int(above[x - 1])
+                a = (int(row[x]) + min(255, max(0, pred))) & 0xFF
+                row[x] = a
+        d = out
+    return d.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -604,30 +672,79 @@ def _decode_vp8l_stream(data: bytes) -> tuple[np.ndarray, int, int, bool]:
 # ---------------------------------------------------------------------------
 
 
+def _iter_chunks(buf: bytes, pos: int = 0):
+    """Yield (tag, body) over a RIFF chunk sequence (odd sizes padded)."""
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        yield tag, body
+        pos += 8 + size + (size & 1)
+
+
 def decode_webp(payload: bytes, return_luma: bool = False) -> dict:
-    """RIFF/WEBP -> the shared luma_features contract. VP8L decodes for
-    real; VP8 (lossy) and ANIM raise ValueError (documented scope)."""
+    """RIFF/WEBP -> the shared luma_features contract plus `n_frames`.
+    VP8L (lossless) and VP8 (lossy) both decode for real; VP8X containers
+    route through ALPH alpha planes; animations (ANIM/ANMF) mirror the
+    GIF contract — features come from the FIRST frame's own image data
+    (its frame dimensions, not the canvas) and `n_frames` counts every
+    ANMF chunk. Still images report n_frames=1."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP: missing RIFF/WEBP header")
     riff_len = struct.unpack("<I", payload[4:8])[0]
     if riff_len + 8 > len(payload) + 1:  # +1: odd-length padding slack
         raise ValueError("truncated WebP: RIFF length exceeds payload")
-    pos = 12
-    while pos + 8 <= len(payload):
-        tag = payload[pos:pos + 4]
-        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
-        body = payload[pos + 8:pos + 8 + size]
-        if len(body) != size:
-            raise ValueError("truncated WebP chunk")
+    out = None
+    n_frames = 0
+    alph_body = None  # ALPH precedes the VP8 chunk inside its container
+    for tag, body in _iter_chunks(payload, 12):
+        if tag == b"ANMF":
+            # frame chunk: 16-byte header (24-bit LE x/2, y/2, w-1, h-1,
+            # duration + flags byte), then the frame's own
+            # ALPH?+VP8/VP8L sub-chunks
+            if len(body) < 16:
+                raise ValueError("truncated WebP ANMF header")
+            n_frames += 1
+            if out is None:
+                out = _decode_image_chunks(_iter_chunks(body, 16),
+                                           return_luma)
+        elif tag == b"ALPH":
+            alph_body = body
+        elif tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated WebP VP8X chunk")
+        elif tag in (b"VP8L", b"VP8 "):
+            out = _decode_image_chunks(iter([(tag, body)]), return_luma,
+                                       pending_alpha=alph_body)
+            break
+        # ANIM/ICCP/EXIF/XMP and unknown chunks: skip
+    if out is None:
+        raise ValueError("WebP has no decodable image chunk")
+    out["n_frames"] = max(n_frames, 1)
+    return out
+
+
+def _decode_image_chunks(chunks, return_luma: bool,
+                         pending_alpha: bytes | None = None):
+    """Process a chunk stream until an image chunk (VP8L / VP8 ) decodes;
+    remembers an ALPH chunk seen on the way. Returns the luma_features
+    dict, or None if the stream holds no image chunk."""
+    alph_body = pending_alpha
+    for tag, body in chunks:
+        if tag == b"ALPH":
+            alph_body = body
+            continue
         if tag == b"VP8L":
-            img, w, h, _ = _decode_vp8l_stream(body)
+            img, w, h, has_alpha = _decode_vp8l_stream(body)
             from .multimodal import REC601, luma_features
 
             rgb = np.stack([(img >> 16) & 0xFF, (img >> 8) & 0xFF,
                             img & 0xFF], axis=1).astype(np.float64)
             luma = (rgb @ REC601).reshape(h, w)
 
-            out = luma_features(luma, 3)
+            out = luma_features(luma, 4 if has_alpha else 3)
             if return_luma:
                 out["luma"] = luma
                 out["argb"] = img.reshape(h, w)
@@ -636,30 +753,26 @@ def decode_webp(payload: bytes, return_luma: bool = False) -> dict:
             # lossy keyframe: real RFC 6386 decode (operators/vp8.py),
             # bit-exact vs libwebp's WebPDecodeYUV (tests/test_vp8.py).
             # luma features come straight from the decoded Y plane (the
-            # lossy codec is natively YUV; no RGB roundtrip), channels=3.
+            # lossy codec is natively YUV; no RGB roundtrip).  A pending
+            # ALPH chunk (VP8X container) decodes to a full alpha plane
+            # and bumps channels to 4, matching PNG RGBA semantics.
             from .multimodal import luma_features
             from .vp8 import decode_vp8
 
             yp, up, vp = decode_vp8(body)
             luma = yp.astype(np.float64)
-            out = luma_features(luma, 3)
+            alpha = None
+            if alph_body is not None:
+                alpha = _decode_alph(alph_body, yp.shape[1], yp.shape[0])
+            out = luma_features(luma, 3 if alpha is None else 4)
             if return_luma:
                 out["luma"] = luma
                 out["yuv"] = (yp, up, vp)
+                if alpha is not None:
+                    out["alpha"] = alpha
             return out
-        if tag == b"VP8X":
-            # extended header: parse features, keep walking to the image
-            # chunk inside the same RIFF body
-            if size < 10:
-                raise ValueError("truncated WebP VP8X chunk")
-            flags = body[0]
-            if flags & 0x02:  # animation
-                raise ValueError("animated WebP unsupported")
-            pos += 8 + size + (size & 1)
-            continue
-        # ALPH/ICCP/EXIF/XMP and unknown chunks: skip (odd sizes padded)
-        pos += 8 + size + (size & 1)
-    raise ValueError("WebP has no decodable image chunk")
+        # anything else inside a frame payload: skip
+    return None
 
 
 def webp_dimensions(payload: bytes) -> tuple[int, int, str]:

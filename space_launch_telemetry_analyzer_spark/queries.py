@@ -2406,6 +2406,71 @@ ORDER BY doc_id
 """
 
 
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP + ICO codecs end-to-end (r5): per doc, synthesize a
+    deterministic (3+doc_id%6) x (2+doc_id%5) grayscale gradient
+    pixel(x,y) = (doc_id*7 + 11x + 13y) % 256, encode with
+    operators.bmp.encode_bmp (24-bit BI_RGB bottom-up) — or, for every
+    third doc, wrap the same image in an ICO directory with a PNG entry
+    (operators.bmp.encode_ico, the modern favicon layout) — decode
+    through the decode_image router, and emit dimensions + the exact
+    integer luma sum. Both paths are lossless and gray (v,v,v) luma is
+    exactly v, so the oracle recomputes the pixel arithmetic analytically;
+    a stride/padding, bottom-up flip, palette, directory-offset, or
+    BGR-order divergence fails the hash."""
+    from .operators import multimodal as MM
+    from .operators.bmp import encode_bmp, encode_ico
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [],
+                   "luma_sum": [], "magic": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 3 + did % 6, 2 + did % 5
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((did * 7 + 11 * x + 13 * y) % 256).astype(np.uint8)
+                rgb = np.stack([arr] * 3, axis=2)
+                payload = encode_ico([rgb]) if did % 3 == 0 else \
+                    encode_bmp(rgb)
+                d = MM.decode_image(payload)
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["channels"].append(d["channels"])
+                out["luma_sum"].append(d["luma_sum"])
+                out["magic"].append(MM.sniff_magic(payload))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, channels int, luma_sum long, "
+        "magic string",
+    ).orderBy("doc_id")
+
+
+ORACLE_BMP_DECODE = """
+WITH xs AS (SELECT g FROM generate_series(0, 8) t(g)),
+     ys AS (SELECT g FROM generate_series(0, 6) t(g))
+SELECT d.doc_id,
+       CAST(3 + d.doc_id % 6 AS INT) AS width,
+       CAST(2 + d.doc_id % 5 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST((SELECT SUM((d.doc_id * 7 + 11 * x.g + 13 * y.g) % 256)
+             FROM xs x, ys y
+             WHERE x.g < 3 + d.doc_id % 6
+               AND y.g < 2 + d.doc_id % 5) AS BIGINT) AS luma_sum,
+       CASE WHEN d.doc_id % 3 = 0 THEN 'ico' ELSE 'bmp' END AS magic
+FROM documents d
+ORDER BY doc_id
+"""
+
+
 def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real TIFF codec end-to-end (r5): per doc, synthesize a deterministic
     (3+doc_id%5) x (2+doc_id%6) grayscale gradient pixel(x,y) =
@@ -2743,6 +2808,7 @@ QUERIES = {
     "jpeg_decode": q_jpeg_decode,
     "webp_decode": q_webp_decode,
     "vp8_decode": q_vp8_decode,
+    "bmp_decode": q_bmp_decode,
     "tiff_decode": q_tiff_decode,
     "wav_decode": q_wav_decode,
     "gif_decode": q_gif_decode,
@@ -2898,6 +2964,7 @@ ORACLES = {
     "jpeg_decode": ORACLE_JPEG_DECODE,
     "webp_decode": ORACLE_WEBP_DECODE,
     "vp8_decode": ORACLE_VP8_DECODE,
+    "bmp_decode": ORACLE_BMP_DECODE,
     "tiff_decode": ORACLE_TIFF_DECODE,
     "wav_decode": ORACLE_WAV_DECODE,
     "gif_decode": ORACLE_GIF_DECODE,
@@ -2926,6 +2993,7 @@ _LAST_DRIVER_CHECK = {
     "jpeg_decode": 0,
     "webp_decode": 0,
     "vp8_decode": 0,
+    "bmp_decode": 0,
     "tiff_decode": 0,
     "wav_decode": 0,
     "pdf_winansi": 0,
@@ -3047,6 +3115,7 @@ _REGISTRY_ORDER = [
     "jpeg_decode",
     "webp_decode",
     "vp8_decode",
+    "bmp_decode",
     "tiff_decode",
     "wav_decode",
     "gif_decode",
@@ -3064,8 +3133,8 @@ _REGISTRY_ORDER = [
     "ivf_ann_topk",
     "kmeans_centroids",
     "pagerank",
-    "pagerank_dangling",
     # ---------------- sampling horizon (50) ends here ----------------
+    "pagerank_dangling",
     "decontaminate",
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)

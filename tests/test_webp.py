@@ -213,3 +213,201 @@ def test_adversarial_dimension_cap():
     payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     with pytest.raises(ValueError, match="16.7MP"):
         W.decode_webp(payload)
+
+
+# ---------------------------------------------------------------------------
+# ALPH alpha planes (r5): raw + all four filters, libwebp cross-validation
+# ---------------------------------------------------------------------------
+
+
+def _filter_forward(plane: np.ndarray, filt: int) -> np.ndarray:
+    """Reference forward filter (test-side twin of the decoder's inverse):
+    emit delta = value - prediction mod 256, container-spec borders."""
+    h, w = plane.shape
+    p = plane.astype(np.int64)
+    out = np.zeros_like(p)
+    for y in range(h):
+        for x in range(w):
+            a = p[y, x - 1] if x else 0
+            b = p[y - 1, x] if y else 0
+            c = p[y - 1, x - 1] if x and y else 0
+            if y == 0 and x == 0:
+                pred = 0
+            elif x == 0:
+                pred = b
+            elif y == 0:
+                pred = a
+            elif filt == 1:
+                pred = a
+            elif filt == 2:
+                pred = b
+            else:
+                pred = min(255, max(0, a + b - c))
+            out[y, x] = (p[y, x] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _wrap_vp8x_alpha(vp8_chunk_body: bytes, alph_body: bytes,
+                     w: int, h: int) -> bytes:
+    """Build a VP8X container: VP8X header (alpha flag) + ALPH + VP8."""
+    vp8x = bytes([0x10, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + \
+        struct.pack("<I", h - 1)[:3]
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    chunks += b"ALPH" + struct.pack("<I", len(alph_body)) + alph_body
+    if len(alph_body) & 1:
+        chunks += b"\x00"
+    chunks += b"VP8 " + struct.pack("<I", len(vp8_chunk_body)) + \
+        vp8_chunk_body
+    if len(vp8_chunk_body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def _vp8_chunk_of(payload: bytes) -> bytes:
+    """Extract the raw VP8 chunk body from an encode_webp_lossy_flat RIFF."""
+    assert payload[12:16] == b"VP8 "
+    n = struct.unpack("<I", payload[16:20])[0]
+    return payload[20:20 + n]
+
+
+def test_alph_raw_all_filters():
+    from space_launch_telemetry_analyzer_spark.operators.vp8 import (
+        encode_webp_lossy_flat)
+    rng = np.random.default_rng(11)
+    w, h = 23, 9
+    vp8 = _vp8_chunk_of(encode_webp_lossy_flat(90, w, h))
+    alpha = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    for filt in range(4):
+        deltas = _filter_forward(alpha, filt) if filt else alpha
+        body = bytes([filt << 2]) + deltas.tobytes()
+        d = W.decode_webp(_wrap_vp8x_alpha(vp8, body, w, h),
+                          return_luma=True)
+        assert d["channels"] == 4
+        assert d["luma_sum"] == 90 * w * h
+        assert np.array_equal(d["alpha"], alpha), f"filter {filt}"
+
+
+def test_alph_bad_header_rejected():
+    from space_launch_telemetry_analyzer_spark.operators.vp8 import (
+        encode_webp_lossy_flat)
+    vp8 = _vp8_chunk_of(encode_webp_lossy_flat(10, 4, 4))
+    for hdr in (0x40, 0x03, 0x30):  # reserved bits, method>1, pre>1
+        body = bytes([hdr]) + bytes(16)
+        with pytest.raises(ValueError, match="ALPH"):
+            W.decode_webp(_wrap_vp8x_alpha(vp8, body, 4, 4),
+                          return_luma=True)
+    with pytest.raises(ValueError, match="truncated raw ALPH"):
+        W.decode_webp(_wrap_vp8x_alpha(vp8, b"\x00" + bytes(3), 4, 4),
+                      return_luma=True)
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp unavailable")
+def test_alph_vs_libwebp_rgba():
+    """Lossy RGBA through libwebp produces VP8X+ALPH+VP8; our alpha plane
+    must match libwebp's own RGBA decode bit-exactly (alpha is coded
+    losslessly even in lossy files)."""
+    lib = _libwebp()
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    rng = np.random.default_rng(23)
+    for (h, w) in [(16, 16), (21, 37)]:
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        # smooth the alpha a little so the encoder picks a filter
+        rgba[..., 3] = np.minimum(255, np.add.outer(
+            np.arange(h) * 3, np.arange(w) * 2) % 256).astype(np.uint8)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGBA(rgba.tobytes(), w, h, w * 4,
+                               ctypes.c_float(75.0), ctypes.byref(out))
+        assert n > 0
+        data = bytes(bytearray(ctypes.cast(
+            out, ctypes.POINTER(ctypes.c_uint8 * n)).contents))
+        lib.WebPFree(out)
+        assert b"ALPH" in data[:64]
+        W2, H2 = ctypes.c_int(), ctypes.c_int()
+        ref = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(W2),
+                                 ctypes.byref(H2))
+        ref_rgba = np.array(bytearray(ctypes.cast(
+            ref, ctypes.POINTER(
+                ctypes.c_uint8 * (W2.value * H2.value * 4))).contents),
+            dtype=np.uint8).reshape(H2.value, W2.value, 4)
+        lib.WebPFree(ref)
+        d = W.decode_webp(data, return_luma=True)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 4)
+        assert np.array_equal(d["alpha"], ref_rgba[..., 3])
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp unavailable")
+def test_vp8l_alpha_flag_channels():
+    """Lossless RGBA: VP8L's own has_alpha bit must surface channels=4 and
+    the ARGB alpha byte must match libwebp's decode."""
+    lib = _libwebp()
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    rng = np.random.default_rng(5)
+    h, w = 13, 29
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeLosslessRGBA(rgba.tobytes(), w, h, w * 4,
+                                   ctypes.byref(out))
+    assert n > 0
+    data = bytes(bytearray(ctypes.cast(
+        out, ctypes.POINTER(ctypes.c_uint8 * n)).contents))
+    lib.WebPFree(out)
+    d = W.decode_webp(data, return_luma=True)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 4)
+    assert np.array_equal(((d["argb"] >> 24) & 0xFF).astype(np.uint8),
+                          rgba[..., 3])
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (r5): ANIM/ANMF walk, first-frame features, n_frames
+# ---------------------------------------------------------------------------
+
+
+def _anmf(frame_payload_chunks: bytes, w: int, h: int,
+          x: int = 0, y: int = 0, dur: int = 40) -> bytes:
+    hdr = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little") + \
+        (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little") + \
+        dur.to_bytes(3, "little") + b"\x00"
+    body = hdr + frame_payload_chunks
+    out = b"ANMF" + struct.pack("<I", len(body)) + body
+    return out + (b"\x00" if len(body) & 1 else b"")
+
+
+def test_animated_webp_first_frame_and_count():
+    from space_launch_telemetry_analyzer_spark.operators.vp8 import (
+        encode_webp_lossy_flat)
+    w, h = 18, 12
+    frames = []
+    for i, val in enumerate([55, 99, 180]):
+        riff = encode_webp_lossy_flat(val, w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(riff) - 20) + \
+            _vp8_chunk_of(riff)
+        frames.append(_anmf(chunk, w, h, dur=40 + i))
+    vp8x = bytes([0x02, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + \
+        (h - 1).to_bytes(3, "little")
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x + anim + \
+        b"".join(frames)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    d = W.decode_webp(payload, return_luma=True)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["n_frames"] == 3
+    assert d["luma_sum"] == 55 * w * h  # first frame only, GIF contract
+    assert bool(np.all(d["luma"] == 55.0))
+    # canvas probe still works without pixel decode
+    assert W.webp_dimensions(payload) == (w, h, "vp8x")
+
+
+def test_still_webp_reports_one_frame():
+    img = np.full((5, 9), 31, dtype=np.uint8)
+    d = W.decode_webp(W.encode_webp(img))
+    assert d["n_frames"] == 1
