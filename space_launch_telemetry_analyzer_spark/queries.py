@@ -2799,6 +2799,227 @@ ORDER BY doc_id
 """
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction end-to-end (r5, operators/metadata.py):
+    JVM expressions synthesize a full page per doc — html lang, <title>
+    with an &amp; entity, a description meta whose ATTRIBUTE ORDER AND
+    QUOTING vary by doc parity (name-first double-quoted vs content-first
+    single-quoted + bare name), og:title, canonical link, an RSS
+    autodiscovery link, and a JSON-LD Article/NewsArticle/BlogPosting
+    block — the real lexer kernel extracts them, and the oracle recomputes
+    every field as closed-form string arithmetic. A quoting, entity,
+    first-wins, or JSON-walk divergence fails the hash."""
+    from .operators.metadata import page_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    idx3 = (F.col("doc_id") % 3 + 1).cast("int")
+    lang = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")), idx3)
+    ld = F.element_at(
+        F.array(F.lit("Article"), F.lit("NewsArticle"), F.lit("BlogPosting")),
+        idx3)
+    desc_meta = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="Summary of document '),
+                 sid, F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit("<meta content='Summary of document "), sid,
+                 F.lit("' name=description>")))
+    html = F.concat(
+        F.lit('<!DOCTYPE html><html lang="'), lang, F.lit('"><head>'),
+        F.lit("<title>Doc &amp; "), sid, F.lit("</title>"),
+        desc_meta,
+        F.lit('<meta property="og:title" content="OG '), sid, F.lit('">'),
+        F.lit('<link rel="canonical" href="https://ex.invalid/d/'), sid,
+        F.lit('">'),
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed-'),
+        (F.col("doc_id") % 4).cast("string"), F.lit('.xml">'),
+        F.lit('<script type="application/ld+json">{"@type": "'), ld,
+        F.lit('", "headline": "H'), sid, F.lit('"}</script>'),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("meta://"), sid).alias("url"),
+        html.cast("binary").alias("html"))
+    res = page_metadata(pages)
+    return res.select(
+        "url", "title", "description", "canonical", "lang", "og_title",
+        F.element_at("feeds", 1).alias("feed0"),
+        F.element_at("jsonld_types", 1).alias("jsonld_type"),
+        "n_meta",
+    ).orderBy("url")
+
+
+ORACLE_PAGE_METADATA = """
+SELECT concat('meta://', doc_id) AS url,
+       concat('Doc & ', doc_id) AS title,
+       concat('Summary of document ', doc_id) AS description,
+       concat('https://ex.invalid/d/', doc_id) AS canonical,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+       concat('OG ', doc_id) AS og_title,
+       concat('/feed-', doc_id % 4, '.xml') AS feed0,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'Article' WHEN 1 THEN 'NewsArticle'
+            ELSE 'BlogPosting' END AS jsonld_type,
+       CAST(2 AS INT) AS n_meta
+FROM documents
+ORDER BY url
+"""
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier sitemap parse end-to-end (r5, operators/sitemap.py):
+    JVM expressions synthesize a sitemaps.org urlset per doc with
+    1 + doc_id%3 url entries (loc/lastmod/changefreq/priority closed-form
+    in doc_id), every 5th doc is gzip-compressed in an Arrow pre-stage
+    (the sitemap.xml.gz convention), the lexer kernel explodes entries,
+    and the oracle recomputes them with a generate_series join. Exercises
+    the no-ElementTree XML lexer, the gunzip cap path, and the kernel-side
+    explode."""
+    import pyarrow as pa
+
+    from .operators.sitemap import sitemap_entries
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+
+    def seg(i: int):
+        day = F.lpad(((F.col("doc_id") + i) % 28 + 1).cast("string"), 2, "0")
+        cf = F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            ((F.col("doc_id") + i) % 3 + 1).cast("int"))
+        body = F.concat(
+            F.lit("<url><loc>https://ex.invalid/"), sid, F.lit(f"/p{i}</loc>"),
+            F.lit("<lastmod>2024-01-"), day, F.lit("</lastmod>"),
+            F.lit("<changefreq>"), cf, F.lit("</changefreq>"),
+            F.lit("<priority>0."),
+            ((F.col("doc_id") + i) % 10).cast("string"),
+            F.lit("</priority></url>"))
+        return F.when(F.col("doc_id") % 3 >= i, body).otherwise(F.lit(""))
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        seg(0), seg(1), seg(2), F.lit("</urlset>"))
+    pages = docs.select(
+        F.concat(F.lit("sm://"), sid).alias("url"),
+        xml.cast("binary").alias("xml"),
+        (F.col("doc_id") % 5 == 0).alias("gz"))
+
+    def gz_kernel(batches):
+        import gzip as _gzip
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            out = [
+                _gzip.compress(bytes(x), 6, mtime=0) if g else bytes(x)
+                for x, g in zip(rb.column(1).to_pylist(),
+                                rb.column(2).to_pylist())
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(out, pa.binary())],
+                names=["url", "xml"])
+
+    res = sitemap_entries(pages.mapInArrow(gz_kernel, "url string, xml binary"))
+    return res.select("url", "kind", "ordinal", "loc", "lastmod",
+                      "changefreq", "priority").orderBy("url", "ordinal")
+
+
+ORACLE_SITEMAP_PARSE = """
+WITH ks AS (SELECT g AS i FROM generate_series(0, 2) t(g))
+SELECT concat('sm://', d.doc_id) AS url,
+       'urlset' AS kind,
+       CAST(k.i AS INT) AS ordinal,
+       concat('https://ex.invalid/', d.doc_id, '/p', k.i) AS loc,
+       concat('2024-01-',
+              lpad(CAST((d.doc_id + k.i) % 28 + 1 AS VARCHAR), 2, '0'))
+           AS lastmod,
+       CASE CAST((d.doc_id + k.i) % 3 AS INT)
+            WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       CAST((d.doc_id + k.i) % 10 AS DOUBLE) / 10.0 AS priority
+FROM documents d JOIN ks k ON k.i <= d.doc_id % 3
+ORDER BY url, ordinal
+"""
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parse end-to-end (r5, operators/sitemap.py): even
+    docs get an RSS 2.0 channel (title in a CDATA section when doc_id%4
+    == 0, entity-escaped otherwise — both must parse to the same string),
+    odd docs an Atom feed (links as rel=alternate href attributes, a
+    rel=self decoy first), each with 1 + doc_id%2 entries; the oracle
+    recomputes every field closed-form. A CDATA, attribute-vs-text link,
+    date-tag precedence, or namespace divergence fails the hash."""
+    from .operators.sitemap import feed_entries
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+
+    def title_text(i: int):
+        plain = F.concat(F.lit(f"Post "), sid, F.lit(f"-{i} &amp; x"))
+        cdata = F.concat(F.lit("<![CDATA[Post "), sid, F.lit(f"-{i} & x]]>"))
+        return F.when(F.col("doc_id") % 4 == 0, cdata).otherwise(plain)
+
+    def pub(i: int):
+        return F.concat(F.lit("2024-0"),
+                        ((F.col("doc_id") + i) % 9 + 1).cast("string"),
+                        F.lit("-01"))
+
+    def rss_item(i: int):
+        body = F.concat(
+            F.lit("<item><title>"), title_text(i), F.lit("</title>"),
+            F.lit("<link>https://ex.invalid/e/"), sid, F.lit(f"/{i}</link>"),
+            F.lit("<pubDate>"), pub(i), F.lit("</pubDate>"),
+            F.lit("<guid>g"), sid, F.lit(f"-{i}</guid></item>"))
+        return F.when(F.col("doc_id") % 2 >= i, body).otherwise(F.lit(""))
+
+    def atom_entry(i: int):
+        body = F.concat(
+            F.lit("<entry><title>"), title_text(i), F.lit("</title>"),
+            F.lit('<link rel="self" href="https://ex.invalid/self"/>'),
+            F.lit('<link rel="alternate" href="https://ex.invalid/e/'), sid,
+            F.lit(f'/{i}"/>'),
+            F.lit("<updated>"), pub(i), F.lit("</updated>"),
+            F.lit("<id>g"), sid, F.lit(f"-{i}</id></entry>"))
+        return F.when(F.col("doc_id") % 2 >= i, body).otherwise(F.lit(""))
+
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'),
+        F.lit("<title>Feed "), sid, F.lit("</title>"),
+        F.lit("<link>https://ex.invalid</link>"),
+        rss_item(0), rss_item(1), F.lit("</channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+        F.lit("<title>Feed "), sid, F.lit("</title>"),
+        atom_entry(0), atom_entry(1), F.lit("</feed>"))
+    xml = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+    pages = docs.select(
+        F.concat(F.lit("feed://"), sid).alias("url"),
+        xml.cast("binary").alias("xml"))
+    res = feed_entries(pages)
+    return res.select("url", "kind", "feed_title", "ordinal", "title",
+                      "link", "published", "entry_id"
+                      ).orderBy("url", "ordinal")
+
+
+ORACLE_FEED_PARSE = """
+WITH ks AS (SELECT g AS i FROM generate_series(0, 1) t(g))
+SELECT concat('feed://', d.doc_id) AS url,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       concat('Feed ', d.doc_id) AS feed_title,
+       CAST(k.i AS INT) AS ordinal,
+       concat('Post ', d.doc_id, '-', k.i, ' & x') AS title,
+       concat('https://ex.invalid/e/', d.doc_id, '/', k.i) AS link,
+       concat('2024-0', (d.doc_id + k.i) % 9 + 1, '-01') AS published,
+       concat('g', d.doc_id, '-', k.i) AS entry_id
+FROM documents d JOIN ks k ON k.i <= d.doc_id % 2
+ORDER BY url, ordinal
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2815,6 +3036,9 @@ QUERIES = {
     "plot_sink": q_plot_sink,
     "pdf_layout": q_pdf_layout,
     "pdf_winansi": q_pdf_winansi,
+    "page_metadata": q_page_metadata,
+    "sitemap_parse": q_sitemap_parse,
+    "feed_parse": q_feed_parse,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -2971,6 +3195,9 @@ ORACLES = {
     "plot_sink": ORACLE_PLOT_SINK,
     "pdf_layout": ORACLE_PDF_LAYOUT,
     "pdf_winansi": ORACLE_PDF_WINANSI,
+    "page_metadata": ORACLE_PAGE_METADATA,
+    "sitemap_parse": ORACLE_SITEMAP_PARSE,
+    "feed_parse": ORACLE_FEED_PARSE,
 }
 
 
@@ -2997,6 +3224,9 @@ _LAST_DRIVER_CHECK = {
     "tiff_decode": 0,
     "wav_decode": 0,
     "pdf_winansi": 0,
+    "page_metadata": 0,
+    "sitemap_parse": 0,
+    "feed_parse": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3111,6 +3341,9 @@ _REGISTRY_ORDER = [
     "plot_sink",
     "pdf_layout",
     "pdf_winansi",
+    "page_metadata",
+    "sitemap_parse",
+    "feed_parse",
     "png_decode",
     "jpeg_decode",
     "webp_decode",
@@ -3119,7 +3352,6 @@ _REGISTRY_ORDER = [
     "tiff_decode",
     "wav_decode",
     "gif_decode",
-    "binary_meta",
     "extract_main_text",
     "extract_field_spans",
     "extract_engine_counts",
@@ -3127,8 +3359,6 @@ _REGISTRY_ORDER = [
     "minhash_pairs",
     "dedup_survivors",
     "simhash_pairs",
-    "embedding_topk",
-    "embedding_near_dup",
     "ann_lsh_topk",
     "ivf_ann_topk",
     "kmeans_centroids",
@@ -3136,6 +3366,9 @@ _REGISTRY_ORDER = [
     # ---------------- sampling horizon (50) ends here ----------------
     "pagerank_dangling",
     "decontaminate",
+    "binary_meta",
+    "embedding_topk",
+    "embedding_near_dup",
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",

@@ -1,0 +1,141 @@
+"""Page head metadata extraction: first-wins semantics, attribute
+order/quoting variants, entity handling, JSON-LD walking (@graph, lists,
+malformed), feed autodiscovery, whole-document scan, error channel,
+distributed operator + canonical clustering."""
+
+from __future__ import annotations
+
+import pytest
+
+from space_launch_telemetry_analyzer_spark.operators.metadata import (
+    canonical_clusters,
+    page_metadata,
+    parse_page_metadata,
+)
+
+
+def test_basic_head():
+    d = parse_page_metadata(
+        '<html lang="en"><head><title>T</title>'
+        '<meta name="description" content="D">'
+        '<link rel="canonical" href="https://e/c"></head><body></body></html>')
+    assert d["title"] == "T"
+    assert d["description"] == "D"
+    assert d["canonical"] == "https://e/c"
+    assert d["lang"] == "en"
+
+
+def test_title_entities_and_whitespace_collapse():
+    d = parse_page_metadata("<title>  A &amp;\n\t B&#33; </title>")
+    assert d["title"] == "A & B!"
+
+
+def test_first_wins_everywhere():
+    d = parse_page_metadata(
+        "<html lang='en'><html lang='de'>"
+        "<title>one</title><title>two</title>"
+        '<meta name=description content=first>'
+        '<meta name=description content=second>'
+        '<meta property="og:title" content="a">'
+        '<meta property="og:title" content="b">'
+        '<link rel=canonical href=/1><link rel=canonical href=/2>')
+    assert d["lang"] == "en"
+    assert d["title"] == "one"
+    assert d["description"] == "first"
+    assert d["og_title"] == "a"
+    assert d["canonical"] == "/1"
+
+
+def test_attr_order_quoting_and_case_insensitive():
+    for html in (
+        '<meta name="Description" content="X">',
+        "<meta content='X' name='DESCRIPTION'>",
+        "<meta content=X name=description>",
+        '<META CONTENT="X" NAME="description">',
+    ):
+        assert parse_page_metadata(html)["description"] == "X", html
+
+
+def test_og_via_name_or_property():
+    d = parse_page_metadata(
+        '<meta name="og:image" content="/i.png">'
+        '<meta property="og:type" content="article">')
+    assert d["og_image"] == "/i.png"
+    assert d["og_type"] == "article"
+
+
+def test_duplicate_attr_first_wins():
+    # HTML5: later duplicate attributes are ignored
+    d = parse_page_metadata('<meta name=description name=keywords content=V>')
+    assert d["description"] == "V"
+
+
+def test_feed_discovery_collects_all_in_order():
+    d = parse_page_metadata(
+        '<link rel="alternate" type="application/rss+xml" href="/a">'
+        '<link rel="alternate" type="text/html" href="/skip">'
+        '<link rel="alternate" type="application/atom+xml; charset=utf-8"'
+        ' href="/b">'
+        '<link rel="stylesheet" href="/skip2">')
+    assert d["feeds"] == ["/a", "/b"]
+
+
+def test_jsonld_graph_lists_and_malformed():
+    d = parse_page_metadata(
+        '<script type="application/ld+json">'
+        '{"@graph":[{"@type":"Article"},{"@type":["A","B"]}]}</script>'
+        '<script type="application/ld+json">[{"@type":"C"}]</script>'
+        '<script type="application/ld+json">not json{</script>'
+        '<script type="text/javascript">{"@type":"skipped"}</script>')
+    assert d["jsonld_types"] == ["Article", "A", "B", "C"]
+    assert d["n_jsonld_bad"] == 1
+
+
+def test_body_metadata_still_scanned():
+    d = parse_page_metadata(
+        "<html><body><p>x</p>"
+        '<meta property="og:url" content="https://e/u">'
+        '<script type="application/ld+json">{"@type":"T"}</script></body>')
+    assert d["og_url"] == "https://e/u"
+    assert d["jsonld_types"] == ["T"]
+
+
+def test_unclosed_and_degenerate_never_raise():
+    for html in ("", "<", "<title>unclosed", "<meta", "<html><script "
+                 "type=application/ld+json>{", "<title/></title>x</title>",
+                 "<!-- <title>in comment</title> -->", "<link rel=canonical>"):
+        parse_page_metadata(html)  # must not raise
+    # comment-wrapped title is NOT extracted
+    assert parse_page_metadata(
+        "<!-- <title>no</title> --><title>yes</title>")["title"] == "yes"
+
+
+def test_meta_count():
+    d = parse_page_metadata(
+        '<meta name=a content=1><meta name=b content=2><meta charset=utf-8>')
+    assert d["n_meta"] == 2  # charset meta has no name/property+content pair
+
+
+@pytest.mark.usefixtures("spark")
+def test_operator_and_error_channel(spark):
+    rows = [
+        ("u1", b'<html lang="fr"><title>T1</title>'),
+        ("u2", None),
+        ("u3", "plain text no tags".encode()),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in page_metadata(df).collect()}
+    assert out["u1"]["title"] == "T1" and out["u1"]["lang"] == "fr"
+    assert out["u1"]["error"] is None
+    assert out["u2"]["error"] == "ValueError: null html"
+    assert out["u3"]["title"] is None and out["u3"]["error"] is None
+
+
+@pytest.mark.usefixtures("spark")
+def test_canonical_clusters(spark):
+    meta = spark.createDataFrame(
+        [("a", "https://e/x"), ("b", "https://e/x"), ("c", None)],
+        "url string, canonical string")
+    got = {r["cluster_key"]: (r["n_pages"], r["representative_url"])
+           for r in canonical_clusters(meta).collect()}
+    assert got == {"https://e/x": (2, "a"), "c": (1, "c")}
