@@ -110,6 +110,45 @@ def parse_robots_rules(
     )
 
 
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """robots(host, body) -> (host, ordinal, sitemap_url) — the `Sitemap:`
+    directives that seed the crawl frontier (operators/sitemap.py consumes
+    the fetched documents).
+
+    Per the sitemaps.org protocol (and RFC 9309 §2.2.4 "other records"),
+    Sitemap lines are GROUP-INDEPENDENT: every line counts regardless of
+    which User-agent group it sits in, so no group selection runs here.
+    The directive value keeps its case (URLs are case-sensitive) and is
+    emitted verbatim — resolution of relative forms is the fetcher's job.
+    `ordinal` is the 0-based file order within the host.
+
+    Scan shape: split/explode + one window over (host, line index) — all
+    JVM expressions, no Python; the output is one tiny row per directive.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("idx", "line"),
+    ).select(
+        "host", "idx",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    ).where(
+        (F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+         == "sitemap")
+        & (F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)) != "")
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    return lines.select(
+        "host",
+        (F.row_number().over(w) - 1).alias("ordinal"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
+        .alias("sitemap_url"),
+    )
+
+
 def normalize_pct(col) -> "F.Column":
     """RFC 3986 §6.2.2 percent-encoding normalization for robots matching:
     decode `%XX` where XX is an UNRESERVED character (ALPHA / DIGIT /

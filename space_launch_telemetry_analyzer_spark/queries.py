@@ -3020,6 +3020,44 @@ ORDER BY url, ordinal
 """
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-directive extraction from robots.txt (r5, the frontier
+    hand-off robots -> operators/sitemap.py): per doc a robots body with a
+    user-agent group (which must NOT scope the directives — they are
+    group-independent), a lowercase `sitemap:` key with a trailing
+    comment, an optional CRLF-terminated second directive (odd docs), and
+    an empty-value line that must be dropped. The oracle recomputes the
+    surviving (host, ordinal, url) rows closed-form; a group-scoping,
+    comment-strip, case, CRLF, or ordinal divergence fails the hash."""
+    from .operators.robots import robots_sitemaps
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), sid, F.lit(".ex"))
+    sm0 = F.concat(F.lit("sitemap: https://h"), sid,
+                   F.lit(".ex/sm-0.xml.gz # primary\n"))
+    sm1 = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit("Sitemap: https://h"), sid,
+                 F.lit(".ex/sm-1.xml.gz\r\n")),
+    ).otherwise(F.lit(""))
+    body = F.concat(F.lit("User-agent: *\nDisallow:\n"), sm0, sm1,
+                    F.lit("Sitemap:\n"))
+    robots = docs.select(host.alias("host"), body.alias("body"))
+    return robots_sitemaps(robots).orderBy("host", "ordinal")
+
+
+ORACLE_ROBOTS_SITEMAPS = """
+WITH ks AS (SELECT g AS i FROM generate_series(0, 1) t(g))
+SELECT concat('h', d.doc_id, '.ex') AS host,
+       CAST(k.i AS INT) AS ordinal,
+       concat('https://h', d.doc_id, '.ex/sm-', k.i, '.xml.gz')
+           AS sitemap_url
+FROM documents d JOIN ks k ON k.i <= d.doc_id % 2
+ORDER BY host, ordinal
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3039,6 +3077,7 @@ QUERIES = {
     "page_metadata": q_page_metadata,
     "sitemap_parse": q_sitemap_parse,
     "feed_parse": q_feed_parse,
+    "robots_sitemaps": q_robots_sitemaps,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -3198,6 +3237,7 @@ ORACLES = {
     "page_metadata": ORACLE_PAGE_METADATA,
     "sitemap_parse": ORACLE_SITEMAP_PARSE,
     "feed_parse": ORACLE_FEED_PARSE,
+    "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
 }
 
 
@@ -3227,6 +3267,7 @@ _LAST_DRIVER_CHECK = {
     "page_metadata": 0,
     "sitemap_parse": 0,
     "feed_parse": 0,
+    "robots_sitemaps": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3344,6 +3385,7 @@ _REGISTRY_ORDER = [
     "page_metadata",
     "sitemap_parse",
     "feed_parse",
+    "robots_sitemaps",
     "png_decode",
     "jpeg_decode",
     "webp_decode",
@@ -3355,7 +3397,6 @@ _REGISTRY_ORDER = [
     "extract_main_text",
     "extract_field_spans",
     "extract_engine_counts",
-    "dedup_exact",
     "minhash_pairs",
     "dedup_survivors",
     "simhash_pairs",
@@ -3369,6 +3410,7 @@ _REGISTRY_ORDER = [
     "binary_meta",
     "embedding_topk",
     "embedding_near_dup",
+    "dedup_exact",
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",

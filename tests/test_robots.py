@@ -286,3 +286,28 @@ def test_normalize_pct_expression(spark):
     # %2f -> %2F (reserved, uppercased); %41 -> A; %7e -> ~; %2A stays;
     # malformed %zz / trailing %3 untouched
     assert got == ["/a%2FbAc~%2A%zz%3", "plain", ""]
+
+
+def test_robots_sitemaps_group_independent_and_cleaning(spark):
+    body = (
+        "# top comment\n"
+        "Sitemap: https://h/sm-head.xml\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "sitemap: https://h/sm-a.xml.gz # note\r\n"
+        "User-agent: *\n"
+        "Allow: /\n"
+        "SITEMAP: https://h/sm-b.xml\n"
+        "Sitemap:\n"          # empty value dropped
+        "Sitemap: \n"         # whitespace-only value dropped
+    )
+    df = spark.createDataFrame([("h", body), ("empty", "User-agent: *\n")],
+                               "host string, body string")
+    rows = R.robots_sitemaps(df).orderBy("host", "ordinal").collect()
+    # group-independent: the otherbot group's directive counts too;
+    # key case-insensitive, value case/trailing-comment handled, CRLF ok
+    assert [(r.host, r.ordinal, r.sitemap_url) for r in rows] == [
+        ("h", 0, "https://h/sm-head.xml"),
+        ("h", 1, "https://h/sm-a.xml.gz"),
+        ("h", 2, "https://h/sm-b.xml"),
+    ]
