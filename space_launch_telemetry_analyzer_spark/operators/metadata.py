@@ -271,6 +271,108 @@ def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return narrow.mapInArrow(kernel, METADATA_OUTPUT_DDL)
 
 
+def parse_anchors(html_text: str) -> list:
+    """(href, anchor_text, nofollow) triples in document order.
+
+    The full-fidelity twin of text_analysis.extract_links (the scan-speed
+    JVM regexp): this one walks the lexer, so it sees single-quoted and
+    unquoted hrefs, attribute order, rel=nofollow (token match within the
+    rel list), and carries the anchor TEXT — the ranking signal the link
+    graph alone loses. HTML5 semantics: an <a> start tag implicitly
+    closes any open <a> (they cannot nest); anchors without an href
+    (named anchors) emit nothing; text inside script/style never counts.
+    Anchor text is entity-unescaped and whitespace-collapsed."""
+    out: list = []
+    cur = None  # (href, nofollow, buf)
+    skip_tag = None
+    parts = _TAG_RE.split(html_text)
+    n = len(parts)
+    i = 1
+
+    def flush():
+        nonlocal cur
+        if cur is not None:
+            href, nofollow, buf = cur
+            out.append((href, _WS_RE.sub(" ", "".join(buf)).strip(),
+                        nofollow))
+            cur = None
+
+    while i < n:
+        if parts[i] is None:
+            closing, name, attrs_body = parts[i + 1], parts[i + 2], parts[i + 3]
+            tag = name.lower()
+            if skip_tag is not None:
+                if closing and tag == skip_tag:
+                    skip_tag = None
+            elif tag == "a":
+                flush()
+                if not closing:
+                    a = _attrs(attrs_body)
+                    href = a.get("href")
+                    if href:
+                        rel = (a.get("rel") or "").lower().split()
+                        cur = (href.strip(), "nofollow" in rel, [])
+            elif tag in ("script", "style"):
+                if not closing and (not attrs_body or attrs_body[-1] != "/"):
+                    skip_tag = tag
+        txt = parts[i + 4]
+        if txt and cur is not None and skip_tag is None:
+            cur[2].append(_html.unescape(txt))
+        i += 5
+    flush()
+    return out
+
+
+ANCHORS_OUTPUT_DDL = (
+    "url string, ordinal int, href string, anchor_text string, "
+    "nofollow boolean, error string"
+)
+
+
+def anchor_texts(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """pages(url, html) -> one row per anchor, exploded kernel-side.
+    Same plan shape as page_metadata: pruned scan -> ONE mapInArrow, no
+    shuffle; null/undecodable rows survive as a single error row."""
+    import pyarrow as pa
+
+    narrow = pages.select(F.col("url"), F.col(html_col).alias("html"))
+    out_t = pa.schema([
+        ("url", pa.string()), ("ordinal", pa.int32()),
+        ("href", pa.string()), ("anchor_text", pa.string()),
+        ("nofollow", pa.bool_()), ("error", pa.string())])
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = {k: [] for k in ("url", "ordinal", "href", "anchor_text",
+                                    "nofollow", "error")}
+            for url, h in zip(rb.column(0).to_pylist(),
+                              rb.column(1).to_pylist()):
+                try:
+                    if h is None:
+                        raise ValueError("null html")
+                    text = (h.decode("utf-8", errors="replace")
+                            if isinstance(h, (bytes, bytearray, memoryview))
+                            else str(h))
+                    for j, (href, atext, nf) in enumerate(parse_anchors(text)):
+                        cols["url"].append(url)
+                        cols["ordinal"].append(j)
+                        cols["href"].append(href)
+                        cols["anchor_text"].append(atext)
+                        cols["nofollow"].append(nf)
+                        cols["error"].append(None)
+                except Exception as e:
+                    cols["url"].append(url)
+                    for k in ("ordinal", "href", "anchor_text", "nofollow"):
+                        cols[k].append(None)
+                    cols["error"].append(f"{type(e).__name__}: {e}")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in out_t], schema=out_t)
+
+    return narrow.mapInArrow(kernel, ANCHORS_OUTPUT_DDL)
+
+
 def canonical_clusters(meta: DataFrame) -> DataFrame:
     """Group pages by their declared canonical target — the cheap dedup
     signal that runs BEFORE content hashing at crawl scale. Pages with no

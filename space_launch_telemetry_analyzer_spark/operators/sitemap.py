@@ -381,3 +381,30 @@ def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
                 schema=out_t)
 
     return narrow.mapInArrow(kernel, FEED_OUTPUT_DDL)
+
+
+def fetch_waves(urls: DataFrame, url_col: str = "url",
+                per_host_slots: int = 1) -> DataFrame:
+    """Politeness scheduler: assign each URL a fetch WAVE such that no
+    more than `per_host_slots` URLs of one host share a wave — the
+    crawl-side pacing rule (one connection per host per round) expressed
+    as a deterministic window, so a 1000-executor fetch fleet can consume
+    wave k everywhere before wave k+1 without coordination.
+
+    One shuffle on host. A mega-host's waves grow linearly by design —
+    politeness serializes a host no matter the cluster size; hosts are
+    numerous and small in crawl corpora, so the host key needs no salting
+    (the skewed dimension is time, not data volume). Ordering within a
+    host is by URL (deterministic, engine-independent)."""
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^https?://([^/:?#]*)", 1))
+    w = Window.partitionBy("host").orderBy(url_col)
+    return (
+        urls.withColumn("host", host)
+        .withColumn(
+            "wave",
+            ((F.row_number().over(w) - 1) / per_host_slots)
+            .cast("int"))
+    )

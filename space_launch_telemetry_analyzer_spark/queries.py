@@ -3058,6 +3058,82 @@ ORDER BY host, ordinal
 """
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text link extraction end-to-end (r5, operators/metadata.py
+    parse_anchors — the full-fidelity twin of the scan-speed link_graph
+    regexp): per doc 1 + doc_id%3 anchors with entity-bearing text and a
+    rel='ugc nofollow' token on every (doc_id+i)%4==0 link, plus a
+    <script> block containing a DECOY anchor that must not be emitted.
+    The oracle recomputes (href, unescaped text, nofollow) closed-form;
+    a script-skip, rel-token, entity, or implicit-close divergence fails
+    the hash."""
+    from .operators.metadata import anchor_texts
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+
+    def a(i: int):
+        nf = F.when((F.col("doc_id") + i) % 4 == 0,
+                    F.lit(' rel="ugc nofollow"')).otherwise(F.lit(""))
+        body = F.concat(
+            F.lit(f"<p>t{i} <a href=\"https://t.ex/"), sid, F.lit(f'/{i}"'),
+            nf, F.lit(">Link &amp; "), sid, F.lit(f"-{i}</a></p>"))
+        return F.when(F.col("doc_id") % 3 >= i, body).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<html><body><script>var x = "<a href=\\"https://skip\\">'
+              'decoy</a>";</script>'),
+        a(0), a(1), a(2), F.lit("</body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("a://"), sid).alias("url"),
+        html.cast("binary").alias("html"))
+    return anchor_texts(pages).select(
+        "url", "ordinal", "href", "anchor_text", "nofollow"
+    ).orderBy("url", "ordinal")
+
+
+ORACLE_ANCHOR_TEXTS = """
+WITH ks AS (SELECT g AS i FROM generate_series(0, 2) t(g))
+SELECT concat('a://', d.doc_id) AS url,
+       CAST(k.i AS INT) AS ordinal,
+       concat('https://t.ex/', d.doc_id, '/', k.i) AS href,
+       concat('Link & ', d.doc_id, '-', k.i) AS anchor_text,
+       (d.doc_id + k.i) % 4 = 0 AS nofollow
+FROM documents d JOIN ks k ON k.i <= d.doc_id % 3
+ORDER BY url, ordinal
+"""
+
+
+def q_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (r5, operators/sitemap.fetch_waves): urls
+    spread over 7 hosts get wave numbers such that no more than
+    per_host_slots=2 urls of one host share a wave (deterministic
+    order-by-url within host). The oracle twins the window arithmetic;
+    a partitioning, ordering, or slot-arithmetic divergence fails the
+    hash."""
+    from .operators.sitemap import fetch_waves
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".ex/p"), F.col("doc_id").cast("string")).alias("url"))
+    return fetch_waves(urls, per_host_slots=2).orderBy("url")
+
+
+ORACLE_FETCH_WAVES = """
+WITH urls AS (
+  SELECT concat('https://h', doc_id % 7, '.ex/p', doc_id) AS url,
+         concat('h', doc_id % 7, '.ex') AS host
+  FROM documents
+)
+SELECT url, host,
+       CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1)
+                  / 2.0) AS INT) AS wave
+FROM urls
+ORDER BY url
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3078,6 +3154,8 @@ QUERIES = {
     "sitemap_parse": q_sitemap_parse,
     "feed_parse": q_feed_parse,
     "robots_sitemaps": q_robots_sitemaps,
+    "anchor_texts": q_anchor_texts,
+    "fetch_waves": q_fetch_waves,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -3238,6 +3316,8 @@ ORACLES = {
     "sitemap_parse": ORACLE_SITEMAP_PARSE,
     "feed_parse": ORACLE_FEED_PARSE,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
+    "anchor_texts": ORACLE_ANCHOR_TEXTS,
+    "fetch_waves": ORACLE_FETCH_WAVES,
 }
 
 
@@ -3268,6 +3348,8 @@ _LAST_DRIVER_CHECK = {
     "sitemap_parse": 0,
     "feed_parse": 0,
     "robots_sitemaps": 0,
+    "anchor_texts": 0,
+    "fetch_waves": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3386,6 +3468,8 @@ _REGISTRY_ORDER = [
     "sitemap_parse",
     "feed_parse",
     "robots_sitemaps",
+    "anchor_texts",
+    "fetch_waves",
     "png_decode",
     "jpeg_decode",
     "webp_decode",
@@ -3393,10 +3477,8 @@ _REGISTRY_ORDER = [
     "bmp_decode",
     "tiff_decode",
     "wav_decode",
-    "gif_decode",
     "extract_main_text",
     "extract_field_spans",
-    "extract_engine_counts",
     "minhash_pairs",
     "dedup_survivors",
     "simhash_pairs",
@@ -3411,6 +3493,8 @@ _REGISTRY_ORDER = [
     "embedding_topk",
     "embedding_near_dup",
     "dedup_exact",
+    "extract_engine_counts",
+    "gif_decode",
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",

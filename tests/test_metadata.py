@@ -139,3 +139,47 @@ def test_canonical_clusters(spark):
     got = {r["cluster_key"]: (r["n_pages"], r["representative_url"])
            for r in canonical_clusters(meta).collect()}
     assert got == {"https://e/x": (2, "a"), "c": (1, "c")}
+
+
+def test_parse_anchors_semantics():
+    from space_launch_telemetry_analyzer_spark.operators.metadata import (
+        parse_anchors,
+    )
+
+    html = (
+        '<p>pre <a href="https://e/1" rel="external NOFOLLOW">One &amp;'
+        " two</a> mid <a href='/rel'>Rel</a> <a name=x>no href</a>"
+        ' <a href=https://e/3>Three<a href="https://e/4">implicit</a>'
+        "<script>var a = '<a href=\"https://skip\">decoy</a>';</script>"
+        "<style>a{content:'</style>"
+    )
+    assert parse_anchors(html) == [
+        ("https://e/1", "One & two", True),   # rel token, case-insensitive
+        ("/rel", "Rel", False),               # single-quoted, relative kept
+        ("https://e/3", "Three", False),      # unquoted; implicit close
+        ("https://e/4", "implicit", False),
+    ]
+    assert parse_anchors("") == []
+    # unclosed anchor flushes at EOF; whitespace collapses
+    assert parse_anchors('<a href="u">a\n  b') == [("u", "a b", False)]
+
+
+@pytest.mark.usefixtures("spark")
+def test_anchor_texts_operator(spark):
+    from space_launch_telemetry_analyzer_spark.operators.metadata import (
+        anchor_texts,
+    )
+
+    df = spark.createDataFrame(
+        [("p1", b'<a href="https://e/x">X</a><a href="https://e/y" '
+                b'rel=nofollow>Y</a>'),
+         ("p2", None)],
+        "url string, html binary")
+    rows = sorted(anchor_texts(df).collect(),
+                  key=lambda r: (r["url"], r["ordinal"] or 0))
+    assert [(r["url"], r["ordinal"], r["href"], r["anchor_text"],
+             r["nofollow"], r["error"]) for r in rows] == [
+        ("p1", 0, "https://e/x", "X", False, None),
+        ("p1", 1, "https://e/y", "Y", True, None),
+        ("p2", None, None, None, None, "ValueError: null html"),
+    ]

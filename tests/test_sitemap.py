@@ -162,3 +162,18 @@ def test_feed_entries_explode(spark):
     r = feed_entries(df).collect()[0]
     assert (r["kind"], r["feed_title"], r["title"], r["link"]) == \
         ("rss", "F", "a", "https://e/a")
+
+
+@pytest.mark.usefixtures("spark")
+def test_fetch_waves_politeness(spark):
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        fetch_waves,
+    )
+
+    urls = [f"https://a.ex/p{i}" for i in range(5)] + ["https://b.ex/only"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {r["url"]: (r["host"], r["wave"])
+            for r in fetch_waves(df, per_host_slots=2).collect()}
+    # a.ex: 5 urls, 2 slots/wave -> waves 0,0,1,1,2 in url order
+    assert [rows[f"https://a.ex/p{i}"][1] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert rows["https://b.ex/only"] == ("b.ex", 0)
