@@ -408,3 +408,30 @@ def fetch_waves(urls: DataFrame, url_col: str = "url",
             ((F.row_number().over(w) - 1) / per_host_slots)
             .cast("int"))
     )
+
+
+def frontier_new(candidates: DataFrame, seen: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """Frontier update: discovered-minus-seen on CANONICAL urls.
+
+    Both sides run text_analysis.canonicalize_urls (lowercase scheme/host,
+    default-port + fragment strip, query-param sort) so `?b=2&a=1` dedups
+    against `?a=1&b=2` and `HTTPS://HOST:443/` against `https://host/`;
+    survivors then dedup within the batch keeping min(url) as the
+    deterministic representative. Output: (canonical_url, url).
+
+    Scale shape: one left_anti join + one groupBy, both keyed on the full
+    canonical url — high-cardinality and near-uniform, so no salting is
+    needed and AQE's skew handling covers the residue. The seen side is
+    the BIG side at crawl scale (everything ever fetched), so this is a
+    sort-merge anti-join by design, not a broadcast."""
+    from .text_analysis import canonicalize_urls
+
+    cand = canonicalize_urls(candidates.select(url_col), url_col)
+    seen_c = canonicalize_urls(seen.select(url_col), url_col) \
+        .select("canonical_url")
+    return (
+        cand.join(seen_c, "canonical_url", "left_anti")
+        .groupBy("canonical_url")
+        .agg(F.min(url_col).alias("url"))
+    )

@@ -3134,6 +3134,41 @@ ORDER BY url
 """
 
 
+def q_frontier_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier update end-to-end (r5, operators/sitemap.frontier_new):
+    candidates carry unsorted query params (`?b=2&a=1`) and odd docs a
+    within-batch near-duplicate (`:443` port form) that the canonical
+    groupBy must collapse to the min(url) representative; the seen set
+    holds every doc_id%3==0 url in a DIFFERENT surface form (uppercase
+    scheme/host, explicit :443, sorted params) that only canonicalization
+    can match. Survivors = doc_id%3!=0, recomputed closed-form by the
+    oracle; a canonicalization, anti-join, or representative-choice
+    divergence fails the hash."""
+    from .operators.sitemap import frontier_new
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = F.concat(F.lit("https://f.ex/p"), sid, F.lit("?b=2&a=1"))
+    u2 = F.concat(F.lit("https://f.ex:443/p"), sid, F.lit("?b=2&a=1"))
+    candidates = docs.select(
+        F.explode(
+            F.when(F.col("doc_id") % 2 == 1, F.array(u1, u2))
+            .otherwise(F.array(u1))).alias("url"))
+    seen = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("HTTPS://F.EX:443/p"), sid,
+                 F.lit("?a=1&b=2")).alias("url"))
+    return frontier_new(candidates, seen).orderBy("canonical_url")
+
+
+ORACLE_FRONTIER_NEW = """
+SELECT concat('https://f.ex/p', doc_id, '?a=1&b=2') AS canonical_url,
+       concat('https://f.ex/p', doc_id, '?b=2&a=1') AS url
+FROM documents
+WHERE doc_id % 3 <> 0
+ORDER BY canonical_url
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3156,6 +3191,7 @@ QUERIES = {
     "robots_sitemaps": q_robots_sitemaps,
     "anchor_texts": q_anchor_texts,
     "fetch_waves": q_fetch_waves,
+    "frontier_new": q_frontier_new,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -3318,6 +3354,7 @@ ORACLES = {
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "fetch_waves": ORACLE_FETCH_WAVES,
+    "frontier_new": ORACLE_FRONTIER_NEW,
 }
 
 
@@ -3350,6 +3387,7 @@ _LAST_DRIVER_CHECK = {
     "robots_sitemaps": 0,
     "anchor_texts": 0,
     "fetch_waves": 0,
+    "frontier_new": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3470,6 +3508,7 @@ _REGISTRY_ORDER = [
     "robots_sitemaps",
     "anchor_texts",
     "fetch_waves",
+    "frontier_new",
     "png_decode",
     "jpeg_decode",
     "webp_decode",
@@ -3481,7 +3520,6 @@ _REGISTRY_ORDER = [
     "extract_field_spans",
     "minhash_pairs",
     "dedup_survivors",
-    "simhash_pairs",
     "ann_lsh_topk",
     "ivf_ann_topk",
     "kmeans_centroids",
@@ -3495,6 +3533,7 @@ _REGISTRY_ORDER = [
     "dedup_exact",
     "extract_engine_counts",
     "gif_decode",
+    "simhash_pairs",
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",

@@ -177,3 +177,24 @@ def test_fetch_waves_politeness(spark):
     # a.ex: 5 urls, 2 slots/wave -> waves 0,0,1,1,2 in url order
     assert [rows[f"https://a.ex/p{i}"][1] for i in range(5)] == [0, 0, 1, 1, 2]
     assert rows["https://b.ex/only"] == ("b.ex", 0)
+
+
+@pytest.mark.usefixtures("spark")
+def test_frontier_new_canonical_anti_join(spark):
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        frontier_new,
+    )
+
+    cand = spark.createDataFrame(
+        [("https://e.x/a?b=2&a=1",),       # seen under a different surface
+         ("https://e.x/b",),               # genuinely new
+         ("https://e.x:443/b",),           # within-batch dup of /b
+         ("https://e.x/c#frag",)],         # new; fragment strips
+        "url string")
+    seen = spark.createDataFrame(
+        [("HTTPS://E.X/a?a=1&b=2",)], "url string")
+    rows = {r["canonical_url"]: r["url"]
+            for r in frontier_new(cand, seen).collect()}
+    # /a is seen (param sort + case fold); /b collapses to the min rep
+    assert rows == {"https://e.x/b": "https://e.x/b",
+                    "https://e.x/c": "https://e.x/c#frag"}
