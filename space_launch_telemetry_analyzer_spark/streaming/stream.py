@@ -237,3 +237,29 @@ def stream_sessionize(events: DataFrame, gap_seconds: float = 30.0) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming frontier update -------------------------------------------------
+
+def stream_frontier_new(candidates: DataFrame, seen: DataFrame,
+                        url_col: str = "url", ts_col: str = "warc_ts",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.sitemap.frontier_new: a stream of
+    discovered candidate urls anti-joins the STATIC seen table on
+    canonical form (stream-static left_anti is stateless — every
+    micro-batch probes the table), then dropDuplicatesWithinWatermark on
+    canonical_url drops re-discoveries across micro-batches with state
+    bounded by the watermark horizon, exactly like stream_exact_dedup.
+    Output: (canonical_url, url, ts_col).
+
+    Documented deviation from the batch twin: batch picks min(url) as the
+    representative per canonical key; a stream cannot know the global min,
+    so the FIRST arrival wins here."""
+    from ..operators.text_analysis import canonicalize_urls
+
+    cand = canonicalize_urls(candidates.select(url_col, ts_col), url_col)
+    seen_c = canonicalize_urls(
+        seen.select(url_col), url_col).select("canonical_url")
+    new = cand.join(seen_c, "canonical_url", "left_anti")
+    return (new.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["canonical_url"]))

@@ -284,3 +284,48 @@ def test_stateful_fns_survive_multichunk_groups(spark, tmp_path):
         assert sids[24] != sids[25]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stream_frontier_new(spark, tmp_path):
+    """Stream-static anti-join on canonical urls + watermarked dedup:
+    seen urls never emit, re-discoveries across micro-batches emit once
+    (first arrival), different surface forms collide canonically."""
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_frontier_new,
+    )
+
+    in_path = tmp_path / "cand"
+    in_path.mkdir()
+    ts = "2024-01-01 00:00:00"
+    f1 = spark.createDataFrame(
+        [("https://e.x/a?b=2&a=1", ts),    # seen (different surface form)
+         ("https://e.x/b", ts)],           # new
+        "url string, warc_ts string").withColumn(
+            "warc_ts", F.col("warc_ts").cast("timestamp"))
+    f2 = spark.createDataFrame(
+        [("https://e.x:443/b", ts),        # canonical re-discovery of /b
+         ("https://e.x/c", ts)],           # new
+        "url string, warc_ts string").withColumn(
+            "warc_ts", F.col("warc_ts").cast("timestamp"))
+    f1.coalesce(1).write.parquet(str(in_path / "f1"))
+    f2.coalesce(1).write.parquet(str(in_path / "f2"))
+
+    seen = spark.createDataFrame([("HTTPS://E.X/a?a=1&b=2",)], "url string")
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_path / "*"))
+    )
+    out_path = str(tmp_path / "out")
+    q = (
+        stream_frontier_new(stream, seen)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = {r["canonical_url"] for r in spark.read.parquet(out_path).collect()}
+    assert got == {"https://e.x/b", "https://e.x/c"}
