@@ -18,7 +18,10 @@ Semantics (documented, pinned by tests):
   name/property side, content is entity-unescaped and stripped, title
   text is additionally whitespace-collapsed (it is rendered HTML text).
 - Feed autodiscovery collects EVERY `<link rel="alternate">` whose type
-  is an RSS/Atom MIME type, in document order.
+  is an RSS/Atom MIME type, in document order; alternates carrying an
+  `hreflang` instead are collected as (lang, href) pairs — the
+  multilingual-cluster signal (pages linking the same hreflang set are
+  one logical document for dedup purposes).
 - JSON-LD: every `<script type="application/ld+json">` block is parsed
   with the stdlib json parser; malformed blocks are skipped (counted in
   `n_jsonld_bad`), `@graph` arrays and top-level lists are flattened, and
@@ -113,6 +116,7 @@ def parse_page_metadata(html_text: str) -> dict:
     title = description = canonical = lang = None
     og: dict = {}
     feeds: list = []
+    hreflangs: list = []  # (lang, href) pairs, document order
     types: list = []
     n_meta = n_jsonld_bad = 0
     # capture state: 'title' / 'ld' while inside the respective element
@@ -157,10 +161,15 @@ def parse_page_metadata(html_text: str) -> dict:
                     if href:
                         if "canonical" in rel and canonical is None:
                             canonical = href.strip()
-                        elif "alternate" in rel and (
-                                (a.get("type") or "").lower().split(";")[0]
-                                .strip() in _FEED_TYPES):
-                            feeds.append(href.strip())
+                        elif "alternate" in rel:
+                            mime = ((a.get("type") or "").lower()
+                                    .split(";")[0].strip())
+                            hl = a.get("hreflang")
+                            if mime in _FEED_TYPES:
+                                feeds.append(href.strip())
+                            elif hl:
+                                hreflangs.append(
+                                    (hl.strip(), href.strip()))
                 elif tag == "title" and not self_closing:
                     capture, cap_buf = "title", []
                 elif tag == "script":
@@ -188,6 +197,7 @@ def parse_page_metadata(html_text: str) -> dict:
         "og_type": og.get("og:type"),
         "og_url": og.get("og:url"),
         "feeds": feeds,
+        "hreflangs": hreflangs,
         "jsonld_types": types,
         "n_meta": n_meta,
         "n_jsonld_bad": n_jsonld_bad,
@@ -198,6 +208,7 @@ METADATA_OUTPUT_DDL = (
     "url string, title string, description string, canonical string, "
     "lang string, og_title string, og_description string, og_image string, "
     "og_type string, og_url string, feeds array<string>, "
+    "hreflangs array<struct<lang:string,href:string>>, "
     "jsonld_types array<string>, n_meta int, n_jsonld_bad int, error string"
 )
 
@@ -223,7 +234,8 @@ def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
             cols: dict = {k: [] for k in (
                 "title", "description", "canonical", "lang", "og_title",
                 "og_description", "og_image", "og_type", "og_url", "feeds",
-                "jsonld_types", "n_meta", "n_jsonld_bad", "error")}
+                "hreflangs", "jsonld_types", "n_meta", "n_jsonld_bad",
+                "error")}
             for h in rb.column(1).to_pylist():
                 try:
                     if h is None:
@@ -235,8 +247,8 @@ def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
                     d["error"] = None
                 except Exception as e:  # row-level error channel
                     d = {k: None for k in cols}
-                    d.update(feeds=[], jsonld_types=[], n_meta=0,
-                             n_jsonld_bad=0,
+                    d.update(feeds=[], hreflangs=[], jsonld_types=[],
+                             n_meta=0, n_jsonld_bad=0,
                              error=f"{type(e).__name__}: {e}")
                 for k in cols:
                     cols[k].append(d[k])
@@ -252,6 +264,10 @@ def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
                  pa.array(cols["og_type"], pa.string()),
                  pa.array(cols["og_url"], pa.string()),
                  pa.array(cols["feeds"], pa.list_(pa.string())),
+                 pa.array([[{"lang": l, "href": h} for l, h in v]
+                           for v in cols["hreflangs"]],
+                          pa.list_(pa.struct([("lang", pa.string()),
+                                              ("href", pa.string())]))),
                  pa.array(cols["jsonld_types"], pa.list_(pa.string())),
                  pa.array(cols["n_meta"], pa.int32()),
                  pa.array(cols["n_jsonld_bad"], pa.int32()),
@@ -264,6 +280,8 @@ def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
                     ("og_image", pa.string()), ("og_type", pa.string()),
                     ("og_url", pa.string()),
                     ("feeds", pa.list_(pa.string())),
+                    ("hreflangs", pa.list_(pa.struct(
+                        [("lang", pa.string()), ("href", pa.string())]))),
                     ("jsonld_types", pa.list_(pa.string())),
                     ("n_meta", pa.int32()), ("n_jsonld_bad", pa.int32()),
                     ("error", pa.string())]))

@@ -183,3 +183,15 @@ def test_anchor_texts_operator(spark):
         ("p1", 1, "https://e/y", "Y", True, None),
         ("p2", None, None, None, None, "ValueError: null html"),
     ]
+
+
+@pytest.mark.usefixtures("spark")
+def test_hreflang_alternates(spark):
+    html = (b'<link rel="alternate" hreflang="en" href="https://e/en">'
+            b'<link rel="alternate" hreflang="x-default" href="https://e/">'
+            b'<link rel="alternate" type="application/rss+xml" href="/f">')
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    r = page_metadata(df).collect()[0]
+    assert [(h["lang"], h["href"]) for h in r["hreflangs"]] == [
+        ("en", "https://e/en"), ("x-default", "https://e/")]
+    assert r["feeds"] == ["/f"]
