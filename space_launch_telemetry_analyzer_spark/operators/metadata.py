@@ -157,19 +157,21 @@ def parse_page_metadata(html_text: str) -> dict:
                 elif tag == "link":
                     a = _attrs(attrs_body)
                     rel = (a.get("rel") or "").lower().split()
-                    href = a.get("href")
+                    # strip BEFORE the truthiness gate: a whitespace-only
+                    # href must be treated as absent, or canonical=""
+                    # collapses unrelated sites into one dedup cluster
+                    href = (a.get("href") or "").strip()
                     if href:
                         if "canonical" in rel and canonical is None:
-                            canonical = href.strip()
+                            canonical = href
                         elif "alternate" in rel:
                             mime = ((a.get("type") or "").lower()
                                     .split(";")[0].strip())
-                            hl = a.get("hreflang")
+                            hl = (a.get("hreflang") or "").strip()
                             if mime in _FEED_TYPES:
-                                feeds.append(href.strip())
+                                feeds.append(href)
                             elif hl:
-                                hreflangs.append(
-                                    (hl.strip(), href.strip()))
+                                hreflangs.append((hl, href))
                 elif tag == "title" and not self_closing:
                     capture, cap_buf = "title", []
                 elif tag == "script":
@@ -186,6 +188,14 @@ def parse_page_metadata(html_text: str) -> dict:
         if txt and capture is not None:
             cap_buf.append(txt)
         i += 5
+    # EOF flush: a truncated payload that ends inside <title> or a JSON-LD
+    # block still yields the buffered title, and an unterminated JSON-LD
+    # block counts as malformed (the documented n_jsonld_bad contract)
+    if capture == "title" and title is None:
+        title = _WS_RE.sub(" ", _html.unescape("".join(cap_buf))).strip()
+    elif capture == "ld":
+        if not _jsonld_types("".join(cap_buf), types):
+            n_jsonld_bad += 1
     return {
         "title": title,
         "description": description,
@@ -225,17 +235,28 @@ def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
     import pyarrow as pa
 
     narrow = pages.select(F.col("url"), F.col(html_col).alias("html"))
+    # one schema object, hoisted out of the per-batch loop (and the single
+    # source for the output column list alongside METADATA_OUTPUT_DDL)
+    hreflang_t = pa.list_(pa.struct([("lang", pa.string()),
+                                     ("href", pa.string())]))
+    out_t = pa.schema([
+        ("url", pa.string()), ("title", pa.string()),
+        ("description", pa.string()), ("canonical", pa.string()),
+        ("lang", pa.string()), ("og_title", pa.string()),
+        ("og_description", pa.string()), ("og_image", pa.string()),
+        ("og_type", pa.string()), ("og_url", pa.string()),
+        ("feeds", pa.list_(pa.string())), ("hreflangs", hreflang_t),
+        ("jsonld_types", pa.list_(pa.string())),
+        ("n_meta", pa.int32()), ("n_jsonld_bad", pa.int32()),
+        ("error", pa.string())])
+    field_names = [f.name for f in out_t][1:]  # all but url
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             urls = rb.column(0)
-            cols: dict = {k: [] for k in (
-                "title", "description", "canonical", "lang", "og_title",
-                "og_description", "og_image", "og_type", "og_url", "feeds",
-                "hreflangs", "jsonld_types", "n_meta", "n_jsonld_bad",
-                "error")}
+            cols: dict = {k: [] for k in field_names}
             for h in rb.column(1).to_pylist():
                 try:
                     if h is None:
@@ -252,39 +273,12 @@ def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
                              error=f"{type(e).__name__}: {e}")
                 for k in cols:
                     cols[k].append(d[k])
+            cols["hreflangs"] = [[{"lang": l, "href": h} for l, h in v]
+                                 for v in cols["hreflangs"]]
             yield pa.RecordBatch.from_arrays(
-                [urls,
-                 pa.array(cols["title"], pa.string()),
-                 pa.array(cols["description"], pa.string()),
-                 pa.array(cols["canonical"], pa.string()),
-                 pa.array(cols["lang"], pa.string()),
-                 pa.array(cols["og_title"], pa.string()),
-                 pa.array(cols["og_description"], pa.string()),
-                 pa.array(cols["og_image"], pa.string()),
-                 pa.array(cols["og_type"], pa.string()),
-                 pa.array(cols["og_url"], pa.string()),
-                 pa.array(cols["feeds"], pa.list_(pa.string())),
-                 pa.array([[{"lang": l, "href": h} for l, h in v]
-                           for v in cols["hreflangs"]],
-                          pa.list_(pa.struct([("lang", pa.string()),
-                                              ("href", pa.string())]))),
-                 pa.array(cols["jsonld_types"], pa.list_(pa.string())),
-                 pa.array(cols["n_meta"], pa.int32()),
-                 pa.array(cols["n_jsonld_bad"], pa.int32()),
-                 pa.array(cols["error"], pa.string())],
-                schema=pa.schema([
-                    ("url", urls.type), ("title", pa.string()),
-                    ("description", pa.string()), ("canonical", pa.string()),
-                    ("lang", pa.string()), ("og_title", pa.string()),
-                    ("og_description", pa.string()),
-                    ("og_image", pa.string()), ("og_type", pa.string()),
-                    ("og_url", pa.string()),
-                    ("feeds", pa.list_(pa.string())),
-                    ("hreflangs", pa.list_(pa.struct(
-                        [("lang", pa.string()), ("href", pa.string())]))),
-                    ("jsonld_types", pa.list_(pa.string())),
-                    ("n_meta", pa.int32()), ("n_jsonld_bad", pa.int32()),
-                    ("error", pa.string())]))
+                [urls.cast(pa.string())]
+                + [pa.array(cols[f.name], f.type) for f in list(out_t)[1:]],
+                schema=out_t)
 
     return narrow.mapInArrow(kernel, METADATA_OUTPUT_DDL)
 
@@ -326,10 +320,10 @@ def parse_anchors(html_text: str) -> list:
                 flush()
                 if not closing:
                     a = _attrs(attrs_body)
-                    href = a.get("href")
+                    href = (a.get("href") or "").strip()  # strip BEFORE gate
                     if href:
                         rel = (a.get("rel") or "").lower().split()
-                        cur = (href.strip(), "nofollow" in rel, [])
+                        cur = (href, "nofollow" in rel, [])
             elif tag in ("script", "style"):
                 if not closing and (not attrs_body or attrs_body[-1] != "/"):
                     skip_tag = tag

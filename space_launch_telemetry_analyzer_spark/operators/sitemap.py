@@ -51,9 +51,8 @@ _XML_RE = re.compile(
     r"|(/?)([A-Za-z_][\w.:-]*)([^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*))>",
     re.DOTALL,
 )
-_ATTR_RE = re.compile(
-    r"""([a-zA-Z_][\w:.-]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'=<>`]+)))?"""
-)
+# the ONE attribute-lexer definition lives in operators/metadata.py
+from .metadata import _ATTR_RE  # noqa: E402
 
 _MAX_XML_BYTES = 64 << 20  # 64 MiB post-inflate cap (sitemaps.org caps at 50)
 
@@ -129,15 +128,20 @@ def parse_sitemap(payload: bytes) -> dict:
 
     kind: 'urlset' | 'sitemapindex'. entries: list of dicts with loc /
     lastmod / changefreq / priority (index entries carry loc/lastmod
-    only). Text outside the known children is ignored; unknown elements
-    are skipped; a document with neither root raises ValueError (into
-    the operator's row-level error channel)."""
+    only), first occurrence wins. Only DIRECT children of the entry
+    element count: extension blocks like Google image sitemaps nest an
+    `<image:image><image:loc>` whose namespace-stripped local name would
+    otherwise overwrite the page's real <loc> with a CDN url. Text
+    outside the known children is ignored; unknown elements are skipped;
+    a document with neither root raises ValueError (into the operator's
+    row-level error channel)."""
     text = _decode_xml(_gunzip_capped(payload))
     kind = None
     entries: list = []
     cur: dict | None = None
     field: str | None = None
     buf: list = []
+    depth = 0  # open-element depth INSIDE the current entry
     entry_tag = None  # 'url' (urlset) or 'sitemap' (index)
     for ev, a, b in _walk(text):
         if ev == "text":
@@ -151,19 +155,26 @@ def parse_sitemap(payload: bytes) -> dict:
             elif cur is None:
                 if a == entry_tag:
                     cur = {}
-            elif a in ("loc", "lastmod", "changefreq", "priority"):
-                field, buf = a, []
+                    depth = 0
+            elif depth == 0 and field is None and a in (
+                    "loc", "lastmod", "changefreq", "priority"):
                 if ev == "selfclose":
-                    cur[field] = ""
-                    field = None
+                    cur.setdefault(a, "")
+                else:
+                    field, buf = a, []
+            elif ev == "open":
+                depth += 1  # unknown/extension subtree: scope it out
         elif ev == "close":
             if field is not None and a == field and cur is not None:
-                cur[field] = "".join(buf).strip()
+                cur.setdefault(field, "".join(buf).strip())
                 field = None
-            elif cur is not None and a == entry_tag:
-                if cur.get("loc"):
-                    entries.append(cur)
-                cur = None
+            elif cur is not None:
+                if a == entry_tag and depth == 0:
+                    if cur.get("loc"):
+                        entries.append(cur)
+                    cur = None
+                elif depth > 0:
+                    depth -= 1
     if kind is None:
         raise ValueError("not a sitemap: no urlset/sitemapindex root")
     return {"kind": kind, "entries": entries}
@@ -216,13 +227,16 @@ def parse_feed(payload: bytes) -> dict:
                 attrs = {m.group(1).lower():
                          (m.group(2) or m.group(3) or m.group(4) or "")
                          for m in _ATTR_RE.finditer(b or "")}
-                href = attrs.get("href")
-                if href is not None:
-                    rel = attrs.get("rel", "alternate")
-                    if cur["link"] is None or rel == "alternate":
-                        if cur.get("_link_rel") != "alternate":
-                            cur["link"] = _html.unescape(href).strip()
-                            cur["_link_rel"] = rel
+                if "href" in attrs:
+                    # strip BEFORE the gate: an empty href must neither
+                    # set the link nor claim the rel=alternate slot
+                    href = _html.unescape(attrs["href"]).strip()
+                    if href:
+                        rel = attrs.get("rel", "alternate")
+                        if cur["link"] is None or rel == "alternate":
+                            if cur.get("_link_rel") != "alternate":
+                                cur["link"] = href
+                                cur["_link_rel"] = rel
                 elif ev == "open":
                     field, buf = "link", []
             elif ev == "open":
@@ -398,8 +412,13 @@ def fetch_waves(urls: DataFrame, url_col: str = "url",
     host is by URL (deterministic, engine-independent)."""
     from pyspark.sql import Window
 
-    host = F.lower(
-        F.regexp_extract(F.col(url_col), r"^https?://([^/:?#]*)", 1))
+    # lowercase BEFORE the scheme match (HTTP:// must not miss), and fall
+    # back to the whole lowered url for non-http(s) schemes — otherwise
+    # every odd-scheme row would share host "" and be serialized into one
+    # artificial politeness queue (a skew hotspot for the window, too)
+    lowered = F.lower(F.col(url_col))
+    extracted = F.regexp_extract(lowered, r"^https?://([^/:?#]*)", 1)
+    host = F.when(extracted != "", extracted).otherwise(lowered)
     w = Window.partitionBy("host").orderBy(url_col)
     return (
         urls.withColumn("host", host)

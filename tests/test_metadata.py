@@ -195,3 +195,31 @@ def test_hreflang_alternates(spark):
     assert [(h["lang"], h["href"]) for h in r["hreflangs"]] == [
         ("en", "https://e/en"), ("x-default", "https://e/")]
     assert r["feeds"] == ["/f"]
+
+
+def test_whitespace_only_href_is_absent():
+    d = parse_page_metadata(
+        '<link rel="canonical" href=" ">'
+        '<link rel="canonical" href="https://real">'
+        '<link rel="alternate" type="application/rss+xml" href="  ">')
+    # a blank canonical must not claim the first-wins slot (or every site
+    # declaring one would collapse into a single "" dedup cluster)
+    assert d["canonical"] == "https://real"
+    assert d["feeds"] == []
+
+
+def test_truncated_title_and_jsonld_flush_at_eof():
+    d = parse_page_metadata('<title>cut off mid')
+    assert d["title"] == "cut off mid"
+    d2 = parse_page_metadata(
+        '<script type="application/ld+json">{"@type":"T"')
+    assert d2["jsonld_types"] == [] and d2["n_jsonld_bad"] == 1
+
+
+def test_anchor_whitespace_href_skipped():
+    from space_launch_telemetry_analyzer_spark.operators.metadata import (
+        parse_anchors,
+    )
+
+    assert parse_anchors('<a href=" ">x</a><a href="u">y</a>') == \
+        [("u", "y", False)]

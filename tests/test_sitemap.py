@@ -198,3 +198,47 @@ def test_frontier_new_canonical_anti_join(spark):
     # /a is seen (param sort + case fold); /b collapses to the min rep
     assert rows == {"https://e.x/b": "https://e.x/b",
                     "https://e.x/c": "https://e.x/c#frag"}
+
+
+def test_image_sitemap_extension_does_not_overwrite_loc():
+    # Google image-sitemap extension: nested image:loc must not clobber
+    # the page's real loc (only DIRECT children of <url> count)
+    d = parse_sitemap(
+        b"<urlset><url><loc>https://page/1</loc>"
+        b"<image:image><image:loc>https://cdn/img.jpg</image:loc>"
+        b"<image:caption>c</image:caption></image:image>"
+        b"<lastmod>2024-01-01</lastmod></url></urlset>")
+    assert d["entries"] == [{"loc": "https://page/1",
+                             "lastmod": "2024-01-01"}]
+    # first-wins on duplicated direct children
+    d2 = parse_sitemap(
+        b"<urlset><url><loc>https://a</loc><loc>https://b</loc>"
+        b"</url></urlset>")
+    assert d2["entries"] == [{"loc": "https://a"}]
+
+
+def test_feed_empty_href_does_not_block_real_alternate():
+    d = parse_feed(
+        b'<feed><entry><link rel="alternate" href=""/>'
+        b'<link rel="alternate" href="https://real"/></entry></feed>')
+    assert d["entries"][0]["link"] == "https://real"
+
+
+@pytest.mark.usefixtures("spark")
+def test_fetch_waves_uppercase_and_odd_schemes(spark):
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        fetch_waves,
+    )
+
+    df = spark.createDataFrame(
+        [("HTTPS://A.EX/1",), ("https://a.ex/2",), ("ftp://odd/1",),
+         ("ftp://odd2/1",)], "url string")
+    rows = {r["url"]: (r["host"], r["wave"])
+            for r in fetch_waves(df, per_host_slots=1).collect()}
+    # case-folded host match: both a.ex urls share one queue
+    assert rows["HTTPS://A.EX/1"][0] == "a.ex"
+    assert sorted([rows["HTTPS://A.EX/1"][1], rows["https://a.ex/2"][1]]) == \
+        [0, 1]
+    # odd schemes each form their own singleton queue, never a shared ""
+    assert rows["ftp://odd/1"] == ("ftp://odd/1", 0)
+    assert rows["ftp://odd2/1"] == ("ftp://odd2/1", 0)
