@@ -42,18 +42,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def parse_robots_rules(
+def _selected_group_lines(
     robots: DataFrame,
-    host_col: str = "host",
-    body_col: str = "body",
-    user_agent: str = "*",
+    host_col: str,
+    body_col: str,
+    user_agent: str,
+    keys: tuple,
 ) -> DataFrame:
-    """robots(host, body) -> (host, rule 'allow'|'disallow', prefix).
-
-    Only rules in the groups selected for `user_agent` survive (exact-name
-    groups shadow `*` groups per host). Empty-prefix Disallow lines are
-    RFC'd as allow-all and kept as zero-length allow rules (they only ever
-    lose the longest-match comparison)."""
+    """Shared RFC 9309 group machinery: explode lines, strip comments,
+    key/value split, block segmentation on consecutive User-agent runs,
+    and group selection (exact-name groups shadow `*` groups per host).
+    Returns the (host, idx, key, value) rows whose key is in `keys`
+    inside the selected groups."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("idx", "line"),
@@ -66,7 +66,7 @@ def parse_robots_rules(
         "host", "idx",
         F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
         F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
-    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+    ).where(F.col("key").isin("user-agent", *keys))
 
     w = Window.partitionBy("host").orderBy("idx")
     blocks = kv.withColumn(
@@ -95,18 +95,62 @@ def parse_robots_rules(
         )
         .select("host", "block_id")
     )
-
     return (
-        blocks.where(F.col("key").isin("allow", "disallow"))
+        blocks.where(F.col("key").isin(*keys))
         .join(selected, ["host", "block_id"])
-        .select(
-            "host",
-            # empty Disallow == allow-all (RFC): flip it to a 0-length allow
-            F.when(
-                (F.col("key") == "disallow") & (F.col("value") == ""), F.lit("allow")
-            ).otherwise(F.col("key")).alias("rule"),
-            F.col("value").alias("prefix"),
-        )
+    )
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """robots(host, body) -> (host, rule 'allow'|'disallow', prefix).
+
+    Only rules in the groups selected for `user_agent` survive (exact-name
+    groups shadow `*` groups per host). Empty-prefix Disallow lines are
+    RFC'd as allow-all and kept as zero-length allow rules (they only ever
+    lose the longest-match comparison)."""
+    sel = _selected_group_lines(
+        robots, host_col, body_col, user_agent, ("allow", "disallow"))
+    return sel.select(
+        "host",
+        # empty Disallow == allow-all (RFC): flip it to a 0-length allow
+        F.when(
+            (F.col("key") == "disallow") & (F.col("value") == ""), F.lit("allow")
+        ).otherwise(F.col("key")).alias("rule"),
+        F.col("value").alias("prefix"),
+    )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """robots(host, body) -> (host, crawl_delay) in seconds — the pacing
+    input for operators/sitemap.fetch_waves.
+
+    Crawl-delay is not in RFC 9309 but Bing/Yandex honor it and real
+    robots.txt files carry it constantly; like Allow/Disallow it is
+    GROUP-SCOPED, so the same exact-agent-shadows-`*` selection applies
+    (unlike the group-independent Sitemap directive). Unparseable or
+    negative values are dropped; when the selected groups carry several
+    valid values the MAX (most conservative) wins. Hosts with no valid
+    directive emit no row — the crawler's default cadence applies."""
+    sel = _selected_group_lines(
+        robots, host_col, body_col, user_agent, ("crawl-delay",))
+    # try_cast, not cast: ANSI mode would make 'Crawl-delay: fast' a task
+    # failure instead of a dropped directive
+    d = sel.select(
+        "host", F.col("value").try_cast("double").alias("crawl_delay"))
+    return (
+        d.where(F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") >= 0))
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
 
 

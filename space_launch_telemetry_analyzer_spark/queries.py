@@ -3169,6 +3169,43 @@ ORDER BY canonical_url
 """
 
 
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction (r5, operators/robots.robots_crawl_delays —
+    the pacing input for fetch_waves): every host's `*` group carries
+    Crawl-delay doc_id%7 (zero is valid), every 5th doc adds an
+    unparseable 'Crawl-delay: fast' line that must drop, and every 3rd
+    doc adds an exact-agent group for 'mybot' with Crawl-delay 1.5 that
+    must SHADOW the `*` group when parsing as mybot (group-scoped,
+    unlike the group-independent Sitemap directive). The oracle
+    recomputes the surviving (host, delay) closed-form; a shadowing,
+    invalid-value, or max-aggregation divergence fails the hash."""
+    from .operators.robots import robots_crawl_delays
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), sid, F.lit(".ex"))
+    exact = F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("User-agent: mybot\nCrawl-delay: 1.5\n")
+                   ).otherwise(F.lit(""))
+    junk = F.when(F.col("doc_id") % 5 == 0,
+                  F.lit("Crawl-delay: fast\n")).otherwise(F.lit(""))
+    body = F.concat(
+        exact,
+        F.lit("User-agent: *\nDisallow:\nCrawl-delay: "),
+        (F.col("doc_id") % 7).cast("string"), F.lit("\n"), junk)
+    robots = docs.select(host.alias("host"), body.alias("body"))
+    return robots_crawl_delays(robots, user_agent="mybot").orderBy("host")
+
+
+ORACLE_ROBOTS_CRAWL_DELAY = """
+SELECT concat('h', doc_id, '.ex') AS host,
+       CASE WHEN doc_id % 3 = 0 THEN 1.5
+            ELSE CAST(doc_id % 7 AS DOUBLE) END AS crawl_delay
+FROM documents
+ORDER BY host
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3192,6 +3229,7 @@ QUERIES = {
     "anchor_texts": q_anchor_texts,
     "fetch_waves": q_fetch_waves,
     "frontier_new": q_frontier_new,
+    "robots_crawl_delay": q_robots_crawl_delay,
     "extract_main_text": q_extract_main_text,
     "extract_field_spans": q_extract_field_spans,
     "extract_engine_counts": q_extract_engine_counts,
@@ -3355,6 +3393,7 @@ ORACLES = {
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "fetch_waves": ORACLE_FETCH_WAVES,
     "frontier_new": ORACLE_FRONTIER_NEW,
+    "robots_crawl_delay": ORACLE_ROBOTS_CRAWL_DELAY,
 }
 
 
@@ -3388,6 +3427,7 @@ _LAST_DRIVER_CHECK = {
     "anchor_texts": 0,
     "fetch_waves": 0,
     "frontier_new": 0,
+    "robots_crawl_delay": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3509,7 +3549,7 @@ _REGISTRY_ORDER = [
     "anchor_texts",
     "fetch_waves",
     "frontier_new",
-    "png_decode",
+    "robots_crawl_delay",
     "jpeg_decode",
     "webp_decode",
     "vp8_decode",
@@ -3534,6 +3574,7 @@ _REGISTRY_ORDER = [
     "extract_engine_counts",
     "gif_decode",
     "simhash_pairs",
+    "png_decode",
     # (counted, not eyeballed: tests/test_registry.py asserts the
     # horizon marker arithmetic — entries above = _SAMPLE_HORIZON)
     "lang_id",

@@ -311,3 +311,21 @@ def test_robots_sitemaps_group_independent_and_cleaning(spark):
         ("h", 1, "https://h/sm-a.xml.gz"),
         ("h", 2, "https://h/sm-b.xml"),
     ]
+
+
+def test_robots_crawl_delays_group_scoped(spark):
+    body_star = "User-agent: *\nDisallow:\nCrawl-delay: 4\n"
+    body_both = ("User-agent: mybot\nCrawl-delay: 1.5\n"
+                 + body_star)
+    body_junk = ("User-agent: *\nCrawl-delay: fast\nCrawl-delay: -2\n"
+                 "Crawl-delay: 3\nCrawl-delay: 7\n")
+    body_none = "User-agent: *\nDisallow: /x\n"
+    df = spark.createDataFrame(
+        [("star", body_star), ("both", body_both), ("junk", body_junk),
+         ("none", body_none)],
+        "host string, body string")
+    got = {r["host"]: r["crawl_delay"]
+           for r in R.robots_crawl_delays(df, user_agent="mybot").collect()}
+    # exact-agent group SHADOWS * (group-scoped, unlike Sitemap lines);
+    # junk/negative drop; several valid values keep the max; absent -> no row
+    assert got == {"star": 4.0, "both": 1.5, "junk": 7.0}
