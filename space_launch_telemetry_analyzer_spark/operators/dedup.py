@@ -575,3 +575,69 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+# --- paragraph-level exact dedup ----------------------------------------------
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    max_count: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the paragraph variant of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the form used by CC pipelines such as RefinedWeb /
+    Dolma to strip boilerplate paragraphs repeated across pages).
+
+    Splits each document into paragraphs on the LITERAL separator `sep`,
+    counts exact paragraph occurrences across the whole corpus, and rebuilds
+    each document keeping a paragraph iff its corpus count <= max_count or
+    (keep_first) it is the globally first occurrence, ordered by (id, pos).
+    A document whose every paragraph is dropped yields the empty string, not
+    NULL. Returns (id, text, n_paragraphs, n_kept).
+
+    Scale shape (100 TB): two shuffles of PARAGRAPH-sized rows plus one of
+    (id, pos, para) for the rebuild — raw documents never shuffle whole.
+    The count aggregation keys on md5(paragraph), uniform by construction,
+    and is map-side combinable, so a boilerplate paragraph appearing in 10^9
+    docs costs one partial count per task, not a hot reducer. The join back
+    of counts onto occurrences IS skewed on such a paragraph (every
+    occurrence lands on one key); the count side is 1 row/key so AQE's
+    skew-join split handles it — no salting needed because the build side is
+    a single row per key. Reference analog: the once-per-frame dedup guard
+    (/root/reference/processing/ocr.py fuel-gauge single-read semantics),
+    generalized to corpus scale.
+    """
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "para"),
+    ).withColumn("ph", F.md5(F.col("para")))
+    counts = paras.groupBy("ph").agg(
+        F.count(F.lit(1)).alias("pcount"),
+        F.min(F.struct("id", "pos")).alias("first_occ"),
+    )
+    keep = (F.col("pcount") <= F.lit(max_count))
+    if keep_first:
+        keep = keep | (F.struct("id", "pos") == F.col("first_occ"))
+    # prune to (id, pos, para, keep) BEFORE the rebuild shuffle: the count
+    # metadata must not ride the third exchange
+    marked = paras.join(counts, "ph").select("id", "pos", "para", keep.alias("keep"))
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "para"))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sort_array(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            "id",
+            F.array_join(F.transform(F.col("_kept"), lambda s: s["para"]), sep).alias("text"),
+            F.col("n_paragraphs").cast("int").alias("n_paragraphs"),
+            F.size("_kept").alias("n_kept"),
+        )
+    )

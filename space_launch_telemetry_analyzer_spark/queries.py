@@ -890,6 +890,61 @@ SELECT min(doc_id) AS doc_id FROM sh GROUP BY sk
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (Lee et al. 2021, the RefinedWeb/Dolma
+    boilerplate-paragraph strip). documents.text has no paragraph breaks, so
+    the corpus is synthesized deterministically: each doc becomes 4
+    paragraphs — two text slices, one boilerplate line shared by ALL docs
+    (kept only at its globally-first (id, pos)), and a copyright line shared
+    by every doc_id%3==0. Short docs contribute empty-string paragraphs,
+    exercising the all-dropped -> empty-text edge (n_kept spans 0..4 at
+    sf0.01)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(
+            "\n\n",
+            F.substring("text", 1, 60),
+            F.lit("Subscribe to our newsletter for updates."),
+            F.substring("text", 61, 90),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("(c) 2026 Example Corp. All rights reserved."),
+            ).otherwise(F.substring("text", 151, 999)),
+        ).alias("text"),
+    )
+    return D.paragraph_dedup(corpus, "id", "text")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH corpus AS (
+  SELECT doc_id AS id,
+         concat_ws(chr(10)||chr(10),
+           substr(text, 1, 60),
+           'Subscribe to our newsletter for updates.',
+           substr(text, 61, 90),
+           CASE WHEN doc_id % 3 = 0 THEN '(c) 2026 Example Corp. All rights reserved.'
+                ELSE substr(text, 151, 999) END) AS text
+  FROM documents),
+paras AS (
+  SELECT id,
+         unnest(range(len(parts))) AS pos,
+         unnest(parts) AS para
+  FROM (SELECT id, string_split(text, chr(10)||chr(10)) AS parts FROM corpus)),
+marked AS (
+  SELECT id, pos, para,
+         (count(*) OVER (PARTITION BY para) <= 1
+          OR row_number() OVER (PARTITION BY para ORDER BY id, pos) = 1) AS keep
+  FROM paras)
+SELECT id,
+       coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE keep),
+                                chr(10)||chr(10)), '') AS text,
+       CAST(count(*) AS INT) AS n_paragraphs,
+       CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept
+FROM marked GROUP BY id
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-blocked exact-duplicate detection: candidates at Hamming
     distance 0, then exact token-multiset verification — the standard
@@ -3265,6 +3320,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
     "dedup_survivors": q_dedup_survivors,
+    "paragraph_dedup": q_paragraph_dedup,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3339,6 +3395,7 @@ ORACLES = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
@@ -3428,6 +3485,7 @@ _LAST_DRIVER_CHECK = {
     "fetch_waves": 0,
     "frontier_new": 0,
     "robots_crawl_delay": 0,
+    "paragraph_dedup": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3560,11 +3618,12 @@ _REGISTRY_ORDER = [
     "extract_field_spans",
     "minhash_pairs",
     "dedup_survivors",
+    "paragraph_dedup",
     "ann_lsh_topk",
     "ivf_ann_topk",
-    "kmeans_centroids",
     "pagerank",
     # ---------------- sampling horizon (50) ends here ----------------
+    "kmeans_centroids",
     "pagerank_dangling",
     "decontaminate",
     "binary_meta",

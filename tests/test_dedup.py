@@ -278,3 +278,61 @@ def test_simhash_huge_doc_bounded(spark):
     bits = (2 * ones > len(h)).astype(np.uint64)
     want = int((bits << _BIT_RANGE).sum().astype(np.int64))
     assert got == want
+
+
+# --- paragraph_dedup ----------------------------------------------------------
+
+def _pd_rows(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = D.paragraph_dedup(df, "id", "text", **kw).collect()
+    return {r["id"]: (r["text"], r["n_paragraphs"], r["n_kept"]) for r in out}
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    got = _pd_rows(spark, [
+        (1, "alpha\n\nSHARED\n\nbeta"),
+        (2, "gamma\n\nSHARED"),
+        (3, "SHARED\n\ndelta"),
+    ])
+    # SHARED survives only at its globally-first (id, pos) = (1, 1)
+    assert got[1] == ("alpha\n\nSHARED\n\nbeta", 3, 3)
+    assert got[2] == ("gamma", 2, 1)
+    assert got[3] == ("delta", 2, 1)
+
+
+def test_paragraph_dedup_drop_all_copies(spark):
+    got = _pd_rows(spark, [
+        (1, "SHARED\n\nuniq"),
+        (2, "SHARED"),
+    ], keep_first=False)
+    assert got[1] == ("uniq", 2, 1)
+    assert got[2] == ("", 1, 0)  # empty string, not NULL
+
+
+def test_paragraph_dedup_max_count(spark):
+    got = _pd_rows(spark, [
+        (1, "twice\n\nthrice"),
+        (2, "twice\n\nthrice"),
+        (3, "thrice"),
+    ], max_count=2, keep_first=False)
+    # 'twice' appears 2x (<= max_count) so it survives everywhere;
+    # 'thrice' appears 3x and is dropped from every doc
+    assert got[1] == ("twice", 2, 1)
+    assert got[2] == ("twice", 2, 1)
+    assert got[3] == ("", 1, 0)
+
+
+def test_paragraph_dedup_order_and_custom_sep(spark):
+    got = _pd_rows(spark, [(1, "c|a|b"), (2, "z|a")], sep="|")
+    # output rebuilds in original position order, not sorted-text order
+    assert got[1] == ("c|a|b", 3, 3)
+    assert got[2] == ("z", 2, 1)
+
+
+def test_paragraph_dedup_empty_and_trailing_separator(spark):
+    got = _pd_rows(spark, [(1, "x\n\n"), (2, "\n\nx")])
+    # trailing/leading separators yield empty-string paragraphs that dedup
+    # across docs like any other paragraph; doc 1 holds the first occurrence
+    # of BOTH 'x' (pos 0) and '' (pos 1), so doc 2 keeps nothing
+    assert got[1] == ("x\n\n", 2, 2)
+    assert got[2] == ("", 2, 0)
