@@ -42,6 +42,11 @@ IMAGE_FEATURES_DDL = (
     "feature array<float>, error string"
 )
 FRAME_SAMPLE_DDL = "media_id long, frame_idx int, frame_sha256 string"
+ANIMATION_FRAMES_DDL = (
+    "media_id long, frame_index int, n_frames int, delay_cs int, "
+    "disposal int, width int, height int, mean_luma double, luma_sum long, "
+    "error string"
+)
 
 _MAGIC = {
     b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
@@ -486,8 +491,16 @@ def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:
     out += bytes((0x80 | 0x07, 0, 0))  # GCT present, 256 entries
     out += palette
     out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-    out += bytes((8,))  # min LZW code size
+    out += _gif_lzw_image_data(arr)
+    out += b"\x3b"
+    return bytes(out)
 
+
+def _gif_lzw_image_data(arr: "np.ndarray") -> bytes:
+    """LZW min-code-size byte + sub-block-wrapped literal 9-bit code stream
+    for one (h, w) uint8 index frame (the 'uncompressed GIF' technique —
+    larger output, bit-exact indices). Shared by encode_gif and
+    encode_gif_anim so the single- and multi-frame sinks cannot drift."""
     br_out = bytearray()
     acc = 0
     nbits = 0
@@ -503,7 +516,7 @@ def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:
 
     CLEAR, END = 256, 257
     emit(CLEAR)
-    flat = arr.reshape(-1)
+    flat = np.ascontiguousarray(arr, dtype=np.uint8).reshape(-1)
     for i, v in enumerate(flat):
         emit(int(v))
         # decoder table grows by one per literal after the first; reset
@@ -514,11 +527,289 @@ def encode_gif(indices: "np.ndarray", palette: bytes | None = None) -> bytes:
     if nbits:
         br_out.append(acc & 0xFF)
 
+    out = bytearray((8,))  # min LZW code size
     for off in range(0, len(br_out), 255):
         chunk = br_out[off:off + 255]
         out += bytes((len(chunk),)) + chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
     return bytes(out)
+
+
+def encode_gif_anim(
+    width: int,
+    height: int,
+    frames: list,
+    palette: bytes | None = None,
+    loop: bool = True,
+) -> bytes:
+    """Animated-GIF89a encoder (the sink twin of gif_frames). `frames` is a
+    list of dicts: {"indices": (h, w) uint8 array, "left": int, "top": int,
+    "delay_cs": int, "disposal": 0..3, "transparent": palette index or
+    None}; missing keys default to a full-rate opaque frame at (0, 0) with
+    disposal 1. One Graphic Control Extension precedes every image
+    descriptor; a NETSCAPE2.0 loop block follows the GCT when `loop`.
+    Palette defaults to the 256-entry grayscale identity."""
+    if palette is None:
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+    if len(palette) != 768:
+        raise ValueError("palette must be 256 RGB entries (768 bytes)")
+    if not frames:
+        raise ValueError("encode_gif_anim needs at least one frame")
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", width, height)
+    out += bytes((0x80 | 0x07, 0, 0))  # GCT present, 256 entries; bg idx 0
+    out += palette
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        arr = np.ascontiguousarray(fr["indices"], dtype=np.uint8)
+        if arr.ndim != 2:
+            raise ValueError("frame indices must be an (h, w) uint8 array")
+        fh, fw = arr.shape
+        left = int(fr.get("left", 0))
+        top = int(fr.get("top", 0))
+        transparent = fr.get("transparent")
+        packed = ((int(fr.get("disposal", 1)) & 0x07) << 2) | (
+            1 if transparent is not None else 0
+        )
+        out += b"\x21\xf9\x04" + bytes((packed,))
+        out += _struct.pack("<H", int(fr.get("delay_cs", 0)))
+        out += bytes((int(transparent or 0), 0))
+        out += b"\x2c" + _struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        out += _gif_lzw_image_data(arr)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frames(
+    payload: bytes,
+    sample_rate: int = 1,
+    start_frame: int | None = None,
+    end_frame: int | None = None,
+    max_frames: int | None = None,
+) -> list:
+    """Full animated-GIF decode with GIF89a compositing: every frame is
+    rendered onto the logical-screen canvas honoring frame offsets, local
+    palettes, interlace, GCE transparency (transparent pixels leave the
+    canvas untouched) and disposal methods 0/1 (leave), 2 (restore frame
+    rect to the background color) and 3 (restore rect to the previous
+    canvas). Returns one dict per SAMPLED frame — frame_index, delay_cs,
+    disposal, plus the shared luma_features contract of the composited
+    canvas — where the sampled indices are
+    ``range(start_frame, end_frame or n, sample_rate)[:max_frames]``, the
+    frame grid of the reference's video iteration
+    (/root/reference/processing/video_processing/batch_processing.py:31
+    ``range(0, frame_count, sample_rate)`` with the start/end/max knobs of
+    main_processing.iterate_through_frames). Every frame up to the last
+    sampled one is still decoded — compositing is sequential, exactly like
+    video group-of-pictures decode — but pixel work stops there, while
+    header scanning continues so n_frames is the file's true frame count.
+
+    The initial canvas is the background color (GCT entry at the header's
+    background index; black without a GCT) — a documented deviation from
+    browsers, which treat the background as transparent; features need a
+    concrete color."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    if sample_rate < 1:
+        raise ValueError("sample_rate must be >= 1")
+    sw = payload[6] | (payload[7] << 8)
+    sh = payload[8] | (payload[9] << 8)
+    if sw == 0 or sh == 0:
+        raise ValueError("zero-dimension GIF logical screen")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+
+    if gct is not None:
+        gpal = np.frombuffer(gct, dtype=np.uint8)
+        gpal = gpal[: (len(gpal) // 3) * 3].reshape(-1, 3)
+        bg_rgb = gpal[min(bg_index, len(gpal) - 1)]
+    else:
+        gpal = None
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+
+    start = start_frame or 0
+    wanted = None  # None = unbounded; else a set for O(1) membership
+    if end_frame is not None or max_frames is not None:
+        stop = end_frame if end_frame is not None else (1 << 31)
+        if max_frames is not None:
+            stop = min(stop, start + max_frames * sample_rate)
+        wanted = set(range(start, stop, sample_rate))
+        last_wanted = max(wanted) if wanted else -1
+    else:
+        last_wanted = None  # sample to EOF
+
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    out: list = []
+    n_frames = 0
+    pending_gce = None  # (disposal, delay_cs, transparent_idx | None)
+    decode_pixels = True
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(payload):
+                data, pos = _gif_subblocks(payload, pos)
+                if len(data) >= 4:
+                    gpk = data[0]
+                    pending_gce = (
+                        (gpk >> 2) & 0x07,
+                        data[1] | (data[2] << 8),
+                        data[3] if gpk & 0x01 else None,
+                    )
+            else:
+                _, pos = _gif_subblocks(payload, pos)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left = payload[pos] | (payload[pos + 1] << 8)
+        top = payload[pos + 2] | (payload[pos + 3] << 8)
+        w = payload[pos + 4] | (payload[pos + 5] << 8)
+        h = payload[pos + 6] | (payload[pos + 7] << 8)
+        ipacked = payload[pos + 8]
+        pos += 9
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = payload[pos:pos + 3 * n]
+            if len(lct) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        mcs = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+
+        fi = n_frames
+        n_frames += 1
+        disposal, delay_cs, transparent = pending_gce or (0, 0, None)
+        pending_gce = None
+        if not decode_pixels:
+            continue
+        if w == 0 or h == 0:
+            raise ValueError("zero-dimension GIF frame")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame exceeds logical screen")
+        idx = _lzw_decode(data, mcs, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF frame underruns declared dimensions")
+        arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:
+            order = [y for s0, step in _GIF_INTERLACE_PASSES
+                     for y in range(s0, h, step)]
+            de = np.empty_like(arr)
+            de[np.array(order)] = arr
+            arr = de
+        if lct is not None:
+            pal = np.frombuffer(lct, dtype=np.uint8)
+            pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        elif gpal is not None:
+            pal = gpal
+        else:
+            raise ValueError("GIF frame without any color table")
+        if len(pal) == 0:
+            raise ValueError("GIF color table empty")
+
+        rect = canvas[top:top + h, left:left + w]
+        saved = rect.copy() if disposal == 3 else None
+        frame_rgb = pal[np.minimum(arr, len(pal) - 1)]
+        if transparent is not None:
+            opaque = arr != transparent
+            rect[opaque] = frame_rgb[opaque]
+        else:
+            rect[:] = frame_rgb
+
+        sampled = (fi >= start and (fi - start) % sample_rate == 0
+                   and (wanted is None or fi in wanted))
+        if sampled:
+            luma = canvas.astype(np.float64) @ REC601
+            feat = luma_features(luma, 3)
+            feat["frame_index"] = fi
+            feat["delay_cs"] = int(delay_cs)
+            feat["disposal"] = int(disposal)
+            out.append(feat)
+
+        if disposal == 2:
+            rect[:] = bg_rgb
+        elif disposal == 3:
+            rect[:] = saved
+        if last_wanted is not None and fi >= last_wanted:
+            decode_pixels = False  # keep scanning headers for n_frames only
+
+    for feat in out:
+        feat["n_frames"] = int(n_frames)
+    return out
+
+
+def animation_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    sample_rate: int = 1,
+    start_frame: int | None = None,
+    end_frame: int | None = None,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Distributed frame iteration: one input row (id, animated-GIF blob) ->
+    one output row per sampled composited frame, the Spark twin of the
+    reference's iterate_through_frames batch loop
+    (/root/reference/processing/video_processing/main_processing.py:17 —
+    batch_size there is an executor tuning knob; here Arrow batch sizing
+    plays that role). Column-prunes to (id, payload) before the Python
+    boundary; per-row decode failures land in `error` with frame_index
+    NULL (the engine's row-level error channel), never as task failures."""
+    narrow = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("frame_index", "n_frames", "delay_cs", "disposal", "width",
+                "height", "mean_luma", "luma_sum")
+        for pdf in batches:
+            out = {c: [] for c in ("media_id",) + cols + ("error",)}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    frames = gif_frames(
+                        bytes(payload), sample_rate=sample_rate,
+                        start_frame=start_frame, end_frame=end_frame,
+                        max_frames=max_frames,
+                    )
+                    for fr in frames:
+                        out["media_id"].append(mid)
+                        for c in cols:
+                            out[c].append(fr[c])
+                        out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 - row-level channel
+                    out["media_id"].append(mid)
+                    for c in cols:
+                        out[c].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(kernel, schema=ANIMATION_FRAMES_DDL)
 
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:

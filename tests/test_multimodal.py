@@ -459,3 +459,93 @@ def test_png_interlaced_against_system_libpng():
     assert np.array_equal(ref[:, :, 0], v1 * 255)
     d = M.decode_png(payload)
     assert d["luma_sum"] == int(v1.sum()) * 255
+
+
+# --- animated GIF: encode_gif_anim / gif_frames / animation_frames -------------
+
+def _anim_payload():
+    """6x4 canvas, 3 frames exercising offsets, transparency, disposal 2/3."""
+    f0 = np.full((4, 6), 100, np.uint8)
+    f1 = np.full((2, 3), 200, np.uint8)
+    f1[0, 0] = 7  # transparent index
+    f2 = np.full((1, 2), 50, np.uint8)
+    return M.encode_gif_anim(6, 4, [
+        {"indices": f0, "delay_cs": 4, "disposal": 1},
+        {"indices": f1, "left": 2, "top": 1, "delay_cs": 5, "disposal": 3,
+         "transparent": 7},
+        {"indices": f2, "delay_cs": 6, "disposal": 2},
+    ])
+
+
+def test_gif_frames_compositing_transparency_and_disposal():
+    frames = M.gif_frames(_anim_payload())
+    # frame 0: 24 px of 100; frame 1: 5 opaque px of 200 painted over it
+    # (the transparent px leaves 100); frame 2: disposal 3 restored the
+    # frame-1 rect first, then 2 px of 50 overwrite
+    assert [f["luma_sum"] for f in frames] == [2400, 2900, 2300]
+    assert [f["frame_index"] for f in frames] == [0, 1, 2]
+    assert [f["delay_cs"] for f in frames] == [4, 5, 6]
+    assert [f["disposal"] for f in frames] == [1, 3, 2]
+    assert all(f["n_frames"] == 3 for f in frames)
+    assert all((f["width"], f["height"]) == (6, 4) for f in frames)
+
+
+def test_gif_frames_disposal2_restores_background():
+    # disposal 2 on frame 0 restores its rect to the background color
+    # (GCT entry 0 = (0,0,0) in the grayscale identity palette) before
+    # frame 1, whose 1x1 overwrite leaves the rest of the canvas black
+    f0 = np.full((2, 2), 100, np.uint8)
+    f1 = np.full((1, 1), 9, np.uint8)
+    p = M.encode_gif_anim(2, 2, [
+        {"indices": f0, "disposal": 2},
+        {"indices": f1, "disposal": 1},
+    ])
+    frames = M.gif_frames(p)
+    assert [f["luma_sum"] for f in frames] == [400, 9]
+
+
+def test_gif_frames_sampling_grid_matches_reference_semantics():
+    p = _anim_payload()
+    # range(0, frame_count, sample_rate) like the reference's create_batches
+    assert [f["frame_index"] for f in M.gif_frames(p, sample_rate=2)] == [0, 2]
+    assert [f["frame_index"] for f in M.gif_frames(p, sample_rate=3)] == [0]
+    # start/end/max knobs of iterate_through_frames
+    got = M.gif_frames(p, start_frame=1, max_frames=1)
+    assert [f["frame_index"] for f in got] == [1]
+    assert got[0]["n_frames"] == 3  # header scan continues past the cutoff
+    assert [f["frame_index"]
+            for f in M.gif_frames(p, start_frame=1, end_frame=3,
+                                  sample_rate=2)] == [1]
+    assert M.gif_frames(p, start_frame=9) == []
+    with pytest.raises(ValueError, match="sample_rate"):
+        M.gif_frames(p, sample_rate=0)
+
+
+def test_gif_frames_single_frame_agrees_with_decode_gif():
+    arr = _gray(5, 7)
+    single = M.encode_gif(arr)
+    a, b = M.decode_gif(single), M.gif_frames(single)[0]
+    for k in ("width", "height", "luma_sum", "mean_luma"):
+        assert a[k] == b[k]
+
+
+def test_gif_frames_out_of_bounds_frame_raises():
+    f = np.full((3, 3), 1, np.uint8)
+    p = M.encode_gif_anim(2, 2, [{"indices": f}])
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        M.gif_frames(p)
+
+
+def test_animation_frames_operator_and_error_channel(spark):
+    rows = [(1, bytearray(_anim_payload())),
+            (2, bytearray(b"GIF89a" + b"\x00" * 4)),  # truncated header
+            (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = M.animation_frames(df, "media_id", "payload", sample_rate=2)
+    got = {(r["media_id"], r["frame_index"]): r for r in out.collect()}
+    assert got[(1, 0)]["luma_sum"] == 2400
+    assert got[(1, 2)]["luma_sum"] == 2300
+    assert (1, 1) not in got
+    assert got[(2, None)]["error"].startswith("ValueError")
+    assert got[(3, None)]["error"] == "ValueError: null payload"
+    assert got[(1, 0)]["error"] is None
