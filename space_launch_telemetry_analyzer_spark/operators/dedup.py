@@ -641,3 +641,75 @@ def paragraph_dedup(
             F.size("_kept").alias("n_kept"),
         )
     )
+
+# --- duplicate n-gram span masking ---------------------------------------------
+def dup_ngram_mask(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    max_count: int = 1,
+) -> DataFrame:
+    """Exact-substring dedup at span granularity (the masking variant of Lee
+    et al. arXiv:2107.06499 §4.1 used by Dolma/RefinedWeb-style CC pipelines):
+    a token k-gram whose exact string occurs more than `max_count` times in
+    the WHOLE corpus marks all k of its tokens as duplicated; the output text
+    keeps only unmasked tokens (whitespace-normalized rebuild, single spaces).
+    Tokenization is trim + split on \\s+, case-sensitive — masking must not
+    conflate case variants the way near-dup fingerprints may.
+
+    Returns (id, text_masked, n_tokens, n_masked).
+
+    Scale shape (100 TB): the k-gram explode shuffles gram-sized rows keyed
+    on md5(gram) — uniform, map-side combinable count. Joining the duplicated
+    keys back onto occurrences is skewed on mega-grams (a boilerplate
+    sentence in 10^9 docs), but the build side is one row per key so AQE's
+    skew split handles it. Coverage is NOT exploded k ways: duplicated
+    occurrence positions aggregate per doc (one shuffle of positions), and
+    the per-token interval test runs as a JVM higher-order function
+    (F.filter with index) — no Python, no per-token rows. Reference analog:
+    the once-per-frame duplicate-read guard generalized to corpus scale
+    (/root/reference/processing/ocr.py fuel single-read semantics)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("t"),
+    )
+    n = F.size(F.col("t"))
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > max_count)
+        .select("gh")
+    )
+    dpos = (
+        grams.join(dup, "gh")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("dpos"))
+    )
+    joined = toks.join(dpos, "id", "left").select(
+        "id", "t", F.coalesce(F.col("dpos"), F.array().cast("array<int>")).alias("dpos")
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("dpos"), lambda p: (p <= i) & (i < p + k)
+        ),
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("text_masked"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_masked"),
+    )

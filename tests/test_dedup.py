@@ -336,3 +336,54 @@ def test_paragraph_dedup_empty_and_trailing_separator(spark):
     # of BOTH 'x' (pos 0) and '' (pos 1), so doc 2 keeps nothing
     assert got[1] == ("x\n\n", 2, 2)
     assert got[2] == ("", 2, 0)
+
+
+# --- dup_ngram_mask -----------------------------------------------------------
+
+def _mask_rows(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = D.dup_ngram_mask(df, "id", "text", **kw).collect()
+    return {r["id"]: (r["text_masked"], r["n_tokens"], r["n_masked"]) for r in out}
+
+
+def test_dup_ngram_mask_shared_kgram_masked_everywhere(spark):
+    got = _mask_rows(spark, [
+        (1, "a b c d e unique tail one"),
+        (2, "x y z a b c d e other stuff"),
+    ], k=5)
+    # the shared 5-gram 'a b c d e' masks all five tokens in BOTH docs
+    assert got[1] == ("unique tail one", 8, 5)
+    assert got[2] == ("x y z other stuff", 10, 5)
+
+
+def test_dup_ngram_mask_overlapping_occurrences_merge(spark):
+    # 'a b c a b c a b c' with k=3: gram 'a b c' repeats inside one doc
+    # (positions 0,3,6) and overlapping duplicated grams ('b c a', 'c a b')
+    # also repeat -> the whole doc masks
+    got = _mask_rows(spark, [(1, "a b c a b c a b c"), (2, "w x y z q")], k=3)
+    assert got[1] == ("", 9, 9)
+    assert got[2] == ("w x y z q", 5, 0)
+
+
+def test_dup_ngram_mask_short_and_empty_docs_untouched(spark):
+    got = _mask_rows(spark, [(1, "one two"), (2, ""), (3, None)], k=5)
+    assert got[1] == ("one two", 2, 0)
+    # empty/null text tokenizes to a single empty token; too short to gram
+    assert got[2] == ("", 1, 0)
+    assert got[3] == ("", 1, 0)
+
+
+def test_dup_ngram_mask_max_count_threshold(spark):
+    rows = [(i, "the same five token phrase plus doc%d" % i) for i in (1, 2, 3)]
+    # 5-gram 'the same five token phrase' occurs 3x
+    assert _mask_rows(spark, rows, k=5, max_count=3)[1][2] == 0
+    assert _mask_rows(spark, rows, k=5, max_count=2)[1][2] >= 5
+
+
+def test_dup_ngram_mask_case_sensitive(spark):
+    got = _mask_rows(spark, [
+        (1, "The Quick Brown Fox Jumps tail a"),
+        (2, "the quick brown fox jumps tail b"),
+    ], k=5)
+    # case differs -> different grams -> nothing masked
+    assert got[1][2] == 0 and got[2][2] == 0
