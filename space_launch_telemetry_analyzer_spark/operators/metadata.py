@@ -398,3 +398,56 @@ def canonical_clusters(meta: DataFrame) -> DataFrame:
         F.count("*").alias("n_pages"),
         F.min("url").alias("representative_url"),
     )
+
+
+def hreflang_clusters(meta: DataFrame, max_iter: int = 16,
+                      driver_cutoff: int = 100_000) -> DataFrame:
+    """Multilingual cluster detection over declared hreflang alternates —
+    the language-variant analog of canonical_clusters. Every (page url ->
+    alternate href) pair is an undirected edge; mutually-referencing
+    language variants collapse into one cluster via the scalable
+    connected-components operator (pointer jumping, O(log d) rounds), so
+    chains and partially-declared groups cluster correctly, not just
+    identical alternate sets. Alternate hrefs that were never crawled
+    still participate as graph nodes (they glue the cluster together) but
+    only crawled pages count in n_pages. Pages declaring no alternates
+    form singleton clusters keyed by their own url.
+
+    Returns (cluster_key, n_pages, representative_url, n_alternates,
+    n_langs): cluster_key is the lexicographically-smallest graph node,
+    representative_url the smallest CRAWLED member, n_alternates/n_langs
+    the distinct hrefs/langs declared by member pages.
+
+    Scale shape: one explode of hreflang structs (tiny rows), the CC
+    loop's per-round shuffle on node id, and two aggregations keyed by
+    cluster — no all-pairs anywhere; hreflang groups are small (a few
+    dozen languages), so no skew handling is needed."""
+    from .dedup import connected_components
+
+    e = meta.select(
+        F.col("url"), F.explode("hreflangs").alias("alt")
+    ).select(
+        "url", F.col("alt.lang").alias("lang"), F.col("alt.href").alias("href")
+    ).where(F.col("href").isNotNull() & (F.col("href") != ""))
+
+    comp = connected_components(
+        e.select(F.col("url").alias("id_a"), F.col("href").alias("id_b")),
+        max_iter=max_iter, driver_cutoff=driver_cutoff,
+    )
+    pages = meta.select("url").join(
+        comp.withColumnRenamed("id", "url"), "url", "left"
+    ).select("url", F.coalesce("component", "url").alias("cluster_key"))
+
+    base = pages.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("url").alias("representative_url"),
+    )
+    decl = pages.join(e, "url").groupBy("cluster_key").agg(
+        F.countDistinct("href").alias("n_alternates"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return base.join(decl, "cluster_key", "left").select(
+        "cluster_key", "n_pages", "representative_url",
+        F.coalesce("n_alternates", F.lit(0)).cast("int").alias("n_alternates"),
+        F.coalesce("n_langs", F.lit(0)).cast("int").alias("n_langs"),
+    )

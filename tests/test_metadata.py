@@ -223,3 +223,59 @@ def test_anchor_whitespace_href_skipped():
 
     assert parse_anchors('<a href=" ">x</a><a href="u">y</a>') == \
         [("u", "y", False)]
+
+
+# --- hreflang_clusters ----------------------------------------------------------
+
+def _hl_page(url, alts):
+    html = "".join(
+        f'<link rel="alternate" hreflang="{l}" href="{h}">' for l, h in alts
+    ).encode()
+    return (url, html)
+
+
+def test_hreflang_clusters_chain_and_singleton(spark):
+    from space_launch_telemetry_analyzer_spark.operators.metadata import (
+        hreflang_clusters,
+    )
+
+    # a <-> b declared by a; b -> c declared by b (chain, not identical
+    # alternate sets); d declares nothing -> singleton
+    rows = [
+        _hl_page("https://e/a", [("en", "https://e/a"), ("de", "https://e/b")]),
+        _hl_page("https://e/b", [("fr", "https://e/c")]),
+        _hl_page("https://e/d", []),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["cluster_key"]: r for r in
+           hreflang_clusters(page_metadata(df)).collect()}
+    assert set(got) == {"https://e/a", "https://e/d"}
+    abc = got["https://e/a"]
+    # c was never crawled: glues the cluster but does not count as a page
+    assert abc["n_pages"] == 2
+    assert abc["representative_url"] == "https://e/a"
+    assert abc["n_alternates"] == 3  # a, b, c
+    assert abc["n_langs"] == 3  # en, de, fr
+    d = got["https://e/d"]
+    assert (d["n_pages"], d["n_alternates"], d["n_langs"]) == (1, 0, 0)
+
+
+def test_hreflang_clusters_uncrawled_hub_merges(spark):
+    from space_launch_telemetry_analyzer_spark.operators.metadata import (
+        hreflang_clusters,
+    )
+
+    # two crawled pages that never reference each other, only a shared
+    # uncrawled hub url -> still one cluster (set-equality keying would
+    # split this; the graph walk must not)
+    rows = [
+        _hl_page("https://e/x", [("en", "https://e/hub")]),
+        _hl_page("https://e/y", [("de", "https://e/hub")]),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = hreflang_clusters(page_metadata(df)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cluster_key"] == "https://e/hub"  # min node is the hub
+    assert r["n_pages"] == 2 and r["representative_url"] == "https://e/x"
+    assert r["n_alternates"] == 1 and r["n_langs"] == 2
