@@ -173,6 +173,39 @@ def canonicalize_urls(df, url_col: str):
     return df.withColumn("canonical_url", canon)
 
 
+def surt_key(url: Column) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform — the Common
+    Crawl / pywb CDX index sort key): lowercase, scheme and userinfo
+    stripped, leading `www.` dropped, host labels reversed and
+    comma-joined, `)` separator, path, and query params sorted — e.g.
+    `https://www.Example.COM:443/A/B?b=2&a=1#f` -> `com,example)/a/b?a=1&b=2`.
+    Documented simplification vs pywb: ports 80/443 are treated as default
+    regardless of the (already-stripped) scheme, and no IDN/percent
+    re-coding is applied (canonicalize_urls/percent-normalization run
+    upstream if needed). Pure JVM expressions, ANSI twin in the oracle."""
+    no_frag = F.substring_index(F.lower(F.trim(url)), "#", 1)
+    after = F.regexp_replace(no_frag, r"^[a-z][a-z0-9+.-]*://", "")
+    after = F.regexp_replace(after, r"^[^/?#@]*@", "")
+    hostport = F.regexp_extract(after, r"^([^/?]*)", 1)
+    host = F.regexp_replace(
+        F.substring_index(hostport, ":", 1), r"^www\.", "")
+    port = F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    keep_port = (port != "") & (port != "80") & (port != "443")
+    revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(after, r"^[^/?]*([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(after, r"\?(.*)$", 1)
+    sorted_q = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    return F.concat(
+        revhost,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"), path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text-normalization pass for training corpora: strip C0/C1
     control characters (newline/tab become spaces first), collapse all

@@ -216,6 +216,7 @@ def write_warc(
     ts_col: str = "warc_ts",
     html_col: str = "html",
     gzip_records: bool = True,
+    cdx: bool = False,
 ) -> None:
     """pages -> WARC archive files, one file per partition (the crawl
     layout: a corpus is many ~independent archive files). Response records
@@ -237,15 +238,31 @@ def write_warc(
     re-run with fewer partitions cannot leave a silent mix of old and new
     archives. NOTE: `path` must be a filesystem shared between driver and
     executors (local mode, NFS, or a fuse mount) — this writer opens plain
-    files; for object stores, write parquet via ResultStore instead."""
+    files; for object stores, write parquet via ResultStore instead.
+
+    With `cdx=True` each archive gets a sibling part-NNNNN.cdx index file
+    (the Common Crawl random-access convention): one space-delimited line
+    per record — `urlkey timestamp14 url sha1hex offset length filename` —
+    where urlkey is the JVM-computed SURT key, offset/length are the BYTE
+    span of the record's gzip member (or the raw record when
+    `gzip_records=False`), and sha1hex digests the HTTP payload. Lines are
+    sorted by urlkey WITHIN each file (binary-search-ready per shard, the
+    cluster.idx layout; range-partition by surt upstream for a global
+    order). Index lines accumulate in memory — they are ~100 bytes/record
+    while records stream, so peak task memory stays bounded by the index,
+    not the archive. Per-record gzip members are what make the (offset,
+    length) span independently decompressible; `load_cdx` + `cdx_fetch`
+    consume it back."""
     import os
     import uuid as _uuid
 
     from pyspark.sql import functions as F
 
+    from ..operators.text_analysis import surt_key
+
     os.makedirs(path, exist_ok=True)
     for stale in os.listdir(path):
-        if stale.startswith("part-") and ".warc" in stale:
+        if stale.startswith("part-") and (".warc" in stale or stale.endswith(".cdx")):
             os.remove(os.path.join(path, stale))
 
     # render the WARC-Date wall clock in UTC independent of session tz:
@@ -259,22 +276,31 @@ def write_warc(
             "yyyy-MM-dd'T'HH:mm:ss'Z'",
         ).alias("ts"),
         F.col(html_col).cast("binary").alias("html"),
+        *([surt_key(F.col(url_col)).alias("urlkey")] if cdx else []),
     )
 
     def write_partition(it):
+        import hashlib as _hashlib
+
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         suffix = ".warc.gz" if gzip_records else ".warc"
-        target = os.path.join(path, f"part-{pid:05d}{suffix}")
+        fname = f"part-{pid:05d}{suffix}"
+        target = os.path.join(path, fname)
         tmp = f"{target}.inprogress-{ctx.taskAttemptId()}"
+        cdx_target = os.path.join(path, f"part-{pid:05d}.cdx")
+        cdx_tmp = f"{cdx_target}.inprogress-{ctx.taskAttemptId()}"
         f = None
+        offset = 0
+        cdx_lines: list = []
         try:
             for i, row in enumerate(it):
+                payload = row.html or b""
                 body = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                    + (row.html or b"")
+                    + payload
                 )
                 rec_id = _uuid.uuid5(
                     _uuid.NAMESPACE_URL,
@@ -292,11 +318,25 @@ def write_warc(
                 record = headers + body + b"\r\n\r\n"
                 if f is None:  # empty partitions write no file
                     f = open(tmp, "wb")
-                f.write(gzip.compress(record) if gzip_records else record)
+                data = gzip.compress(record) if gzip_records else record
+                f.write(data)
+                if cdx:
+                    ts14 = re.sub(r"[^0-9]", "", row.ts or "")
+                    cdx_lines.append(
+                        f"{row.urlkey} {ts14} {row.url} "
+                        f"{_hashlib.sha1(payload).hexdigest()} "
+                        f"{offset} {len(data)} {fname}\n"
+                    )
+                offset += len(data)
             if f is not None:
                 f.close()
                 f = None
-                os.replace(tmp, target)
+                os.replace(tmp, target)  # archive first: an index must
+                if cdx:                  # never reference a missing file
+                    cdx_lines.sort()
+                    with open(cdx_tmp, "w") as cf:
+                        cf.writelines(cdx_lines)
+                    os.replace(cdx_tmp, cdx_target)
         finally:
             if f is not None:  # failed mid-write: drop the partial temp
                 f.close()
@@ -307,3 +347,92 @@ def write_warc(
     # mapPartitions is the sanctioned last resort here: the unit of work IS
     # the partition->file mapping (SURVEY custom-operator ladder (c))
     narrow.rdd.mapPartitions(write_partition).count()
+
+
+CDX_SCHEMA = (
+    "urlkey string, ts14 string, url string, sha1 string, "
+    "offset long, length long, filename string"
+)
+
+
+def load_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDX index files -> DataFrame. One row per archived record:
+    (urlkey, ts14, url, sha1, offset, length, filename) — the 7-field
+    space-delimited layout write_warc(cdx=True) emits (urls are
+    space-free by construction in WARC-Target-URI). Pure JVM split;
+    filename is re-anchored to `path` so downstream fetches need no
+    driver-side directory knowledge."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(os.path.join(path, "*.cdx"))
+    p = F.split(F.col("value"), " ")
+    return lines.select(
+        p[0].alias("urlkey"), p[1].alias("ts14"), p[2].alias("url"),
+        p[3].alias("sha1"),
+        p[4].cast("long").alias("offset"), p[5].cast("long").alias("length"),
+        F.concat(F.lit(os.path.join(path, "")), p[6]).alias("filename"),
+    )
+
+
+def cdx_fetch(cdx: DataFrame) -> DataFrame:
+    """Random-access record fetch driven by a CDX index — the consumer
+    side of the Common Crawl layout: seek(offset), read(length),
+    per-member gunzip, parse ONE record, verify. Adds (fetched_url,
+    payload_sha1, n_bytes, ok, error) to the index columns; ok means the
+    span decoded to exactly one well-formed record whose WARC-Target-URI
+    and payload digest match the index line. Runs as mapInPandas over
+    index rows — each task touches only its rows' byte spans, never whole
+    archives, which is precisely why CDX exists at 100 TB: a point lookup
+    costs one seek + one record, not an archive scan. Archive files must
+    be reachable from executors (same contract as write_warc)."""
+    import hashlib as _hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            fetched, sha, nb, ok, err = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                try:
+                    with open(row.filename, "rb") as f:
+                        f.seek(int(row.offset))
+                        data = f.read(int(row.length))
+                    if len(data) != int(row.length):
+                        raise ValueError("short read")
+                    if row.filename.endswith(".gz"):
+                        data = gzip.decompress(data)
+                    recs = list(iter_warc_records(data))
+                    if len(recs) != 1 or recs[0].get("error"):
+                        raise ValueError(
+                            f"span held {len(recs)} records: "
+                            f"{recs[0].get('error') if recs else 'empty'}"
+                        )
+                    payload = http_body_of(recs[0]["content"])
+                    digest = _hashlib.sha1(payload).hexdigest()
+                    u = recs[0]["headers"].get("warc-target-uri", "")
+                    fetched.append(u)
+                    sha.append(digest)
+                    nb.append(len(payload))
+                    ok.append(u == row.url and digest == row.sha1)
+                    err.append(None)
+                except Exception as e:  # noqa: BLE001 - row-level channel
+                    fetched.append(None); sha.append(None); nb.append(None)
+                    ok.append(False)
+                    err.append(f"{type(e).__name__}: {e}")
+            out = pdf.copy()
+            out["fetched_url"] = fetched
+            out["payload_sha1"] = sha
+            out["n_bytes"] = nb
+            out["ok"] = ok
+            out["error"] = err
+            yield out
+
+    return cdx.mapInPandas(
+        kernel,
+        CDX_SCHEMA + ", fetched_url string, payload_sha1 string, "
+        "n_bytes long, ok boolean, error string",
+    )

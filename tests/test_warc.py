@@ -254,3 +254,81 @@ def test_warc_header_charset_end_to_end(spark, tmp_path):
     out = res.first()
     assert out.error is None
     assert out.extracted_text == ru_text
+
+
+# --- CDX index: surt keys, write_warc(cdx=True), load_cdx, cdx_fetch -----------
+
+def test_surt_key_expression(spark):
+    from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+        surt_key,
+    )
+
+    cases = [
+        ("https://www.Example.COM:443/A/B?b=2&a=1#frag", "com,example)/a/b?a=1&b=2"),
+        ("http://sub.host.org:80/", "org,host,sub)/"),
+        ("http://host.org:8080/p", "org,host:8080)/p"),
+        ("https://user:pw@h.example/x", "example,h)/x"),
+        ("https://h.example", "example,h)/"),
+        ("https://h.example/p?single", "example,h)/p?single"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["k"] for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def _cdx_fixture_df(spark):
+    rows = [
+        (f"https://www.H{i % 2}.Example/p/{i}?b=2&a=1",
+         f"2024-05-0{i + 1}T12:00:0{i}Z", f"<p>body {i}</p>".encode())
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).repartition(2)
+
+
+def test_cdx_write_load_fetch_roundtrip(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "w")
+    W.write_warc(_cdx_fixture_df(spark), out, cdx=True)
+    files = sorted(os.listdir(out))
+    assert [f for f in files if f.endswith(".cdx")] == \
+        ["part-00000.cdx", "part-00001.cdx"]
+    # per-file lines sorted by urlkey (binary-search contract)
+    for f in files:
+        if f.endswith(".cdx"):
+            keys = [ln.split(" ")[0]
+                    for ln in open(os.path.join(out, f)).read().splitlines()]
+            assert keys == sorted(keys)
+    res = W.cdx_fetch(W.load_cdx(spark, out)).collect()
+    assert len(res) == 6 and all(r["ok"] for r in res)
+    by_url = {r["url"]: r for r in res}
+    r0 = by_url["https://www.H0.Example/p/0?b=2&a=1"]
+    assert r0["urlkey"] == "example,h0)/p/0?a=1&b=2"
+    assert r0["ts14"] == "20240501120000"
+    assert r0["n_bytes"] == len(b"<p>body 0</p>")
+    assert r0["fetched_url"] == r0["url"] and r0["payload_sha1"] == r0["sha1"]
+
+
+def test_cdx_fetch_detects_corruption(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "w")
+    W.write_warc(_cdx_fixture_df(spark), out, cdx=True)
+    cdx = W.load_cdx(spark, out)
+    # lie about an offset: the span decodes to garbage -> error row, not a
+    # task failure
+    bad = cdx.withColumn(
+        "offset", F.when(F.col("offset") == 0, F.lit(7)).otherwise(F.col("offset")))
+    res = W.cdx_fetch(bad).collect()
+    assert sum(not r["ok"] for r in res) == 2  # one poisoned row per file
+    assert all(r["error"] for r in res if not r["ok"])
+    assert sum(r["ok"] for r in res) == 4
+
+
+def test_cdx_uncompressed_archive(spark, tmp_path):
+    out = str(tmp_path / "w")
+    W.write_warc(_cdx_fixture_df(spark), out, gzip_records=False, cdx=True)
+    res = W.cdx_fetch(W.load_cdx(spark, out)).collect()
+    assert len(res) == 6 and all(r["ok"] for r in res)
