@@ -945,6 +945,53 @@ FROM marked GROUP BY id
 """
 
 
+def q_dup_ngram_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. §4.1 masking variant):
+    every doc_id%4==0 doc gets a planted 10-token boilerplate tail, whose
+    six 5-grams then occur ~n/4 times corpus-wide and are masked from every
+    doc carrying them; naturally repeated 5-grams in the word-soup fixture
+    mask too (the oracle recomputes them identically). Case-sensitive
+    tokenization, whitespace-normalized rebuild."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" please subscribe to our channel and hit the bell icon"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.dup_ngram_mask(corpus, "id", "text", k=5)
+
+
+ORACLE_DUP_NGRAM_MASK = r"""
+WITH corpus AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' please subscribe to our channel and hit the bell icon'
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus),
+grams AS (
+  SELECT id, pos, md5(array_to_string(t[pos+1:pos+5], ' ')) AS gh
+  FROM (SELECT id, t, unnest(range(len(t) - 5 + 1)) AS pos FROM toks)),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+cov AS (SELECT DISTINCT g.id, g.pos + off.o AS i
+        FROM grams g JOIN dup USING (gh)
+        CROSS JOIN (SELECT unnest(range(5)) AS o) off),
+tok_rows AS (SELECT id, unnest(t) AS tok, unnest(range(len(t))) AS i FROM toks)
+SELECT tr.id,
+       coalesce(array_to_string(list(tok ORDER BY tr.i) FILTER (WHERE c.i IS NULL), ' '),
+                '') AS text_masked,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE c.i IS NOT NULL) AS INT) AS n_masked
+FROM tok_rows tr LEFT JOIN cov c ON c.id = tr.id AND c.i = tr.i
+GROUP BY tr.id
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-blocked exact-duplicate detection: candidates at Hamming
     distance 0, then exact token-multiset verification — the standard
@@ -1952,6 +1999,43 @@ FROM documents
 """
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX random-access index end-to-end (late r5): write_warc(cdx=True)
+    emits a per-archive URL index — SURT urlkey (JVM expression), 14-digit
+    UTC timestamp, payload sha1, and the byte span of each record's gzip
+    member — then load_cdx + cdx_fetch do what a Common Crawl consumer
+    does: seek(offset), read(length), gunzip ONE member, parse ONE record,
+    verify url + digest. The oracle recomputes urlkey/ts14/url/n_bytes
+    analytically and pins ok=TRUE for every row — any SURT, offset/length
+    framing, gzip-member boundary, or digest divergence flips ok or the
+    key columns and fails the hash."""
+    from .sources.warc import cdx_fetch, load_cdx, write_warc
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+    )
+    out = os.path.join(_roundtrip_scratch_dir(), "cdx_" + __import__(
+        "hashlib").md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12])
+    write_warc(pages, out, cdx=True)
+    res = cdx_fetch(load_cdx(spark, out))
+    return res.select("urlkey", "ts14", "url", "n_bytes", "ok")
+
+
+ORACLE_CDX_INDEX = """
+SELECT 'example,w' || (doc_id % 5) || ')/p/' || doc_id AS urlkey,
+       strftime(CAST(to_timestamp(1704067200 + doc_id) AS TIMESTAMP),
+                '%Y%m%d%H%M%S') AS ts14,
+       'https://w' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       TRUE AS ok
+FROM documents
+"""
+
+
 _ROBOTS_BODY_0 = (
     "# crawl policy\nUser-agent: *\nDisallow: /d1/\nAllow: /d1/keep/\n"
     "\nUser-agent: specialbot\nDisallow: /\n"
@@ -2461,6 +2545,75 @@ ORDER BY doc_id
 """
 
 
+def q_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame iteration end-to-end (r5): per doc, synthesize a
+    (4+doc_id%5) x (3+doc_id%4) GIF89a animation of 2+doc_id%4 full-canvas
+    flat frames (value (doc_id*37 + k*41) % 256, delay 3+k cs, GCE +
+    NETSCAPE loop blocks) with operators.multimodal.encode_gif_anim, then
+    run the distributed operators.multimodal.animation_frames twin of the
+    reference's iterate_through_frames
+    (/root/reference/processing/video_processing/batch_processing.py:31)
+    at sample_rate 1 + doc_id%3 — three operator invocations, one per
+    rate, unioned. Full-canvas opaque frames make the composited canvas a
+    closed form (disposal is irrelevant when every frame overwrites the
+    whole canvas), so the oracle recomputes frame grid, delays and exact
+    integer luma sums analytically; an LZW, GCE-parse, sampling-grid or
+    compositing divergence fails the hash. Partial-frame offsets,
+    transparency and disposal 2/3 are pixel-pinned in tests/test_multimodal."""
+    from .operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 5, 3 + did % 4
+                frames = [
+                    {"indices": np.full((h, w), (did * 37 + k * 41) % 256,
+                                        np.uint8),
+                     "delay_cs": 3 + k, "disposal": 1}
+                    for k in range(2 + did % 4)
+                ]
+                ids.append(did)
+                blobs.append(MM.encode_gif_anim(w, h, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    parts = [
+        MM.animation_frames(
+            blobs.where(F.col("doc_id") % 3 == rate - 1),
+            "doc_id", "payload", sample_rate=rate,
+        )
+        for rate in (1, 2, 3)
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        F.col("media_id").alias("doc_id"), "frame_index", "n_frames",
+        "delay_cs", "width", "height", "luma_sum",
+    ).orderBy("doc_id", "frame_index")
+
+
+ORACLE_GIF_ANIM_FRAMES = """
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_index,
+       CAST(2 + doc_id % 4 AS INT) AS n_frames,
+       CAST(3 + fi AS INT) AS delay_cs,
+       CAST(4 + doc_id % 5 AS INT) AS width,
+       CAST(3 + doc_id % 4 AS INT) AS height,
+       CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+            * ((doc_id * 37 + fi * 41) % 256) AS BIGINT) AS luma_sum
+FROM (SELECT doc_id,
+             unnest(range(0, 2 + doc_id % 4, 1 + doc_id % 3)) AS fi
+      FROM documents)
+ORDER BY doc_id, frame_index
+"""
+
+
 def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP + ICO codecs end-to-end (r5): per doc, synthesize a
     deterministic (3+doc_id%6) x (2+doc_id%5) grayscale gradient
@@ -2923,6 +3076,52 @@ ORDER BY url
 """
 
 
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual-cluster dedup end-to-end (late r5): docs form groups of
+    3 (g = doc_id // 3); each member page declares en/de/fr hreflang
+    alternates pointing at ALL THREE member urls (zero-padded so
+    lexicographic = numeric order), the real page_metadata lexer extracts
+    the (lang, href) pairs, and hreflang_clusters collapses them via
+    connected components. The tail group may reference a never-crawled url
+    — it participates as a graph node but not in n_pages, which the oracle
+    reproduces by grouping documents on doc_id - doc_id % 3. A lexer,
+    edge-explode, CC-labeling, or aggregation divergence fails the hash."""
+    from .operators.metadata import hreflang_clusters, page_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    g3 = F.col("doc_id") - F.col("doc_id") % 3
+
+    def alt(j: int, lang: str):
+        tgt = F.lpad((g3 + j).cast("string"), 6, "0")
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" href="hl://'),
+            tgt, F.lit('">'))
+
+    html = F.concat(
+        F.lit('<html lang="en"><head><title>t</title>'),
+        alt(0, "en"), alt(1, "de"), alt(2, "fr"),
+        F.lit("</head><body><p>x</p></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("hl://"),
+                 F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias("url"),
+        html.cast("binary").alias("html"))
+    return hreflang_clusters(page_metadata(pages)).orderBy("cluster_key")
+
+
+ORACLE_HREFLANG_CLUSTERS = """
+SELECT concat('hl://', lpad(CAST(doc_id - doc_id % 3 AS VARCHAR), 6, '0'))
+         AS cluster_key,
+       count(*) AS n_pages,
+       min(concat('hl://', lpad(CAST(doc_id AS VARCHAR), 6, '0')))
+         AS representative_url,
+       CAST(3 AS INT) AS n_alternates,
+       CAST(3 AS INT) AS n_langs
+FROM documents
+GROUP BY doc_id - doc_id % 3
+ORDER BY cluster_key
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier sitemap parse end-to-end (r5, operators/sitemap.py):
     JVM expressions synthesize a sitemaps.org urlset per doc with
@@ -3270,6 +3469,7 @@ QUERIES = {
     "jpeg_decode": q_jpeg_decode,
     "webp_decode": q_webp_decode,
     "vp8_decode": q_vp8_decode,
+    "gif_anim_frames": q_gif_anim_frames,
     "bmp_decode": q_bmp_decode,
     "tiff_decode": q_tiff_decode,
     "wav_decode": q_wav_decode,
@@ -3278,6 +3478,7 @@ QUERIES = {
     "pdf_layout": q_pdf_layout,
     "pdf_winansi": q_pdf_winansi,
     "page_metadata": q_page_metadata,
+    "hreflang_clusters": q_hreflang_clusters,
     "sitemap_parse": q_sitemap_parse,
     "feed_parse": q_feed_parse,
     "robots_sitemaps": q_robots_sitemaps,
@@ -3321,6 +3522,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "dedup_survivors": q_dedup_survivors,
     "paragraph_dedup": q_paragraph_dedup,
+    "dup_ngram_mask": q_dup_ngram_mask,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3355,6 +3557,7 @@ QUERIES = {
     "normalize_text_nfc": q_normalize_text_nfc,
     "robots_filter": q_robots_filter,
     "warc_roundtrip": q_warc_roundtrip,
+    "cdx_index": q_cdx_index,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -3396,6 +3599,7 @@ ORACLES = {
     "minhash_pairs": ORACLE_MINHASH_PAIRS,
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "dup_ngram_mask": ORACLE_DUP_NGRAM_MASK,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
@@ -3430,12 +3634,14 @@ ORACLES = {
     "normalize_text_nfc": ORACLE_NORMALIZE_TEXT_NFC,
     "robots_filter": ORACLE_ROBOTS_FILTER,
     "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
+    "cdx_index": ORACLE_CDX_INDEX,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "png_decode": ORACLE_PNG_DECODE,
     "jpeg_decode": ORACLE_JPEG_DECODE,
     "webp_decode": ORACLE_WEBP_DECODE,
     "vp8_decode": ORACLE_VP8_DECODE,
+    "gif_anim_frames": ORACLE_GIF_ANIM_FRAMES,
     "bmp_decode": ORACLE_BMP_DECODE,
     "tiff_decode": ORACLE_TIFF_DECODE,
     "wav_decode": ORACLE_WAV_DECODE,
@@ -3444,6 +3650,7 @@ ORACLES = {
     "pdf_layout": ORACLE_PDF_LAYOUT,
     "pdf_winansi": ORACLE_PDF_WINANSI,
     "page_metadata": ORACLE_PAGE_METADATA,
+    "hreflang_clusters": ORACLE_HREFLANG_CLUSTERS,
     "sitemap_parse": ORACLE_SITEMAP_PARSE,
     "feed_parse": ORACLE_FEED_PARSE,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
@@ -3473,6 +3680,7 @@ _LAST_DRIVER_CHECK = {
     "jpeg_decode": 0,
     "webp_decode": 0,
     "vp8_decode": 0,
+    "gif_anim_frames": 0,
     "bmp_decode": 0,
     "tiff_decode": 0,
     "wav_decode": 0,
@@ -3486,6 +3694,9 @@ _LAST_DRIVER_CHECK = {
     "frontier_new": 0,
     "robots_crawl_delay": 0,
     "paragraph_dedup": 0,
+    "dup_ngram_mask": 0,
+    "hreflang_clusters": 0,
+    "cdx_index": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3601,6 +3812,7 @@ _REGISTRY_ORDER = [
     "pdf_layout",
     "pdf_winansi",
     "page_metadata",
+    "hreflang_clusters",
     "sitemap_parse",
     "feed_parse",
     "robots_sitemaps",
@@ -3611,18 +3823,21 @@ _REGISTRY_ORDER = [
     "jpeg_decode",
     "webp_decode",
     "vp8_decode",
+    "gif_anim_frames",
     "bmp_decode",
     "tiff_decode",
     "wav_decode",
     "extract_main_text",
     "extract_field_spans",
-    "minhash_pairs",
-    "dedup_survivors",
+    "cdx_index",
     "paragraph_dedup",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
+    "dup_ngram_mask",
     "pagerank",
     # ---------------- sampling horizon (50) ends here ----------------
+    "dedup_survivors",
+    "minhash_pairs",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
     "kmeans_centroids",
     "pagerank_dangling",
     "decontaminate",
