@@ -109,6 +109,114 @@ def quality_score(text: Column) -> Column:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(df, id_col: str, text_col: str):
+    """The Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    Table A1 — the filter set MassiveWeb popularized and most CC pipelines
+    reuse), computed as pure JVM expressions at scan speed:
+
+    - word count in [50, 100 000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' or '...'/'…' hits per word) <= 0.1
+    - <= 90% of lines start with a bullet ('•', '-' or '*')
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain at least one ASCII letter
+    - at least 2 distinct Gopher stop words present ('the be to of and
+      that have with')
+
+    Emits the raw stats alongside per-rule booleans and the conjunction
+    `keep`, so downstream curation can re-threshold without recomputing.
+    Ratios divide exact integer counts cast to double — bit-reproducible
+    across engines, so the DuckDB oracle hashes them directly. Empty/blank
+    documents fail the word-count rule (n_words 0) and define ratio
+    denominators via greatest(n, 1) — documented, oracle-matched."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = token_count(text)
+    wden = F.greatest(n_words, F.lit(1)).cast("double")
+    mwl = mean_word_length(text)
+    n_sym = (
+        occurrence_count(text, "#")
+        + occurrence_count(F.replace(text, F.lit("…"), F.lit("...")), "...")
+    )
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    lden = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^[•\-*]")))
+    ellipsis = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+
+    stats = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        (n_sym.cast("double") / wden).alias("symbol_ratio"),
+        (bullet.cast("double") / lden).alias("bullet_ratio"),
+        (ellipsis.cast("double") / lden).alias("ellipsis_ratio"),
+        (alpha_words.cast("double") / wden).alias("alpha_ratio"),
+        stop_hits.alias("n_stopwords"),
+    )
+    r = stats
+    rules = {
+        "ok_words": (r.n_words >= 50) & (r.n_words <= 100_000),
+        "ok_mwl": (r.mean_word_len >= 3.0) & (r.mean_word_len <= 10.0),
+        "ok_symbols": r.symbol_ratio <= 0.1,
+        "ok_bullets": r.bullet_ratio <= 0.9,
+        "ok_ellipsis": r.ellipsis_ratio <= 0.3,
+        "ok_alpha": r.alpha_ratio >= 0.8,
+        "ok_stopwords": r.n_stopwords >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    return stats.select(
+        "*", *[c.alias(n) for n, c in rules.items()], keep.alias("keep")
+    )
+
+
+def c4_line_filter(df, id_col: str, text_col: str):
+    """The C4 line-and-document cleaning rules (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2), as JVM higher-order expressions:
+
+    - keep a line only if it ends in terminal punctuation (. ! ? or "),
+      has >= 5 words, and does not contain the word 'javascript'
+      (case-insensitive);
+    - drop the whole document if it contains 'lorem ipsum' (any case) or
+      a curly brace '{' (code), or if fewer than 3 lines survive.
+
+    Emits (id, text_clean = surviving lines joined by newline, n_lines,
+    n_kept, keep). Lines split on bare newline; the word test reuses the
+    corpus tokenization (split on whitespace runs). One scan, no shuffle,
+    no Python."""
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    is_kept = lambda l: (  # noqa: E731
+        F.rtrim(l).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    doc_ok = (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (F.size(kept) >= 3)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        doc_ok.alias("keep"),
+    )
+
+
 def chunk_tokens(text: Column, chunk_size: int = 50, stride: int = 40) -> Column:
     """Tokenizer-ready chunking for training-data prep: overlapping windows
     of whitespace tokens, re-joined with single spaces. n_chunks =

@@ -293,3 +293,80 @@ def test_canonicalize_and_normalize_idempotent(spark):
     n2 = n1.select(F.col("t").alias("orig"), normalize_text(F.col("t")).alias("t2"))
     bad2 = n2.where(F.col("orig") != F.col("t2")).collect()
     assert not bad2, bad2[:3]
+
+
+# --- gopher_filter / c4_line_filter ---------------------------------------------
+
+_GOOD_DOC = " ".join(
+    "the data and results have merit with careful analysis of every part"
+    .split() * 6
+)  # 72 words, all alphabetic, plenty of stopwords
+
+
+def _gopher(spark, rows):
+    df = spark.createDataFrame(rows, "id long, text string")
+    return {r["id"]: r for r in ta.gopher_filter(df, "id", "text").collect()}
+
+
+def test_gopher_passes_clean_doc(spark):
+    r = _gopher(spark, [(1, _GOOD_DOC)])[1]
+    assert r["keep"] and all(
+        r[k] for k in ("ok_words", "ok_mwl", "ok_symbols", "ok_bullets",
+                       "ok_ellipsis", "ok_alpha", "ok_stopwords"))
+    assert r["n_words"] == 72 and r["n_stopwords"] >= 2
+
+
+def test_gopher_individual_rules(spark):
+    got = _gopher(spark, [
+        (1, "too few words here."),                       # word count
+        (2, " ".join(["a"] * 60)),                        # mwl < 3
+        (3, _GOOD_DOC + " " + "# " * 20),                 # symbol ratio
+        (4, "\n".join(["- b " + _GOOD_DOC[:40]] * 10)),   # bullets > 0.9
+        (5, "\n".join([_GOOD_DOC[:60] + "..."] * 5)),     # ellipsis > 0.3
+        (6, _GOOD_DOC + " " + "123 456 789 " * 8),        # alpha < 0.8
+        (7, " ".join(["datum rows columns"] * 30)),       # no stopwords
+    ])
+    assert not got[1]["ok_words"]
+    assert not got[2]["ok_mwl"]
+    assert not got[3]["ok_symbols"]
+    assert not got[4]["ok_bullets"]
+    assert not got[5]["ok_ellipsis"]
+    assert not got[6]["ok_alpha"]
+    assert not got[7]["ok_stopwords"] and got[7]["n_stopwords"] == 0
+    assert not any(r["keep"] for r in got.values())
+
+
+def test_gopher_unicode_ellipsis_and_blank(spark):
+    got = _gopher(spark, [(1, _GOOD_DOC + "\nto be continued…"), (2, "")])
+    assert got[1]["ellipsis_ratio"] == 0.5
+    assert got[2]["n_words"] == 0 and not got[2]["keep"]
+
+
+def test_c4_line_filter_rules(spark):
+    rows = [
+        (1, "this good sentence has enough words in it.\n"
+            "short one.\n"
+            "no terminal punctuation on this longer line here\n"
+            "enable javascript to view this page properly.\n"
+            "another proper closing sentence with several words.\n"
+            "a third proper closing sentence with several words!"),
+        (2, "only one good sentence lives in this document here.\nnope\nnope"),
+        (3, "lorem ipsum dolor sit amet is fine to spot.\n"
+            "second proper sentence with more than five words.\n"
+            "third proper sentence with more than five words."),
+        (4, "var f = function() { return 1; } and so on it goes.\n"
+            "second proper sentence with more than five words.\n"
+            "third proper sentence with more than five words."),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in ta.c4_line_filter(df, "id", "text").collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 6 and r1["n_kept"] == 3 and r1["keep"]
+    assert "short one." not in r1["text_clean"]
+    assert "javascript" not in r1["text_clean"].lower()
+    assert "no terminal" not in r1["text_clean"]
+    assert not got[2]["keep"]          # < 3 surviving lines
+    assert got[2]["n_kept"] == 1
+    assert not got[3]["keep"]          # lorem ipsum
+    assert not got[4]["keep"]          # curly brace
+    assert got[3]["n_kept"] == 3       # lines survive; doc flag kills it
