@@ -665,11 +665,14 @@ def dup_ngram_mask(
     keys back onto occurrences is skewed on mega-grams (a boilerplate
     sentence in 10^9 docs), but the build side is one row per key so AQE's
     skew split handles it. Coverage is NOT exploded k ways: duplicated
-    occurrence positions aggregate per doc (one shuffle of positions), and
-    the per-token interval test runs as a JVM higher-order function
-    (F.filter with index) — no Python, no per-token rows. Reference analog:
-    the once-per-frame duplicate-read guard generalized to corpus scale
-    (/root/reference/processing/ocr.py fuel single-read semantics)."""
+    occurrence positions aggregate per doc (one shuffle of positions), are
+    MERGED into disjoint intervals with one sorted JVM aggregate pass, and
+    the per-token test runs against the merged intervals (F.filter with
+    index) — so a fully-duplicated 100k-token doc tests each token against
+    ONE interval, not 100k positions; the worst case is alternating
+    coverage (n/2k intervals), not O(n^2). No Python anywhere. Reference
+    analog: the once-per-frame duplicate-read guard generalized to corpus
+    scale (/root/reference/processing/ocr.py fuel single-read semantics)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("t"),
@@ -698,13 +701,34 @@ def dup_ngram_mask(
         .groupBy("id")
         .agg(F.collect_list("pos").alias("dpos"))
     )
+    empty_ivl = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+
+    def merge_step(acc, p):
+        last = F.element_at(acc, -1)
+        grown = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1),
+            F.array(F.struct(
+                last["s"].alias("s"),
+                F.greatest(last["e"], p + k).alias("e"))),
+        )
+        appended = F.concat(
+            acc, F.array(F.struct(p.alias("s"), (p + k).alias("e"))))
+        return F.when(
+            (F.size(acc) > 0) & (last["e"] >= p), grown
+        ).otherwise(appended)
+
     joined = toks.join(dpos, "id", "left").select(
-        "id", "t", F.coalesce(F.col("dpos"), F.array().cast("array<int>")).alias("dpos")
+        "id", "t",
+        F.aggregate(
+            F.array_sort(
+                F.coalesce(F.col("dpos"), F.array().cast("array<int>"))),
+            empty_ivl, merge_step,
+        ).alias("ivl"),
     )
     kept = F.filter(
         F.col("t"),
         lambda tok, i: ~F.exists(
-            F.col("dpos"), lambda p: (p <= i) & (i < p + k)
+            F.col("ivl"), lambda iv: (iv["s"] <= i) & (i < iv["e"])
         ),
     )
     return joined.select(

@@ -640,15 +640,19 @@ def gif_frames(
         bg_rgb = np.zeros(3, dtype=np.uint8)
 
     start = start_frame or 0
-    wanted = None  # None = unbounded; else a set for O(1) membership
+    # pure arithmetic, never a materialized index set: stop is exclusive,
+    # last_wanted the largest on-grid index below it (None = sample to EOF)
     if end_frame is not None or max_frames is not None:
         stop = end_frame if end_frame is not None else (1 << 31)
         if max_frames is not None:
             stop = min(stop, start + max_frames * sample_rate)
-        wanted = set(range(start, stop, sample_rate))
-        last_wanted = max(wanted) if wanted else -1
+        if stop > start:
+            last_wanted = start + ((stop - 1 - start) // sample_rate) * sample_rate
+        else:
+            last_wanted = -1
     else:
-        last_wanted = None  # sample to EOF
+        stop = None
+        last_wanted = None
 
     canvas = np.empty((sh, sw, 3), dtype=np.uint8)
     canvas[:] = bg_rgb
@@ -741,7 +745,7 @@ def gif_frames(
             rect[:] = frame_rgb
 
         sampled = (fi >= start and (fi - start) % sample_rate == 0
-                   and (wanted is None or fi in wanted))
+                   and (stop is None or fi < stop))
         if sampled:
             luma = canvas.astype(np.float64) @ REC601
             feat = luma_features(luma, 3)
@@ -757,6 +761,10 @@ def gif_frames(
         if last_wanted is not None and fi >= last_wanted:
             decode_pixels = False  # keep scanning headers for n_frames only
 
+    if n_frames == 0:
+        # same contract as decode_gif: a structurally valid but frameless
+        # file is an error row, never a silently vanishing id
+        raise ValueError("GIF contains no image frame")
     for feat in out:
         feat["n_frames"] = int(n_frames)
     return out

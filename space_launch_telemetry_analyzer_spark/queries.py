@@ -1349,6 +1349,143 @@ FROM documents
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules end-to-end (late r5): each doc becomes a
+    4-line page — a text slice with a stopword-bearing terminal sentence,
+    a bullet line (doc_id%3==0) or a second slice, an ellipsis line
+    (doc_id%5==0) or a stopword line, and a hash-spam line (doc_id%7==0)
+    or a third slice — so every rule fires on some stratum (word count,
+    mean word length, symbol/bullet/ellipsis ratios, alpha fraction,
+    stopword presence). The oracle rebuilds the same text and recomputes
+    every stat and rule with DuckDB list ops; ratios are exact
+    integer-count divisions so the hash is bitwise."""
+    docs = load(spark, sf_dir, "documents")
+    l1 = F.concat(F.substring("text", 1, 120), F.lit(" and the results."))
+    l2 = F.when(F.col("doc_id") % 3 == 0, F.lit("- item one of the list")) \
+        .otherwise(F.concat(F.substring("text", 121, 100),
+                            F.lit(" to have with that.")))
+    l3 = F.when(F.col("doc_id") % 5 == 0, F.lit("to be continued...")) \
+        .otherwise(F.lit("be that as it may."))
+    l4 = F.when(F.col("doc_id") % 7 == 0, F.lit("#### #### #### ####")) \
+        .otherwise(F.substring("text", 221, 80))
+    corpus = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws("\n", l1, l2, l3, l4).alias("text"))
+    return TA.gopher_filter(corpus, "id", "text")
+
+
+_SQL_GOPHER_TEXT = (
+    "substr(text, 1, 120) || ' and the results.' || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '- item one of the list' "
+    "ELSE substr(text, 121, 100) || ' to have with that.' END || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' "
+    "ELSE 'be that as it may.' END || chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#### #### #### ####' "
+    "ELSE substr(text, 221, 80) END"
+)
+
+ORACLE_GOPHER_FILTER = rf"""
+WITH corpus AS (SELECT doc_id AS id, {_SQL_GOPHER_TEXT} AS t FROM documents),
+stats AS (
+  SELECT id,
+         len(regexp_split_to_array(trim(t), '\s+')) AS n_words,
+         round(CAST(length(regexp_replace(trim(t), '\s+', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(t), '\s+')), 6) AS mean_word_len,
+         CAST((length(t) - length(replace(t, '#', '')))
+              + (length(replace(t, '…', '...'))
+                 - length(replace(replace(t, '…', '...'), '...', ''))) // 3
+              AS DOUBLE)
+           / len(regexp_split_to_array(trim(t), '\s+')) AS symbol_ratio,
+         CAST(len(list_filter(string_split(t, chr(10)),
+                              l -> regexp_matches(ltrim(l), '^[•\-*]')))
+              AS DOUBLE) / len(string_split(t, chr(10))) AS bullet_ratio,
+         CAST(len(list_filter(string_split(t, chr(10)),
+                              l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+              AS DOUBLE) / len(string_split(t, chr(10))) AS ellipsis_ratio,
+         CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+                              w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / len(regexp_split_to_array(trim(t), '\s+')) AS alpha_ratio,
+         CAST(len(list_intersect(
+                list_distinct(list_transform(
+                  regexp_split_to_array(trim(t), '\s+'), w -> lower(w))),
+                ['the','be','to','of','and','that','have','with'])) AS INT)
+           AS n_stopwords
+  FROM corpus)
+SELECT id, CAST(n_words AS INT) AS n_words, mean_word_len, symbol_ratio,
+       bullet_ratio, ellipsis_ratio, alpha_ratio, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS ok_words,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mwl,
+       (symbol_ratio <= 0.1) AS ok_symbols,
+       (bullet_ratio <= 0.9) AS ok_bullets,
+       (ellipsis_ratio <= 0.3) AS ok_ellipsis,
+       (alpha_ratio >= 0.8) AS ok_alpha,
+       (n_stopwords >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        AND n_stopwords >= 2) AS keep
+FROM stats
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules end-to-end (late r5): 5-line pages exercising
+    every rule — a long terminal-punctuated slice, a short line (< 5
+    words, dropped), a javascript notice (doc_id%4==0, dropped) or a
+    second slice, an unterminated slice (dropped), and a closing
+    sentence; doc_id%11==3 plants 'lorem ipsum' and doc_id%13==5 plants a
+    curly-brace code line, killing the whole document. Oracle rebuilds
+    the text and reapplies the rules with list ops."""
+    docs = load(spark, sf_dir, "documents")
+    l1 = F.concat(F.substring("text", 1, 150), F.lit(" sentence one."))
+    l2 = F.lit("short line.")
+    l3 = F.when(F.col("doc_id") % 4 == 0,
+                F.lit("enable JavaScript to view this page.")) \
+        .otherwise(F.concat(F.substring("text", 151, 150),
+                            F.lit(" sentence two.")))
+    l4 = F.when(F.col("doc_id") % 13 == 5, F.lit("function() { return; }")) \
+        .otherwise(F.substring("text", 301, 120))
+    l5 = F.when(F.col("doc_id") % 11 == 3,
+                F.lit("this closing line is pure lorem ipsum filler text.")) \
+        .otherwise(F.lit("this is the final line with many words indeed."))
+    corpus = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws("\n", l1, l2, l3, l4, l5).alias("text"))
+    return TA.c4_line_filter(corpus, "id", "text")
+
+
+_SQL_C4_TEXT = (
+    "substr(text, 1, 150) || ' sentence one.' || chr(10) || "
+    "'short line.' || chr(10) || "
+    "CASE WHEN doc_id % 4 = 0 THEN 'enable JavaScript to view this page.' "
+    "ELSE substr(text, 151, 150) || ' sentence two.' END || chr(10) || "
+    "CASE WHEN doc_id % 13 = 5 THEN 'function() { return; }' "
+    "ELSE substr(text, 301, 120) END || chr(10) || "
+    "CASE WHEN doc_id % 11 = 3 "
+    "THEN 'this closing line is pure lorem ipsum filler text.' "
+    "ELSE 'this is the final line with many words indeed.' END"
+)
+
+ORACLE_C4_LINE_FILTER = rf"""
+WITH corpus AS (SELECT doc_id AS id, {_SQL_C4_TEXT} AS t FROM documents),
+marked AS (
+  SELECT id, t,
+         list_filter(string_split(t, chr(10)),
+                     l -> regexp_matches(rtrim(l), '[.!?"]$')
+                          AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                          AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM corpus)
+SELECT id,
+       array_to_string(kept, chr(10)) AS text_clean,
+       CAST(len(string_split(t, chr(10))) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{')
+        AND len(kept) >= 3) AS keep
+FROM marked
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -2583,10 +2720,12 @@ def q_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(MM.encode_gif_anim(w, h, frames))
             yield pd.DataFrame({"doc_id": ids, "payload": blobs})
 
-    blobs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    # filter BEFORE the opaque mapInPandas: Catalyst cannot push a
+    # predicate through it, and the Python GIF-encode dominates this query
     parts = [
         MM.animation_frames(
-            blobs.where(F.col("doc_id") % 3 == rate - 1),
+            docs.where(F.col("doc_id") % 3 == rate - 1)
+                .mapInPandas(synth, "doc_id long, payload binary"),
             "doc_id", "payload", sample_rate=rate,
         )
         for rate in (1, 2, 3)
@@ -3531,6 +3670,8 @@ QUERIES = {
     "kmeans_centroids": q_kmeans_centroids,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "gopher_filter": q_gopher_filter,
+    "c4_line_filter": q_c4_line_filter,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
@@ -3608,6 +3749,8 @@ ORACLES = {
     "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "gopher_filter": ORACLE_GOPHER_FILTER,
+    "c4_line_filter": ORACLE_C4_LINE_FILTER,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "fingerprint": ORACLE_FINGERPRINT,
     "binary_meta": ORACLE_BINARY_META,
@@ -3697,6 +3840,8 @@ _LAST_DRIVER_CHECK = {
     "dup_ngram_mask": 0,
     "hreflang_clusters": 0,
     "cdx_index": 0,
+    "gopher_filter": 0,
+    "c4_line_filter": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3778,8 +3923,15 @@ _LAST_DRIVER_CHECK = {
 
 # r5 window: the 25 queries unsampled in r4 lead; the other 25 slots
 # re-check operators being touched this round (codec/plot/layout/
-# multimodal/kernel) plus the flagship/heavy watch list; the tail is
-# the r4-green queries whose code paths are untouched in r5.
+# multimodal/kernel) plus the never-checked late-r5 additions; the tail
+# is the r4-green queries whose code paths are untouched in r5.
+# Deliberate late-r5 displacements to fit the 10 new queries (all r4-green,
+# all legal below the horizon under the staleness rule, each with an
+# in-window stand-in exercising the same code): pdf_layout (pdf_winansi
+# covers layout.py deeper), pagerank+kmeans (graph/similarity untouched
+# since r3, r5 A/B-adjudicated BENCH.md #33), minhash_pairs+dedup_survivors
+# (paragraph_dedup/dup_ngram_mask exercise dedup.py; minhash path itself
+# untouched), ann/ivf_ann (similarity untouched).
 _REGISTRY_ORDER = [
     # -- stale (last check r3): must be inside the window -------------
     "metric_sweep",
@@ -3809,7 +3961,6 @@ _REGISTRY_ORDER = [
     "path_identity",
     # -- operators touched in r5 + flagship/heavy watch list ----------
     "plot_sink",
-    "pdf_layout",
     "pdf_winansi",
     "page_metadata",
     "hreflang_clusters",
@@ -3832,8 +3983,11 @@ _REGISTRY_ORDER = [
     "cdx_index",
     "paragraph_dedup",
     "dup_ngram_mask",
-    "pagerank",
+    "gopher_filter",
+    "c4_line_filter",
     # ---------------- sampling horizon (50) ends here ----------------
+    "pdf_layout",
+    "pagerank",
     "dedup_survivors",
     "minhash_pairs",
     "ann_lsh_topk",

@@ -262,7 +262,7 @@ def write_warc(
 
     os.makedirs(path, exist_ok=True)
     for stale in os.listdir(path):
-        if stale.startswith("part-") and (".warc" in stale or stale.endswith(".cdx")):
+        if stale.startswith("part-") and (".warc" in stale or ".cdx" in stale):
             os.remove(os.path.join(path, stale))
 
     # render the WARC-Date wall clock in UTC independent of session tz:
@@ -321,6 +321,13 @@ def write_warc(
                 data = gzip.compress(record) if gzip_records else record
                 f.write(data)
                 if cdx:
+                    if row.url and (" " in row.url or "\n" in row.url):
+                        # the 7-field index is space-delimited; fail fast at
+                        # write time instead of corrupting load_cdx's split
+                        raise ValueError(
+                            f"cdx=True requires space-free urls (canonicalize "
+                            f"upstream): {row.url!r}"
+                        )
                     ts14 = re.sub(r"[^0-9]", "", row.ts or "")
                     cdx_lines.append(
                         f"{row.urlkey} {ts14} {row.url} "
@@ -338,10 +345,13 @@ def write_warc(
                         cf.writelines(cdx_lines)
                     os.replace(cdx_tmp, cdx_target)
         finally:
-            if f is not None:  # failed mid-write: drop the partial temp
+            if f is not None:
                 f.close()
-                if os.path.exists(tmp):
-                    os.remove(tmp)
+            # failed mid-write: drop whatever partial temps remain (after a
+            # clean finish both were atomically renamed away — no-op then)
+            for partial in (tmp, cdx_tmp):
+                if os.path.exists(partial):
+                    os.remove(partial)
         return iter(())
 
     # mapPartitions is the sanctioned last resort here: the unit of work IS
@@ -391,10 +401,16 @@ def cdx_fetch(cdx: DataFrame) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F401
 
+    _cols = ["urlkey", "ts14", "url", "sha1", "offset", "length", "filename"]
+
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
+            # mapInPandas matches the declared schema POSITIONALLY: pin the
+            # index-column order so a reordered/extended input cannot
+            # silently swap string columns (missing columns KeyError loudly)
+            pdf = pdf[_cols]
             fetched, sha, nb, ok, err = [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 try:

@@ -549,3 +549,22 @@ def test_animation_frames_operator_and_error_channel(spark):
     assert got[(2, None)]["error"].startswith("ValueError")
     assert got[(3, None)]["error"] == "ValueError: null payload"
     assert got[(1, 0)]["error"] is None
+
+
+def test_gif_frames_frameless_file_raises_and_error_rows(spark):
+    frameless = bytes(M.encode_gif(_gray(2, 2))[:13]) + \
+        bytes(M.encode_gif(_gray(2, 2))[13:13 + 768]) + b"\x3b"
+    with pytest.raises(ValueError, match="no image frame"):
+        M.gif_frames(frameless)
+    # the distributed operator turns it into an error ROW (id never vanishes)
+    df = spark.createDataFrame([(5, bytearray(frameless))],
+                               "media_id long, payload binary")
+    rows = M.animation_frames(df, "media_id", "payload").collect()
+    assert len(rows) == 1 and rows[0]["error"].startswith("ValueError")
+
+
+def test_gif_frames_large_end_bound_is_cheap():
+    p = _anim_payload()
+    # a huge 'to the end' sentinel must not materialize an index set
+    got = M.gif_frames(p, sample_rate=2, end_frame=10**12)
+    assert [f["frame_index"] for f in got] == [0, 2]

@@ -332,3 +332,28 @@ def test_cdx_uncompressed_archive(spark, tmp_path):
     W.write_warc(_cdx_fixture_df(spark), out, gzip_records=False, cdx=True)
     res = W.cdx_fetch(W.load_cdx(spark, out)).collect()
     assert len(res) == 6 and all(r["ok"] for r in res)
+
+
+def test_cdx_rejects_space_in_url(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://h.example/a b", "2024-05-01T12:00:00Z", b"x")],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = str(tmp_path / "w")
+    import os
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="space-free"):
+        W.write_warc(df, out, cdx=True)
+    # failed task left no partial temp files behind
+    leftovers = [f for f in os.listdir(out) if "inprogress" in f]
+    assert leftovers == []
+
+
+def test_cdx_fetch_tolerates_reordered_input(spark, tmp_path):
+    out = str(tmp_path / "w")
+    W.write_warc(_cdx_fixture_df(spark), out, cdx=True)
+    shuffled = W.load_cdx(spark, out).select(
+        "filename", "length", "offset", "sha1", "url", "ts14", "urlkey")
+    res = W.cdx_fetch(shuffled).collect()
+    assert len(res) == 6 and all(r["ok"] for r in res)
+    assert all(r["ts14"].startswith("2024") for r in res)
