@@ -520,3 +520,74 @@ def normalize_nfc(df, text_col: str = "text", out_col: str = "text_nfc"):
         list(df.schema.fields) + [StructField(out_col, StringType())]
     )
     return df.mapInArrow(kernel, schema=out_schema)
+
+
+def pack_sequences(df, id_col: str, text_col: str, seq_len: int = 2048,
+                   partitions: int | None = None):
+    """GPT-style training-sequence packing: documents are concatenated in
+    `id_col` order and the token stream is split every `seq_len` tokens
+    (concat-and-split, the standard pretraining layout). Emits one row per
+    (document, sequence) overlap: (id, n_tokens, global_start, seq_id,
+    start_tok, end_tok, n_seq_toks) where start/end_tok are the doc-local
+    token span feeding that sequence — exactly what a loader needs to
+    assemble sequence seq_id without re-tokenizing neighbors. Zero-token
+    docs contribute nothing and emit no rows (documented).
+
+    Scale shape — the naive formulation is a single-reducer global window
+    (`sum(n) over (order by id)` pulls the corpus through ONE task); this
+    is the distributed prefix-sum instead: repartitionByRange(id) orders
+    partitions, a per-partition window (partitionBy spark_partition_id,
+    ~rows/P per task) computes local prefixes, per-partition totals
+    (#partitions rows, driver-scale) get their own prefix via a tiny
+    unpartitioned window, and a broadcast join adds the two. The staged
+    frame is localCheckpoint'ed because spark_partition_id over a
+    range-exchange is only deterministic WITHIN one materialization
+    (RangePartitioner re-samples per plan execution) and it feeds two
+    consumers; the checkpoint holds 3 ints/doc — ~1% of corpus bytes, the
+    price of a correct distributed cumsum. Output is provably independent
+    of the partition count (pinned by tests at 1/3/16 partitions)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n"),
+    )
+    ranged = toks.repartitionByRange(
+        *( [partitions] if partitions else [] ), "id"
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = ranged.withColumn(
+        "local_before", F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    ).localCheckpoint(eager=False)
+
+    totals = staged.groupBy("pid").agg(F.sum("n").alias("tot"))
+    w_pid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    # unpartitioned window is safe HERE only: cardinality == #partitions
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tot").over(w_pid), F.lit(0)).alias("pid_before")
+    )
+    glob = staged.join(F.broadcast(offsets), "pid").select(
+        "id", "n", (F.col("local_before") + F.col("pid_before")).alias("gs")
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    first = F.expr(f"gs div {int(seq_len)}")
+    last = F.expr(f"(gs + n - 1) div {int(seq_len)}")
+    spans = glob.where(F.col("n") > 0).select(
+        "id", "n", "gs", F.explode(F.sequence(first, last)).alias("seq_id")
+    )
+    return spans.select(
+        "id",
+        F.col("n").alias("n_tokens"),
+        F.col("gs").alias("global_start"),
+        "seq_id",
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("seq_id") * L - F.col("gs")).alias("start_tok"),
+        F.least(F.col("n"),
+                (F.col("seq_id") + 1) * L - F.col("gs")).alias("end_tok"),
+        (F.least(F.col("n"), (F.col("seq_id") + 1) * L - F.col("gs"))
+         - F.greatest(F.lit(0).cast("long"),
+                      F.col("seq_id") * L - F.col("gs"))).alias("n_seq_toks"),
+    )

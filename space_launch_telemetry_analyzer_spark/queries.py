@@ -1486,6 +1486,46 @@ FROM marked
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing end-to-end (late r5): concat-and-split at
+    seq_len=128 over documents in doc_id order via the DISTRIBUTED
+    prefix-sum (range partition -> per-partition window -> tiny
+    partition-offset window -> broadcast join; no single-reducer global
+    window anywhere). The oracle computes the same packing with DuckDB's
+    global window cumsum — legitimate at 500 rows, the very thing the
+    operator exists to avoid at 10^12 — so any prefix, boundary, or span
+    arithmetic divergence fails the hash. Partition-count invariance is
+    pinned separately in tests (1/3/16 partitions, identical output)."""
+    docs = load(spark, sf_dir, "documents")
+    return TA.pack_sequences(
+        docs.select("doc_id", "text"), "doc_id", "text", seq_len=128)
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents),
+pre AS (
+  SELECT id, CAST(n AS BIGINT) AS n,
+         CAST(coalesce(sum(n) OVER (ORDER BY id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS gs
+  FROM toks),
+spans AS (
+  SELECT id, n, gs,
+         unnest(range(gs // 128, (gs + n - 1) // 128 + 1)) AS seq_id
+  FROM pre WHERE n > 0)
+SELECT id, n AS n_tokens, gs AS global_start, seq_id,
+       CAST(greatest(0, seq_id * 128 - gs) AS BIGINT) AS start_tok,
+       CAST(least(n, (seq_id + 1) * 128 - gs) AS BIGINT) AS end_tok,
+       CAST(least(n, (seq_id + 1) * 128 - gs)
+            - greatest(0, seq_id * 128 - gs) AS BIGINT) AS n_seq_toks
+FROM spans
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -3672,6 +3712,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "gopher_filter": q_gopher_filter,
     "c4_line_filter": q_c4_line_filter,
+    "pack_sequences": q_pack_sequences,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
@@ -3751,6 +3792,7 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "gopher_filter": ORACLE_GOPHER_FILTER,
     "c4_line_filter": ORACLE_C4_LINE_FILTER,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "fingerprint": ORACLE_FINGERPRINT,
     "binary_meta": ORACLE_BINARY_META,
@@ -3842,6 +3884,7 @@ _LAST_DRIVER_CHECK = {
     "cdx_index": 0,
     "gopher_filter": 0,
     "c4_line_filter": 0,
+    "pack_sequences": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3931,7 +3974,9 @@ _LAST_DRIVER_CHECK = {
 # covers layout.py deeper), pagerank+kmeans (graph/similarity untouched
 # since r3, r5 A/B-adjudicated BENCH.md #33), minhash_pairs+dedup_survivors
 # (paragraph_dedup/dup_ngram_mask exercise dedup.py; minhash path itself
-# untouched), ann/ivf_ann (similarity untouched).
+# untouched), ann/ivf_ann (similarity untouched), extract_field_spans
+# (extract_main_text keeps the reworked lexer kernel in-window; the
+# field-span decision layer is r4-green and bitwise-gated locally).
 _REGISTRY_ORDER = [
     # -- stale (last check r3): must be inside the window -------------
     "metric_sweep",
@@ -3979,13 +4024,14 @@ _REGISTRY_ORDER = [
     "tiff_decode",
     "wav_decode",
     "extract_main_text",
-    "extract_field_spans",
     "cdx_index",
+    "pack_sequences",
     "paragraph_dedup",
     "dup_ngram_mask",
     "gopher_filter",
     "c4_line_filter",
     # ---------------- sampling horizon (50) ends here ----------------
+    "extract_field_spans",
     "pdf_layout",
     "pagerank",
     "dedup_survivors",

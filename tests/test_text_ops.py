@@ -370,3 +370,43 @@ def test_c4_line_filter_rules(spark):
     assert not got[3]["keep"]          # lorem ipsum
     assert not got[4]["keep"]          # curly brace
     assert got[3]["n_kept"] == 3       # lines survive; doc flag kills it
+
+
+# --- pack_sequences -------------------------------------------------------------
+
+def test_pack_sequences_partition_invariant_and_exact(spark):
+    rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(50)] \
+        + [(50, ""), (51, "x")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    outs = [sorted(tuple(r) for r in
+                   ta.pack_sequences(df, "id", "text", seq_len=16,
+                                     partitions=p).collect())
+            for p in (1, 3, 16)]
+    # the distributed prefix-sum must not depend on the partition count
+    assert outs[0] == outs[1] == outs[2]
+    per_seq: dict = {}
+    for (_id, n, gs, seq, st, en, k) in outs[0]:
+        assert 0 <= st < en <= n and k == en - st
+        per_seq[seq] = per_seq.get(seq, 0) + k
+    seqs = sorted(per_seq)
+    # every sequence is exactly full except possibly the last
+    assert all(per_seq[s] == 16 for s in seqs[:-1])
+    assert sum(per_seq.values()) == sum(5 + i % 7 for i in range(50)) + 1
+    # zero-token docs emit nothing; sequences are contiguous from 0
+    assert 50 not in {r[0] for r in outs[0]}
+    assert seqs == list(range(len(seqs)))
+
+
+def test_pack_sequences_doc_spanning_many_sequences(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(["t"] * 40)), (3, "z")],
+        "id long, text string")
+    out = sorted(tuple(r) for r in
+                 ta.pack_sequences(df, "id", "text", seq_len=8).collect())
+    # doc 2 (40 tokens at global offset 3) spans sequences 0..5
+    doc2 = [r for r in out if r[0] == 2]
+    assert [r[3] for r in doc2] == [0, 1, 2, 3, 4, 5]
+    assert doc2[0][4:] == (0, 5, 5)     # fills seq 0 after doc 1's 3 tokens
+    assert doc2[-1][4:] == (37, 40, 3)  # tail lands in seq 5
+    doc3 = [r for r in out if r[0] == 3][0]
+    assert doc3[3] == 5 and doc3[4:] == (0, 1, 1)
