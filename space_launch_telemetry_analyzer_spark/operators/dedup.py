@@ -649,6 +649,7 @@ def dup_ngram_mask(
     text_col: str,
     k: int = 10,
     max_count: int = 1,
+    exact: bool = True,
 ) -> DataFrame:
     """Exact-substring dedup at span granularity (the masking variant of Lee
     et al. arXiv:2107.06499 §4.1 used by Dolma/RefinedWeb-style CC pipelines):
@@ -672,22 +673,33 @@ def dup_ngram_mask(
     ONE interval, not 100k positions; the worst case is alternating
     coverage (n/2k intervals), not O(n^2). No Python anywhere. Reference
     analog: the once-per-frame duplicate-read guard generalized to corpus
-    scale (/root/reference/processing/ocr.py fuel single-read semantics)."""
+    scale (/root/reference/processing/ocr.py fuel single-read semantics).
+
+    `exact=True` (default) keys grams on md5 of the joined gram string —
+    collision-free in practice (128-bit). `exact=False` keys on
+    xxhash64 of the token-slice ARRAY: no per-gram string build at all and
+    an 8-byte shuffle key (measured 1.5x on the hash stages at 55M grams,
+    BENCH.md #36), at the cost of 64-bit collisions — guaranteed present
+    beyond ~4x10^9 distinct grams (birthday bound), each one masking a
+    few extra tokens. That is the trade Lee et al. make too; pick per
+    corpus size and tolerance."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("t"),
     )
     n = F.size(F.col("t"))
+    if exact:
+        keyfn = lambda i: F.md5(  # noqa: E731
+            F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)))
+        empty = F.array().cast("array<string>")
+    else:
+        keyfn = lambda i: F.xxhash64(F.slice(F.col("t"), i + 1, k))  # noqa: E731
+        empty = F.array().cast("array<long>")
     grams = toks.select(
         "id",
         F.posexplode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(0), n - k),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), keyfn))
+            .otherwise(empty)
         ).alias("pos", "gh"),
     )
     dup = (

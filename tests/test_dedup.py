@@ -387,3 +387,13 @@ def test_dup_ngram_mask_case_sensitive(spark):
     ], k=5)
     # case differs -> different grams -> nothing masked
     assert got[1][2] == 0 and got[2][2] == 0
+
+
+def test_dup_ngram_mask_exact_and_hashed_agree(spark):
+    rows = [(i, f"a b c d e f tail{i} x y z") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = sorted(tuple(r) for r in
+               D.dup_ngram_mask(df, "id", "text", k=5, exact=True).collect())
+    b = sorted(tuple(r) for r in
+               D.dup_ngram_mask(df, "id", "text", k=5, exact=False).collect())
+    assert a == b
