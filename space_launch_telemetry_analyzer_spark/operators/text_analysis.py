@@ -591,3 +591,66 @@ def pack_sequences(df, id_col: str, text_col: str, seq_len: int = 2048,
          - F.greatest(F.lit(0).cast("long"),
                       F.col("seq_id") * L - F.col("gs"))).alias("n_seq_toks"),
     )
+
+
+def bm25_topk(df, id_col: str, text_col: str, query_terms: list,
+              k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k retrieval (Robertson/Spärck Jones; the Okapi formula with
+    the +1 idf of Lucene: idf = ln(1 + (N - df + 0.5)/(df + 0.5))) for a
+    FIXED query over the corpus. Per-term term frequencies come from a
+    higher-order `F.filter` count over the token array — no term explode,
+    no per-term shuffle; the only aggregations are ONE global stats row
+    (N, avgdl, per-term df — broadcast back) and the final TakeOrdered
+    top-k. Per-term contributions are summed in the fixed query-term
+    order as one expression, NOT via a float groupBy-sum, so the score is
+    bit-deterministic and the DuckDB oracle hashes it (ln verified
+    bitwise-identical across both engines on this platform).
+
+    Returns the top `k` rows (id, dl, tf_<term>..., score), ties broken
+    by id. Scale shape: one corpus scan + a 1-row broadcast + TakeOrdered
+    (per-partition top-k then driver merge of P*k rows) — nothing
+    shuffles the corpus."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def term_eq(term: str):
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda would be read by F.filter as the (element, index) form
+        # and bind the index over the default (the pyspark arity pitfall)
+        return lambda x: x == F.lit(term)
+
+    sel = [F.col(id_col).alias("id"), F.size(toks).alias("dl")]
+    for i, t in enumerate(query_terms):
+        sel.append(F.size(F.filter(toks, term_eq(t))).alias(f"tf{i}"))
+    base = df.select(*sel)
+    # NOT F.avg: Spark's Average accumulates DOUBLES for integral input
+    # (order-dependent, 1-ulp off DuckDB's exact-integer-sum average);
+    # exact long sum / count is correctly rounded on both engines
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ]
+    for i in range(len(query_terms)):
+        aggs.append(
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}"))
+    g = base.agg(*aggs)
+    j = base.crossJoin(F.broadcast(g))
+
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5)))
+        part = F.when(
+            tf > 0,
+            idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    out_cols = ["id", "dl"] + [f"tf{i}" for i in range(len(query_terms))]
+    return (
+        j.select(*out_cols, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -1936,6 +1936,63 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval end-to-end (late r5): Okapi/Lucene +1-idf scoring of
+    the fixed query (table, spark, merge) over documents, top 15. The
+    oracle mirrors the arithmetic TERM BY TERM in the same parenthesized
+    order (ln verified bitwise-identical across engines), so tf, df,
+    avgdl, idf, the length norm, and the tie-break all hash exactly —
+    except ln itself: Java Math.log is permitted (and measured) 1 ulp off
+    glibc's correctly-rounded log, so the driver-facing score is rounded
+    to 6 decimals on both sides (the tfidf_topk precedent); ordering and
+    the operator's own output stay full-precision."""
+    docs = load(spark, sf_dir, "documents")
+    out = TA.bm25_topk(
+        docs, "doc_id", "text", ["table", "spark", "merge"], k=15)
+    return out.withColumn("score", F.round("score", 6))
+
+
+def _sql_bm25_part(i: int) -> str:
+    # every fractional literal is ::DOUBLE: DuckDB reads bare 2.2 as
+    # DECIMAL, making tf*2.2 EXACT decimal 6.6 instead of the binary
+    # double 6.6000000000000005 Spark computes — a 1-ulp score drift
+    return (
+        f"CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0::DOUBLE + (n - df{i} + 0.5::DOUBLE) / (df{i} + 0.5::DOUBLE)) "
+        f"* (tf{i} * 2.2::DOUBLE) / (tf{i} + 1.2::DOUBLE * "
+        f"(0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl))) "
+        f"ELSE 0.0::DOUBLE END"
+    )
+
+
+ORACLE_BM25_TOPK = rf"""
+WITH d AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+base AS (
+  SELECT id, CAST(len(t) AS INT) AS dl,
+         CAST(len(list_filter(t, x -> x = 'table')) AS INT) AS tf0,
+         CAST(len(list_filter(t, x -> x = 'spark')) AS INT) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'merge')) AS INT) AS tf2
+  FROM d),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base)
+SELECT id, dl, tf0, tf1, tf2, round(score, 6) + 0 AS score
+FROM (
+  SELECT id, dl, tf0, tf1, tf2,
+         {_sql_bm25_part(0)} + {_sql_bm25_part(1)} + {_sql_bm25_part(2)}
+           AS score
+  FROM base CROSS JOIN g
+  ORDER BY score DESC, id LIMIT 15)
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus length-distribution stats per language: count, min, max,
     and exact p50/p90/p99 of n_chars (percentile_disc semantics — the
@@ -3713,6 +3770,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "c4_line_filter": q_c4_line_filter,
     "pack_sequences": q_pack_sequences,
+    "bm25_topk": q_bm25_topk,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
@@ -3793,6 +3851,7 @@ ORACLES = {
     "gopher_filter": ORACLE_GOPHER_FILTER,
     "c4_line_filter": ORACLE_C4_LINE_FILTER,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "bm25_topk": ORACLE_BM25_TOPK,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "fingerprint": ORACLE_FINGERPRINT,
     "binary_meta": ORACLE_BINARY_META,
@@ -3885,6 +3944,7 @@ _LAST_DRIVER_CHECK = {
     "gopher_filter": 0,
     "c4_line_filter": 0,
     "pack_sequences": 0,
+    "bm25_topk": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -3976,7 +4036,10 @@ _LAST_DRIVER_CHECK = {
 # (paragraph_dedup/dup_ngram_mask exercise dedup.py; minhash path itself
 # untouched), ann/ivf_ann (similarity untouched), extract_field_spans
 # (extract_main_text keeps the reworked lexer kernel in-window; the
-# field-span decision layer is r4-green and bitwise-gated locally).
+# field-span decision layer is r4-green and bitwise-gated locally),
+# plot_sink (its r5 pixel-bucket rework is pinned by golden-pixel tests
+# AND the local bitwise oracle gate every run; extract_main_text keeps
+# the window's flagship slot).
 _REGISTRY_ORDER = [
     # -- stale (last check r3): must be inside the window -------------
     "metric_sweep",
@@ -4005,7 +4068,7 @@ _REGISTRY_ORDER = [
     "span_explode",
     "path_identity",
     # -- operators touched in r5 + flagship/heavy watch list ----------
-    "plot_sink",
+    "bm25_topk",
     "pdf_winansi",
     "page_metadata",
     "hreflang_clusters",
@@ -4031,6 +4094,7 @@ _REGISTRY_ORDER = [
     "gopher_filter",
     "c4_line_filter",
     # ---------------- sampling horizon (50) ends here ----------------
+    "plot_sink",
     "extract_field_spans",
     "pdf_layout",
     "pagerank",

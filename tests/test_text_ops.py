@@ -410,3 +410,41 @@ def test_pack_sequences_doc_spanning_many_sequences(spark):
     assert doc2[-1][4:] == (37, 40, 3)  # tail lands in seq 5
     doc3 = [r for r in out if r[0] == 3][0]
     assert doc3[3] == 5 and doc3[4:] == (0, 1, 1)
+
+
+# --- bm25_topk ------------------------------------------------------------------
+
+def test_bm25_ranking_and_formula(spark):
+    import math
+    rows = [
+        (1, "table table table filler words here"),     # high tf for 'table'
+        (2, "table spark merge appear once each here"),  # all three terms
+        (3, "completely unrelated words only here now"),
+        (4, "table spark " + "pad " * 50),               # long doc penalized
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = ta.bm25_topk(df, "id", "text", ["table", "spark", "merge"], k=4)
+    got = {r["id"]: r for r in out.collect()}
+    # doc 3 matches nothing -> score 0 and ranks last
+    assert got[3]["score"] == 0.0
+    assert [r["id"] for r in out.collect()][-1] == 3
+    # doc 2 (all three terms) outranks doc 1 (one repeated term)
+    scores = {i: got[i]["score"] for i in got}
+    assert scores[2] > scores[1] > 0
+    # closed-form check of doc 3-free formula on doc 1
+    dls = {1: 6, 2: 7, 3: 6, 4: 52}
+    n, avgdl = 4, sum(dls.values()) / 4
+    def idf(dfreq):
+        return math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    want1 = idf(3) * (3 * 2.2) / (3 + 1.2 * (0.25 + 0.75 * (dls[1] / avgdl)))
+    assert got[1]["score"] == pytest.approx(want1, rel=1e-12)
+    # length normalization: doc 4 has table+spark but long dl hurts it
+    assert got[4]["dl"] == 52 and scores[4] < scores[2]
+
+
+def test_bm25_k_limit_and_tie_break(spark):
+    rows = [(i, "term filler") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = ta.bm25_topk(df, "id", "text", ["term"], k=3).collect()
+    # identical docs tie on score; id ascending breaks the tie
+    assert [r["id"] for r in out] == [0, 1, 2]
