@@ -654,3 +654,69 @@ def bm25_topk(df, id_col: str, text_col: str, query_terms: list,
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def url_blocklist_filter(df, url_col: str, domains=None, prefixes=None):
+    """UT1/adult-list-style URL curation (the blocklist pass every CC-style
+    pipeline runs before extraction): a url is blocked when its host — or
+    ANY parent domain of it — appears in `domains` (DataFrame with a
+    `domain` column), or when the url starts with any entry of `prefixes`
+    (DataFrame with `host` + `prefix` columns; keying prefixes by host
+    keeps the match an equi-join, never a theta join). Matching is
+    case-insensitive on the host, exact on the prefix. Emits the input
+    columns plus (host, blocked_domain, blocked_prefix, keep).
+
+    Scale shape: the host's suffix chain explodes to <= label-count rows
+    (~4/url), each side joins the BROADCAST blocklists on an equality key,
+    and a distinct-urls semi-aggregation marks hits — the corpus never
+    shuffles (blocklists are millions of rows at most; the corpus is
+    trillions). Reference analog: the ROI activation predicate as a
+    work-pruning gate before the expensive stage
+    (/root/reference/processing/ocr.py ROI activation)."""
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)", 1))
+    base = df.withColumn("host", host)
+
+    out = base
+    if domains is not None:
+        labels = F.split(F.col("host"), r"\.")
+        suffixes = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(labels) - 1, F.lit(0))),
+            lambda i: F.array_join(
+                F.slice(labels, i + 1, F.size(labels)), "."),
+        )
+        ex = base.select(url.alias("_u"),
+                         F.explode(suffixes).alias("_sfx"))
+        hits = (
+            ex.join(
+                F.broadcast(
+                    domains.select(F.lower(F.col("domain")).alias("_sfx"))),
+                "_sfx",
+            )
+            .select("_u").distinct()
+            .withColumn("blocked_domain", F.lit(True))
+        )
+        out = out.join(hits, out[url_col] == hits["_u"], "left").drop("_u")
+        out = out.withColumn(
+            "blocked_domain", F.coalesce("blocked_domain", F.lit(False)))
+    else:
+        out = out.withColumn("blocked_domain", F.lit(False))
+
+    if prefixes is not None:
+        p = F.broadcast(prefixes.select(
+            F.lower(F.col("host")).alias("host"),
+            F.col("prefix").alias("_pfx")))
+        ph = (
+            out.select(url.alias("_u"), "host").join(p, "host")
+            .where(F.startswith(F.col("_u"), F.col("_pfx")))
+            .select("_u").distinct()
+            .withColumn("blocked_prefix", F.lit(True))
+        )
+        out = out.join(ph, out[url_col] == ph["_u"], "left").drop("_u")
+        out = out.withColumn(
+            "blocked_prefix", F.coalesce("blocked_prefix", F.lit(False)))
+    else:
+        out = out.withColumn("blocked_prefix", F.lit(False))
+
+    return out.withColumn(
+        "keep", ~F.col("blocked_domain") & ~F.col("blocked_prefix"))

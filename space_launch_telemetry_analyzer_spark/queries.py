@@ -1993,6 +1993,56 @@ FROM (
 """
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style blocklist curation end-to-end (late r5): synthetic urls
+    spread over 10 hosts (every third with a sub. label, every seventh
+    under /ads/), a 2-entry domain blocklist that must also catch
+    subdomains via the parent-suffix chain, and a host-scoped prefix
+    blocklist. The oracle reproduces both decisions with IN/LIKE
+    arithmetic; a suffix-chain, case, or prefix-equi-join divergence
+    flips a boolean and fails the hash."""
+    docs = load(spark, sf_dir, "documents")
+    sub = F.when(F.col("doc_id") % 3 == 0, F.lit("sub.")).otherwise(F.lit(""))
+    host = F.concat(sub, F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".example.com"))
+    path = F.when(F.col("doc_id") % 7 == 0, F.lit("/ads/")).otherwise(F.lit("/p/"))
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, path,
+                 F.col("doc_id").cast("string")).alias("url"))
+    domains = spark.createDataFrame(
+        [("h3.example.com",), ("h7.example.com",)], "domain string")
+    prefixes = spark.createDataFrame(
+        [("h1.example.com", "https://h1.example.com/ads/")],
+        "host string, prefix string")
+    return TA.url_blocklist_filter(
+        pages, "url", domains=domains, prefixes=prefixes
+    ).orderBy("url")
+
+
+ORACLE_URL_BLOCKLIST = """
+WITH u AS (
+  SELECT concat('https://',
+                CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END,
+                'h', doc_id % 10, '.example.com',
+                CASE WHEN doc_id % 7 = 0 THEN '/ads/' ELSE '/p/' END,
+                doc_id) AS url,
+         concat(CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END,
+                'h', doc_id % 10, '.example.com') AS host
+  FROM documents)
+SELECT url, host,
+       (host IN ('h3.example.com', 'h7.example.com')
+        OR host LIKE '%.h3.example.com'
+        OR host LIKE '%.h7.example.com') AS blocked_domain,
+       (url LIKE 'https://h1.example.com/ads/%') AS blocked_prefix,
+       NOT (host IN ('h3.example.com', 'h7.example.com')
+            OR host LIKE '%.h3.example.com'
+            OR host LIKE '%.h7.example.com'
+            OR url LIKE 'https://h1.example.com/ads/%') AS keep
+FROM u
+ORDER BY url
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus length-distribution stats per language: count, min, max,
     and exact p50/p90/p99 of n_chars (percentile_disc semantics — the
@@ -3771,6 +3821,7 @@ QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "pack_sequences": q_pack_sequences,
     "bm25_topk": q_bm25_topk,
+    "url_blocklist": q_url_blocklist,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
@@ -3852,6 +3903,7 @@ ORACLES = {
     "c4_line_filter": ORACLE_C4_LINE_FILTER,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "bm25_topk": ORACLE_BM25_TOPK,
+    "url_blocklist": ORACLE_URL_BLOCKLIST,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "fingerprint": ORACLE_FINGERPRINT,
     "binary_meta": ORACLE_BINARY_META,
@@ -3919,6 +3971,25 @@ ORACLES = {
 _CURRENT_ROUND = 5
 _SAMPLE_HORIZON = 50
 
+# Round each query was REGISTERED (3 = founding registry). A query's
+# staleness clock starts when it exists: effective_check = max(last_check,
+# added_round), and the rotation rule forces effective_check <
+# _CURRENT_ROUND - 1 into the window — so a query born in round N is
+# externally checked no later than round N+2, exactly the guarantee
+# pre-existing queries have. Only non-founding additions are listed.
+_ADDED_ROUND = {
+    # r5 additions (early + late)
+    "jpeg_decode": 5, "webp_decode": 5, "vp8_decode": 5, "bmp_decode": 5,
+    "tiff_decode": 5, "wav_decode": 5, "pdf_winansi": 5,
+    "page_metadata": 5, "sitemap_parse": 5, "feed_parse": 5,
+    "robots_sitemaps": 5, "anchor_texts": 5, "fetch_waves": 5,
+    "frontier_new": 5, "robots_crawl_delay": 5,
+    "paragraph_dedup": 5, "gif_anim_frames": 5, "dup_ngram_mask": 5,
+    "hreflang_clusters": 5, "cdx_index": 5, "gopher_filter": 5,
+    "c4_line_filter": 5, "pack_sequences": 5, "bm25_topk": 5,
+    "url_blocklist": 5,
+}
+
 _LAST_DRIVER_CHECK = {
     # never externally checked (new r5)
     "jpeg_decode": 0,
@@ -3945,6 +4016,7 @@ _LAST_DRIVER_CHECK = {
     "c4_line_filter": 0,
     "pack_sequences": 0,
     "bm25_topk": 0,
+    "url_blocklist": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -4039,7 +4111,8 @@ _LAST_DRIVER_CHECK = {
 # field-span decision layer is r4-green and bitwise-gated locally),
 # plot_sink (its r5 pixel-bucket rework is pinned by golden-pixel tests
 # AND the local bitwise oracle gate every run; extract_main_text keeps
-# the window's flagship slot).
+# the window's flagship slot), wav_decode (added r5 so its staleness
+# clock only forces r7; analytic PCM oracle + pytest pin it meanwhile).
 _REGISTRY_ORDER = [
     # -- stale (last check r3): must be inside the window -------------
     "metric_sweep",
@@ -4085,7 +4158,7 @@ _REGISTRY_ORDER = [
     "gif_anim_frames",
     "bmp_decode",
     "tiff_decode",
-    "wav_decode",
+    "url_blocklist",
     "extract_main_text",
     "cdx_index",
     "pack_sequences",
@@ -4094,6 +4167,7 @@ _REGISTRY_ORDER = [
     "gopher_filter",
     "c4_line_filter",
     # ---------------- sampling horizon (50) ends here ----------------
+    "wav_decode",
     "plot_sink",
     "extract_field_spans",
     "pdf_layout",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from space_launch_telemetry_analyzer_spark.queries import (
     ORACLES,
     QUERIES,
+    _ADDED_ROUND,
     _CURRENT_ROUND,
     _LAST_DRIVER_CHECK,
     _REGISTRY_ORDER,
@@ -23,16 +24,27 @@ def test_bookkeeping_covers_every_query_exactly():
 
 
 def test_no_query_goes_two_rounds_unchecked():
-    """Every query whose last external verdict is older than the previous
-    round must sit inside the driver's sampling window this round."""
+    """Every query whose last external verdict (or, for queries added
+    after the founding registry, its registration round — the staleness
+    clock starts when the query exists) is older than the previous round
+    must sit inside the driver's sampling window this round."""
     window = set(_REGISTRY_ORDER[:_SAMPLE_HORIZON])
     stale = [q for q, last in _LAST_DRIVER_CHECK.items()
-             if last < _CURRENT_ROUND - 1]
+             if max(last, _ADDED_ROUND.get(q, 0)) < _CURRENT_ROUND - 1]
     out_of_window = [q for q in stale if q not in window]
     assert not out_of_window, (
         f"stale queries outside the first-{_SAMPLE_HORIZON} sampling window "
         f"(rotate them forward): {out_of_window}"
     )
+
+
+def test_added_round_bookkeeping_is_sane():
+    assert set(_ADDED_ROUND) <= set(QUERIES)
+    assert all(3 < r <= _CURRENT_ROUND for r in _ADDED_ROUND.values())
+    # a query with an external verdict was necessarily added by then
+    assert all(_LAST_DRIVER_CHECK[q] == 0 or
+               _ADDED_ROUND[q] <= _LAST_DRIVER_CHECK[q]
+               for q in _ADDED_ROUND)
 
 
 def test_last_check_rounds_are_sane():

@@ -448,3 +448,40 @@ def test_bm25_k_limit_and_tie_break(spark):
     out = ta.bm25_topk(df, "id", "text", ["term"], k=3).collect()
     # identical docs tie on score; id ascending breaks the tie
     assert [r["id"] for r in out] == [0, 1, 2]
+
+
+# --- url_blocklist_filter ---------------------------------------------------------
+
+def test_url_blocklist_domains_and_prefixes(spark):
+    urls = [
+        ("https://good.example.org/a",),
+        ("https://bad.example.net/a",),          # exact domain hit
+        ("https://deep.sub.bad.example.net/a",),  # parent-suffix hit
+        ("https://notbad.example.net/a",),        # no label boundary -> kept
+        ("https://Mixed.BAD.example.NET/a",),     # case-insensitive host
+        ("https://shop.example.org/ads/banner",),  # prefix hit
+        ("https://shop.example.org/adsorption",),  # not the prefix
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    domains = spark.createDataFrame([("bad.example.net",)], "domain string")
+    prefixes = spark.createDataFrame(
+        [("shop.example.org", "https://shop.example.org/ads/")],
+        "host string, prefix string")
+    out = {r["url"]: r for r in ta.url_blocklist_filter(
+        df, "url", domains=domains, prefixes=prefixes).collect()}
+    assert out["https://good.example.org/a"]["keep"]
+    assert out["https://bad.example.net/a"]["blocked_domain"]
+    assert out["https://deep.sub.bad.example.net/a"]["blocked_domain"]
+    assert out["https://notbad.example.net/a"]["keep"]
+    assert out["https://Mixed.BAD.example.NET/a"]["blocked_domain"]
+    assert out["https://shop.example.org/ads/banner"]["blocked_prefix"]
+    assert not out["https://shop.example.org/ads/banner"]["blocked_domain"]
+    assert out["https://shop.example.org/adsorption"]["keep"]
+    assert all((not r["keep"]) == (r["blocked_domain"] or r["blocked_prefix"])
+               for r in out.values())
+
+
+def test_url_blocklist_optional_lists(spark):
+    df = spark.createDataFrame([("https://x.example/a",)], "url string")
+    r = ta.url_blocklist_filter(df, "url").collect()[0]
+    assert r["keep"] and not r["blocked_domain"] and not r["blocked_prefix"]
