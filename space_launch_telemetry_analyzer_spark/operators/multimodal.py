@@ -10,8 +10,10 @@ plus the VP8 lossy keyframe decoder in operators.vp8,
 validated bit-exact against libwebp streams). Each has an encoder sink
 twin. TIFF decodes for real too (operators.tiff: strips, LZW/PackBits/Deflate,
 predictor 2, palette/gray/RGB — cross-validated both directions against
-the system libtiff). Remaining formats (animated WebP, fax TIFF, ...)
-raise NotImplementedError/ValueError unless `fake=True`, in which case a
+the system libtiff). Animations composite fully: GIF89a via gif_frames
+(transparency + disposal) and animated WebP via operators.webp.webp_frames
+(ANMF blend/dispose on a luma+alpha canvas). Remaining formats (fax TIFF,
+mp4, ...) raise NotImplementedError/ValueError unless `fake=True`, in which case a
 deterministic fake decoder produces stable per-payload features so the
 distributed plumbing can be exercised end-to-end.
 
@@ -951,3 +953,59 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str, every_n_bytes: i
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_sha256": hashes})
 
     return narrow.mapInPandas(kernel, schema=FRAME_SAMPLE_DDL)
+
+
+WEBP_ANIMATION_FRAMES_DDL = (
+    "media_id long, frame_index int, n_frames int, duration_ms int, "
+    "blend boolean, dispose boolean, width int, height int, "
+    "mean_luma double, luma_sum long, error string"
+)
+
+
+def webp_animation_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    sample_rate: int = 1,
+    start_frame: int | None = None,
+    end_frame: int | None = None,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """WebP twin of animation_frames: one (id, animated-WebP blob) row ->
+    one row per sampled ANMF-composited canvas frame (operators.webp.
+    webp_frames does the ANIM/ANMF blend/dispose compositing; still WebPs
+    yield one frame). Same reference frame-grid semantics, same
+    column-prune + row-level error channel contract."""
+    from .webp import webp_frames
+
+    narrow = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("frame_index", "n_frames", "duration_ms", "blend",
+                "dispose", "width", "height", "mean_luma", "luma_sum")
+        for pdf in batches:
+            out = {c: [] for c in ("media_id",) + cols + ("error",)}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    frames = webp_frames(
+                        bytes(payload), sample_rate=sample_rate,
+                        start_frame=start_frame, end_frame=end_frame,
+                        max_frames=max_frames,
+                    )
+                    for fr in frames:
+                        out["media_id"].append(mid)
+                        for c in cols:
+                            out[c].append(fr[c])
+                        out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 - row-level channel
+                    out["media_id"].append(mid)
+                    for c in cols:
+                        out[c].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(kernel, schema=WEBP_ANIMATION_FRAMES_DDL)

@@ -847,19 +847,30 @@ def encode_webp(pixels: "np.ndarray") -> bytes:
     """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> lossless VP8L WebP.
     Transform-free, flat prefix codes, dist=1 run-length back-references
     for repeated pixels. Roundtrips byte-exactly through decode_webp."""
+    chunk = vp8l_chunk(pixels)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def vp8l_chunk(pixels: "np.ndarray", alpha: int = 255) -> bytes:
+    """Padded VP8L chunk (tag+size+stream) for one image — the unit both
+    encode_webp (still) and encode_webp_anim (per-ANMF payload) wrap.
+    `alpha` sets a CONSTANT alpha plane via a 1-symbol prefix code (0
+    bits/pixel) — enough to exercise ANMF alpha blending end-to-end."""
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=2)
     if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("encode_webp wants (h,w) gray or (h,w,3) rgb uint8")
+        raise ValueError("vp8l_chunk wants (h,w) gray or (h,w,3) rgb uint8")
     h, w = arr.shape[:2]
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L dimensions out of range")
+    if not (0 <= alpha <= 255):
+        raise ValueError("alpha out of range")
 
     bw = _LSBWriter()
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)  # no alpha hint
+    bw.write(1 if alpha != 255 else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
     bw.write(0, 1)  # no transforms
     bw.write(0, 1)  # no color cache
@@ -867,7 +878,7 @@ def encode_webp(pixels: "np.ndarray") -> bytes:
     _write_lengths(bw, _GREEN_LENGTHS)   # green + length symbols
     _write_lengths(bw, _FLAT256)         # red
     _write_lengths(bw, _FLAT256)         # blue
-    _write_simple1(bw, 255)              # alpha: constant 255, 0 bits/px
+    _write_simple1(bw, alpha)            # alpha: constant, 0 bits/px
     _write_simple1(bw, 13)               # dist: only code 121 (plain d=1)
 
     genc = _encode_table(_GREEN_LENGTHS)
@@ -905,4 +916,177 @@ def encode_webp(pixels: "np.ndarray") -> bytes:
     chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
     if len(stream) & 1:
         chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return chunk
+
+
+def encode_webp_anim(
+    width: int,
+    height: int,
+    frames: list,
+    bg_bgra: tuple = (255, 255, 255, 255),
+    loop: int = 0,
+) -> bytes:
+    """Animated-WebP encoder (the sink twin of webp_frames): VP8X
+    container with the animation flag, one ANIM chunk (background BGRA +
+    loop count), one ANMF per frame wrapping a lossless VP8L payload.
+    `frames` dicts: {"pixels": (h,w[,3]) uint8, "x": int (even),
+    "y": int (even), "duration_ms": int, "blend": bool (alpha-blend onto
+    the canvas; False = overwrite), "dispose": bool (restore rect to the
+    background color afterwards), "alpha": 0..255 constant}."""
+    if not frames:
+        raise ValueError("encode_webp_anim needs at least one frame")
+    body = bytearray()
+    # VP8X: flags (bit1 animation, bit4 alpha), 24-bit canvas w-1 / h-1
+    body += b"VP8X" + struct.pack("<I", 10)
+    body += bytes((0x02 | 0x10, 0, 0, 0))
+    body += int(width - 1).to_bytes(3, "little")
+    body += int(height - 1).to_bytes(3, "little")
+    body += b"ANIM" + struct.pack("<I", 6) + bytes(bg_bgra)
+    body += struct.pack("<H", loop)
+    for fr in frames:
+        x, y = int(fr.get("x", 0)), int(fr.get("y", 0))
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        arr = np.ascontiguousarray(fr["pixels"], dtype=np.uint8)
+        fh, fw = arr.shape[:2]
+        payload = bytearray()
+        payload += (x // 2).to_bytes(3, "little")
+        payload += (y // 2).to_bytes(3, "little")
+        payload += int(fw - 1).to_bytes(3, "little")
+        payload += int(fh - 1).to_bytes(3, "little")
+        payload += int(fr.get("duration_ms", 0)).to_bytes(3, "little")
+        flags = 0
+        if not fr.get("blend", True):
+            flags |= 0x02  # B bit set = do NOT blend
+        if fr.get("dispose", False):
+            flags |= 0x01  # D bit = dispose to background color
+        payload += bytes((flags,))
+        payload += vp8l_chunk(arr, alpha=int(fr.get("alpha", 255)))
+        body += b"ANMF" + struct.pack("<I", len(payload)) + bytes(payload)
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+
+def webp_frames(
+    payload: bytes,
+    sample_rate: int = 1,
+    start_frame: int | None = None,
+    end_frame: int | None = None,
+    max_frames: int | None = None,
+) -> list:
+    """Full animated-WebP decode with ANMF compositing, the WebP twin of
+    multimodal.gif_frames (same sampling grid, same per-frame
+    luma_features contract). The canvas is composited in (luma, alpha)
+    space — exactly equivalent to RGBA compositing followed by the Rec.601
+    dot product, because both blending and luma are linear per channel —
+    so VP8L frames contribute their RGB-derived luma and VP8 lossy frames
+    their native Y plane, each with its ALPH/VP8L alpha plane. ANMF
+    semantics per the spec: B flag clear = src-over alpha blend, set =
+    overwrite; D flag set = restore the frame rect to the ANIM background
+    color afterwards. The canvas starts as the background color
+    (documented: browsers often composite on transparent instead; features
+    need concrete pixels — the GIF twin makes the same call). A still
+    (non-ANIM) WebP yields one frame with duration 0. Every frame up to
+    the last sampled index is decoded — compositing is sequential — and
+    header scanning continues so n_frames is the file's true count."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP: missing RIFF/WEBP header")
+    if sample_rate < 1:
+        raise ValueError("sample_rate must be >= 1")
+    from .multimodal import REC601, luma_features
+
+    start = start_frame or 0
+    if end_frame is not None or max_frames is not None:
+        stop = end_frame if end_frame is not None else (1 << 31)
+        if max_frames is not None:
+            stop = min(stop, start + max_frames * sample_rate)
+        last_wanted = (start + ((stop - 1 - start) // sample_rate)
+                       * sample_rate) if stop > start else -1
+    else:
+        stop = None
+        last_wanted = None
+
+    canvas_w = canvas_h = None
+    bg_luma = 255.0
+    bg_alpha = 1.0
+    frames_meta = []  # (x, y, duration_ms, blend, dispose, subchunks)
+    is_anim = False
+    for tag, body in _iter_chunks(payload, 12):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated WebP VP8X chunk")
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("truncated WebP ANIM chunk")
+            is_anim = True
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg_luma = float(np.array([r_, g_, b_], dtype=np.float64) @ REC601)
+            bg_alpha = a_ / 255.0
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated WebP ANMF header")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            frames_meta.append(
+                (fx, fy, dur, not (flags & 0x02), bool(flags & 0x01),
+                 bytes(body[16:])))
+
+    if not is_anim or not frames_meta:
+        d = decode_webp(payload)
+        if (start <= 0 and (stop is None or stop > 0)):
+            d.update(frame_index=0, duration_ms=0, blend=False,
+                     dispose=False, n_frames=1)
+            return [d]
+        return []
+    if canvas_w is None:
+        raise ValueError("animated WebP without VP8X canvas dimensions")
+
+    canvas_l = np.full((canvas_h, canvas_w), bg_luma, dtype=np.float64)
+    canvas_a = np.full((canvas_h, canvas_w), bg_alpha, dtype=np.float64)
+    out: list = []
+    for fi, (fx, fy, dur, blend, dispose, sub) in enumerate(frames_meta):
+        if last_wanted is not None and fi > last_wanted:
+            break  # n_frames already known from the header scan
+        d = _decode_image_chunks(_iter_chunks(sub, 0), return_luma=True)
+        if d is None:
+            raise ValueError("WebP ANMF frame without image chunk")
+        luma = d["luma"]
+        fh, fw = luma.shape
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise ValueError("WebP frame exceeds canvas")
+        if "argb" in d:
+            alpha = ((d["argb"] >> 24) & 0xFF).astype(np.float64) / 255.0
+        elif "alpha" in d:
+            alpha = d["alpha"].astype(np.float64) / 255.0
+        else:
+            alpha = np.ones_like(luma)
+        rect_l = canvas_l[fy:fy + fh, fx:fx + fw]
+        rect_a = canvas_a[fy:fy + fh, fx:fx + fw]
+        if blend:
+            rect_l[:] = alpha * luma + (1.0 - alpha) * rect_l
+            rect_a[:] = alpha + rect_a * (1.0 - alpha)
+        else:
+            rect_l[:] = luma
+            rect_a[:] = alpha
+
+        if (fi >= start and (fi - start) % sample_rate == 0
+                and (stop is None or fi < stop)):
+            feat = luma_features(canvas_l, 4)
+            feat["frame_index"] = fi
+            feat["duration_ms"] = int(dur)
+            feat["blend"] = bool(blend)
+            feat["dispose"] = bool(dispose)
+            out.append(feat)
+
+        if dispose:
+            rect_l[:] = bg_luma
+            rect_a[:] = bg_alpha
+
+    for feat in out:
+        feat["n_frames"] = len(frames_meta)
+    return out

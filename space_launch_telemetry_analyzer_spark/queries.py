@@ -2900,6 +2900,86 @@ ORDER BY doc_id, frame_index
 """
 
 
+def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP compositing end-to-end (late r5): per doc, a 16 x
+    (3+doc_id%4) canvas with gray background (doc_id*11)%256 carries
+    2+doc_id%3 opaque 2-wide full-height bands at x=4k (value
+    (doc_id*31+k*57)%256, duration 10k+5 ms, dispose-to-background on odd
+    k), built with operators.webp.encode_webp_anim (VP8X+ANIM+ANMF over
+    real VP8L payloads) and decoded through the distributed
+    webp_animation_frames operator at sample_rate 1+doc_id%2. Bands never
+    overlap, so the composited luma sum after frame k is the closed form
+    W*H*B + sum over j<=k (j==k or j even) of 2*H*(v_j - B), which the
+    oracle computes with a nested unnest — an ANMF-header, VP8L, blend,
+    dispose-rect, or sampling divergence fails the hash. Fractional-alpha
+    blending is pinned separately in tests/test_webp.py."""
+    from .operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .operators.webp import encode_webp_anim
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                h = 3 + did % 4
+                bg = (did * 11) % 256
+                frames = [
+                    {"pixels": np.full((h, 2), (did * 31 + k * 57) % 256,
+                                       np.uint8),
+                     "x": 4 * k, "duration_ms": 10 * k + 5,
+                     "dispose": bool(k % 2)}
+                    for k in range(2 + did % 3)
+                ]
+                ids.append(did)
+                blobs.append(encode_webp_anim(
+                    16, h, frames, bg_bgra=(bg, bg, bg, 255)))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    parts = [
+        MM.webp_animation_frames(
+            docs.where(F.col("doc_id") % 2 == rate - 1)
+                .mapInPandas(synth, "doc_id long, payload binary"),
+            "doc_id", "payload", sample_rate=rate,
+        )
+        for rate in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        F.col("media_id").alias("doc_id"), "frame_index", "n_frames",
+        "duration_ms", "dispose", "width", "height", "luma_sum",
+    ).orderBy("doc_id", "frame_index")
+
+
+ORACLE_WEBP_ANIM_FRAMES = """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 2 + doc_id % 3, 1 + doc_id % 2)) AS k
+  FROM documents),
+s AS (
+  SELECT doc_id, k, unnest(range(0, k + 1)) AS j FROM f)
+SELECT doc_id,
+       CAST(k AS INT) AS frame_index,
+       CAST(2 + doc_id % 3 AS INT) AS n_frames,
+       CAST(10 * k + 5 AS INT) AS duration_ms,
+       (k % 2 = 1) AS dispose,
+       CAST(16 AS INT) AS width,
+       CAST(3 + doc_id % 4 AS INT) AS height,
+       CAST(16 * (3 + doc_id % 4) * ((doc_id * 11) % 256)
+            + sum(CASE WHEN j = k OR j % 2 = 0
+                       THEN 2 * (3 + doc_id % 4)
+                            * ((doc_id * 31 + j * 57) % 256
+                               - (doc_id * 11) % 256)
+                       ELSE 0 END) AS BIGINT) AS luma_sum
+FROM s
+GROUP BY doc_id, k
+ORDER BY doc_id, frame_index
+"""
+
+
 def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP + ICO codecs end-to-end (r5): per doc, synthesize a
     deterministic (3+doc_id%6) x (2+doc_id%5) grayscale gradient
@@ -3756,6 +3836,7 @@ QUERIES = {
     "webp_decode": q_webp_decode,
     "vp8_decode": q_vp8_decode,
     "gif_anim_frames": q_gif_anim_frames,
+    "webp_anim_frames": q_webp_anim_frames,
     "bmp_decode": q_bmp_decode,
     "tiff_decode": q_tiff_decode,
     "wav_decode": q_wav_decode,
@@ -3938,6 +4019,7 @@ ORACLES = {
     "webp_decode": ORACLE_WEBP_DECODE,
     "vp8_decode": ORACLE_VP8_DECODE,
     "gif_anim_frames": ORACLE_GIF_ANIM_FRAMES,
+    "webp_anim_frames": ORACLE_WEBP_ANIM_FRAMES,
     "bmp_decode": ORACLE_BMP_DECODE,
     "tiff_decode": ORACLE_TIFF_DECODE,
     "wav_decode": ORACLE_WAV_DECODE,
@@ -3987,7 +4069,7 @@ _ADDED_ROUND = {
     "paragraph_dedup": 5, "gif_anim_frames": 5, "dup_ngram_mask": 5,
     "hreflang_clusters": 5, "cdx_index": 5, "gopher_filter": 5,
     "c4_line_filter": 5, "pack_sequences": 5, "bm25_topk": 5,
-    "url_blocklist": 5,
+    "url_blocklist": 5, "webp_anim_frames": 5,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4017,6 +4099,7 @@ _LAST_DRIVER_CHECK = {
     "pack_sequences": 0,
     "bm25_topk": 0,
     "url_blocklist": 0,
+    "webp_anim_frames": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -4167,6 +4250,7 @@ _REGISTRY_ORDER = [
     "gopher_filter",
     "c4_line_filter",
     # ---------------- sampling horizon (50) ends here ----------------
+    "webp_anim_frames",
     "wav_decode",
     "plot_sink",
     "extract_field_spans",

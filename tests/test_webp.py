@@ -411,3 +411,88 @@ def test_still_webp_reports_one_frame():
     img = np.full((5, 9), 31, dtype=np.uint8)
     d = W.decode_webp(W.encode_webp(img))
     assert d["n_frames"] == 1
+
+
+# --- animated WebP: encode_webp_anim / webp_frames / operator -------------------
+
+def _anim():
+    """8x4 canvas, gray bg 100: opaque band, disposed band, then a
+    half-alpha full-canvas blend."""
+    f0 = np.full((4, 2), 200, np.uint8)
+    f1 = np.full((4, 2), 50, np.uint8)
+    f2 = np.full((4, 8), 150, np.uint8)
+    return W.encode_webp_anim(8, 4, [
+        {"pixels": f0, "x": 0, "duration_ms": 10},
+        {"pixels": f1, "x": 4, "duration_ms": 20, "dispose": True},
+        {"pixels": f2, "x": 0, "duration_ms": 30, "alpha": 128,
+         "blend": True},
+    ], bg_bgra=(100, 100, 100, 255))
+
+
+def test_webp_frames_compositing_blend_and_dispose():
+    frames = W.webp_frames(_anim())
+    assert [f["frame_index"] for f in frames] == [0, 1, 2]
+    assert [f["duration_ms"] for f in frames] == [10, 20, 30]
+    assert [f["dispose"] for f in frames] == [False, True, False]
+    # frame 0: 24 bg px of 100 + 8 of 200; frame 1 adds 8 of 50
+    assert frames[0]["luma_sum"] == 24 * 100 + 8 * 200
+    assert frames[1]["luma_sum"] == 16 * 100 + 8 * 200 + 8 * 50
+    # frame 2: the disposed rect reverted to bg, then a=128/255 blend of
+    # 150 over the whole canvas — exact float math per pixel
+    c = np.full((4, 8), 100.0)
+    c[:, 0:2] = 200.0
+    blended = (128 / 255) * 150 + (1 - 128 / 255) * c
+    assert frames[2]["luma_sum"] == int(
+        np.rint(blended).astype(np.int64).sum())
+    assert all(f["n_frames"] == 3 for f in frames)
+    assert all((f["width"], f["height"]) == (8, 4) for f in frames)
+
+
+def test_webp_frames_no_blend_overwrites_with_alpha():
+    # blend=False writes the frame's (luma, alpha) verbatim over the rect
+    f0 = np.full((2, 2), 30, np.uint8)
+    p = W.encode_webp_anim(2, 2, [
+        {"pixels": f0, "alpha": 128, "blend": False, "duration_ms": 1},
+    ], bg_bgra=(200, 200, 200, 255))
+    fr = W.webp_frames(p)[0]
+    assert fr["luma_sum"] == 4 * 30
+
+
+def test_webp_frames_sampling_grid_and_still_images():
+    p = _anim()
+    assert [f["frame_index"] for f in W.webp_frames(p, sample_rate=2)] == [0, 2]
+    got = W.webp_frames(p, start_frame=1, max_frames=1)
+    assert [f["frame_index"] for f in got] == [1] and got[0]["n_frames"] == 3
+    assert W.webp_frames(p, start_frame=7) == []
+    with pytest.raises(ValueError, match="sample_rate"):
+        W.webp_frames(p, sample_rate=0)
+    # a still VP8L image is one frame with the still decoder's features
+    still = W.encode_webp(np.full((3, 5), 77, np.uint8))
+    fr = W.webp_frames(still)
+    assert len(fr) == 1 and fr[0]["n_frames"] == 1
+    assert fr[0]["luma_sum"] == W.decode_webp(still)["luma_sum"]
+    assert W.webp_frames(still, start_frame=1) == []
+
+
+def test_webp_frames_malformed():
+    p = bytearray(_anim())
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        W.webp_frames(b"RIFF....NOPE")
+    # frame exceeding the canvas
+    big = np.full((4, 8), 1, np.uint8)
+    q = W.encode_webp_anim(4, 4, [{"pixels": big}])
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        W.webp_frames(q)
+
+
+def test_webp_animation_frames_operator_error_channel(spark):
+    rows = [(1, bytearray(_anim())),
+            (2, bytearray(b"RIFF\x04\x00\x00\x00WEBP")),
+            (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = M.webp_animation_frames(df, "media_id", "payload", sample_rate=2)
+    got = {(r["media_id"], r["frame_index"]): r for r in out.collect()}
+    assert got[(1, 0)]["luma_sum"] == 24 * 100 + 8 * 200
+    assert (1, 1) not in got and (1, 2) in got
+    assert got[(2, None)]["error"] is not None
+    assert got[(3, None)]["error"] == "ValueError: null payload"
