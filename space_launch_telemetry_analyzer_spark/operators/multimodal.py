@@ -12,8 +12,11 @@ twin. TIFF decodes for real too (operators.tiff: strips, LZW/PackBits/Deflate,
 predictor 2, palette/gray/RGB — cross-validated both directions against
 the system libtiff). Animations composite fully: GIF89a via gif_frames
 (transparency + disposal) and animated WebP via operators.webp.webp_frames
-(ANMF blend/dispose on a luma+alpha canvas). Remaining formats (fax TIFF,
-mp4, ...) raise NotImplementedError/ValueError unless `fake=True`, in which case a
+(ANMF blend/dispose on a luma+alpha canvas). MP4/ISO-BMFF containers
+PROBE for real (operators.mp4 + media_probe: duration/dims/track/codec
+from the box grammar; sample decode stays out of scope). Remaining
+formats (fax TIFF, mp4 sample data, ...) raise
+NotImplementedError/ValueError unless `fake=True`, in which case a
 deterministic fake decoder produces stable per-payload features so the
 distributed plumbing can be exercised end-to-end.
 
@@ -1009,3 +1012,47 @@ def webp_animation_frames(
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(kernel, schema=WEBP_ANIMATION_FRAMES_DDL)
+
+
+MEDIA_PROBE_DDL = (
+    "media_id long, major_brand string, timescale long, duration_ms long, "
+    "n_tracks int, video_codec string, audio_codec string, "
+    "width int, height int, error string"
+)
+
+
+def media_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Container-structure probe for video blobs (MP4/ISO-BMFF): duration,
+    dimensions, track layout, codec fourccs — the reference's
+    cv2 property read (CAP_PROP_FPS/FRAME_COUNT,
+    /root/reference/processing/video_processing/main_processing.py:56-58)
+    re-expressed as a header-cost scan over binary columns. No codec
+    decode, no shuffle; per-row failures land in `error`."""
+    from .mp4 import parse_mp4
+
+    narrow = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+    cols = ("major_brand", "timescale", "duration_ms", "n_tracks",
+            "video_codec", "audio_codec", "width", "height")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("media_id",) + cols + ("error",)}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    d = parse_mp4(bytes(payload))
+                    out["media_id"].append(mid)
+                    for c in cols:
+                        out[c].append(d[c])
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 - row-level channel
+                    out["media_id"].append(mid)
+                    for c in cols:
+                        out[c].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(kernel, schema=MEDIA_PROBE_DDL)

@@ -2900,6 +2900,69 @@ ORDER BY doc_id, frame_index
 """
 
 
+def q_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container probe end-to-end (late r5): per doc, operators.mp4.
+    make_mp4 builds a real ISO-BMFF structure — mp42/isom brand
+    alternating, timescale 90000 or 1000, closed-form duration, a video
+    trak with rotating codec fourcc (avc1/hvc1/vp09) and 16.16-fixed
+    dims, an audio trak on every other doc — and the distributed
+    media_probe walks the box grammar back out. The reference analog is
+    the cv2 property read before processing
+    (/root/reference/processing/video_processing/main_processing.py:56-58).
+    The oracle recomputes every field analytically; a box-size, version,
+    fixed-point, or handler-routing divergence fails the hash."""
+    from .operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from .operators.mp4 import make_mp4
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                ts = 90000 if did % 2 == 0 else 1000
+                dur = (did * 97 + 7) * 1000
+                codec = ("avc1", "hvc1", "vp09")[did % 3]
+                ids.append(did)
+                blobs.append(make_mp4(
+                    ts, dur, 320 + did % 64, 240 + did % 48,
+                    video_codec=codec,
+                    audio_codec="mp4a" if did % 2 == 0 else None,
+                    major_brand="mp42" if did % 5 == 0 else "isom"))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    blobs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return MM.media_probe(blobs, "doc_id", "payload").select(
+        F.col("media_id").alias("doc_id"), "major_brand", "timescale",
+        "duration_ms", "n_tracks", "video_codec", "audio_codec",
+        "width", "height",
+    ).orderBy("doc_id")
+
+
+ORACLE_MP4_PROBE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'mp42' ELSE 'isom' END AS major_brand,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 90000 ELSE 1000 END AS BIGINT)
+         AS timescale,
+       CAST(((doc_id * 97 + 7) * 1000) * 1000
+            // (CASE WHEN doc_id % 2 = 0 THEN 90000 ELSE 1000 END)
+            AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'vp09' END
+         AS video_codec,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec,
+       CAST(320 + doc_id % 64 AS INT) AS width,
+       CAST(240 + doc_id % 48 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-WebP compositing end-to-end (late r5): per doc, a 16 x
     (3+doc_id%4) canvas with gray background (doc_id*11)%256 carries
@@ -3837,6 +3900,7 @@ QUERIES = {
     "vp8_decode": q_vp8_decode,
     "gif_anim_frames": q_gif_anim_frames,
     "webp_anim_frames": q_webp_anim_frames,
+    "mp4_probe": q_mp4_probe,
     "bmp_decode": q_bmp_decode,
     "tiff_decode": q_tiff_decode,
     "wav_decode": q_wav_decode,
@@ -4020,6 +4084,7 @@ ORACLES = {
     "vp8_decode": ORACLE_VP8_DECODE,
     "gif_anim_frames": ORACLE_GIF_ANIM_FRAMES,
     "webp_anim_frames": ORACLE_WEBP_ANIM_FRAMES,
+    "mp4_probe": ORACLE_MP4_PROBE,
     "bmp_decode": ORACLE_BMP_DECODE,
     "tiff_decode": ORACLE_TIFF_DECODE,
     "wav_decode": ORACLE_WAV_DECODE,
@@ -4069,7 +4134,7 @@ _ADDED_ROUND = {
     "paragraph_dedup": 5, "gif_anim_frames": 5, "dup_ngram_mask": 5,
     "hreflang_clusters": 5, "cdx_index": 5, "gopher_filter": 5,
     "c4_line_filter": 5, "pack_sequences": 5, "bm25_topk": 5,
-    "url_blocklist": 5, "webp_anim_frames": 5,
+    "url_blocklist": 5, "webp_anim_frames": 5, "mp4_probe": 5,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4100,6 +4165,7 @@ _LAST_DRIVER_CHECK = {
     "bm25_topk": 0,
     "url_blocklist": 0,
     "webp_anim_frames": 0,
+    "mp4_probe": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -4251,6 +4317,7 @@ _REGISTRY_ORDER = [
     "c4_line_filter",
     # ---------------- sampling horizon (50) ends here ----------------
     "webp_anim_frames",
+    "mp4_probe",
     "wav_decode",
     "plot_sink",
     "extract_field_spans",
