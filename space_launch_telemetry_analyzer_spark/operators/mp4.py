@@ -77,7 +77,7 @@ def parse_mp4(payload: bytes) -> dict:
                     raise ValueError("truncated mvhd")
                 ver = payload[ps]
                 if ver == 1:
-                    if pe - ps < 28:
+                    if pe - ps < 32:
                         raise ValueError("truncated mvhd v1")
                     ts, dur = struct.unpack(">IQ", payload[ps + 20:ps + 32])
                 else:
@@ -101,7 +101,10 @@ def parse_mp4(payload: bytes) -> dict:
                 continue
             elif btype == b"tkhd" and ctx is not None:
                 ver = payload[ps] if pe > ps else 0
-                need = 92 if ver == 1 else 80
+                # spec payload sizes (ISO 14496-12 §8.3.2): v0 = 84
+                # (4 ver/flags + 20 times/id/dur + 16 layer block
+                # + 36 matrix + 8 w/h), v1 = 96 (64-bit times)
+                need = 96 if ver == 1 else 84
                 if pe - ps < need:
                     raise ValueError("truncated tkhd")
                 w_fix, h_fix = struct.unpack(">II", payload[pe - 8:pe])
@@ -145,7 +148,9 @@ def make_mp4(
                 struct.pack(">II", timescale, duration) + bytes(80))
 
     def trak(kind: str, codec: str, w: int, h: int) -> bytes:
-        tkhd = _box(b"tkhd", bytes(72) +
+        # spec-exact v0 tkhd: 76 bytes of ver/flags, times, track id,
+        # duration, layer block and identity-free matrix before w/h = 84
+        tkhd = _box(b"tkhd", bytes(76) +
                     struct.pack(">II", w << 16, h << 16))
         entry = _box(codec.encode("latin-1").ljust(4)[:4].replace(b"\x00", b" "),
                      bytes(8))

@@ -615,8 +615,10 @@ def bm25_topk(df, id_col: str, text_col: str, query_terms: list,
     def term_eq(term: str):
         # closure factory, NOT a default-arg lambda: a two-parameter
         # lambda would be read by F.filter as the (element, index) form
-        # and bind the index over the default (the pyspark arity pitfall)
-        return lambda x: x == F.lit(term)
+        # and bind the index over the default (the pyspark arity pitfall).
+        # The term is lowercased to match the lowercased tokenization —
+        # an uppercase query term must not silently match nothing.
+        return lambda x: x == F.lit(term.lower())
 
     sel = [F.col(id_col).alias("id"), F.size(toks).alias("dl")]
     for i, t in enumerate(query_terms):
@@ -667,12 +669,17 @@ def url_blocklist_filter(df, url_col: str, domains=None, prefixes=None):
     columns plus (host, blocked_domain, blocked_prefix, keep).
 
     Scale shape: the host's suffix chain explodes to <= label-count rows
-    (~4/url), each side joins the BROADCAST blocklists on an equality key,
-    and a distinct-urls semi-aggregation marks hits — the corpus never
-    shuffles (blocklists are millions of rows at most; the corpus is
-    trillions). Reference analog: the ROI activation predicate as a
-    work-pruning gate before the expensive stage
-    (/root/reference/processing/ocr.py ROI activation)."""
+    (~4/url) and the BLOCKLISTS are broadcast to equality joins
+    (blocklists are millions of rows at most; the corpus is trillions),
+    so candidate matching never shuffles the corpus. Joining the hit sets
+    (one row per BLOCKED url) back onto the corpus is left to Spark: AQE
+    broadcasts them when small; when a blocklist nukes billions of urls
+    the join-back is a corpus-key shuffle — unavoidable for a flag column
+    (callers that only FILTER should anti-join the hit frames instead and
+    skip the flags). Both hit subqueries derive from the pre-join `base`
+    frame so neither re-executes the other's work. Reference analog: the
+    ROI activation predicate as a work-pruning gate before the expensive
+    stage (/root/reference/processing/ocr.py ROI activation)."""
     url = F.col(url_col)
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)", 1))
     base = df.withColumn("host", host)
@@ -707,7 +714,7 @@ def url_blocklist_filter(df, url_col: str, domains=None, prefixes=None):
             F.lower(F.col("host")).alias("host"),
             F.col("prefix").alias("_pfx")))
         ph = (
-            out.select(url.alias("_u"), "host").join(p, "host")
+            base.select(url.alias("_u"), "host").join(p, "host")
             .where(F.startswith(F.col("_u"), F.col("_pfx")))
             .select("_u").distinct()
             .withColumn("blocked_prefix", F.lit(True))

@@ -1011,7 +1011,6 @@ def webp_frames(
     bg_luma = 255.0
     bg_alpha = 1.0
     frames_meta = []  # (x, y, duration_ms, blend, dispose, subchunks)
-    is_anim = False
     for tag, body in _iter_chunks(payload, 12):
         if tag == b"VP8X":
             if len(body) < 10:
@@ -1021,7 +1020,6 @@ def webp_frames(
         elif tag == b"ANIM":
             if len(body) < 6:
                 raise ValueError("truncated WebP ANIM chunk")
-            is_anim = True
             b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
             bg_luma = float(np.array([r_, g_, b_], dtype=np.float64) @ REC601)
             bg_alpha = a_ / 255.0
@@ -1036,7 +1034,11 @@ def webp_frames(
                 (fx, fy, dur, not (flags & 0x02), bool(flags & 0x01),
                  bytes(body[16:])))
 
-    if not is_anim or not frames_meta:
+    # ANMF presence, not the ANIM chunk, decides animation: a stripped
+    # ANIM chunk must not collapse a multi-frame file to a still (the
+    # decode_webp twin counts ANMFs the same way); ANIM only supplies the
+    # background color and loop count (defaults: opaque white).
+    if not frames_meta:
         d = decode_webp(payload)
         if (start <= 0 and (stop is None or stop > 0)):
             d.update(frame_index=0, duration_ms=0, blend=False,
@@ -1068,8 +1070,16 @@ def webp_frames(
         rect_l = canvas_l[fy:fy + fh, fx:fx + fw]
         rect_a = canvas_a[fy:fy + fh, fx:fx + fw]
         if blend:
-            rect_l[:] = alpha * luma + (1.0 - alpha) * rect_l
-            rect_a[:] = alpha + rect_a * (1.0 - alpha)
+            # true src-over with DESTINATION alpha (the spec's
+            # premultiplied form): out_a = Sa + Da(1-Sa);
+            # out_l = (Sl*Sa + Dl*Da*(1-Sa)) / out_a, 0 where out_a = 0.
+            # Over an opaque destination this reduces to
+            # Sa*Sl + (1-Sa)*Dl, the naive lerp.
+            out_a = alpha + rect_a * (1.0 - alpha)
+            num = luma * alpha + rect_l * rect_a * (1.0 - alpha)
+            rect_l[:] = np.divide(
+                num, out_a, out=np.zeros_like(num), where=out_a > 0)
+            rect_a[:] = out_a
         else:
             rect_l[:] = luma
             rect_a[:] = alpha

@@ -68,10 +68,56 @@ def test_malformed_inputs_raise_valueerror():
 
 
 def test_first_video_track_wins():
+    # splice a second video trak (different dims/codec) into the moov:
+    # take the trak box out of another make_mp4 file and append it
     v1 = make_mp4(1000, 1000, 100, 50, "avc1")
-    # splice a second video trak (different dims) after the first
-    d = parse_mp4(v1)
+    v2 = make_mp4(1000, 1000, 640, 480, "hvc1")
+    # moov is the last top-level box; its first child is the 108+8-byte
+    # mvhd, after which the trak box runs to the end
+    def moov_span(buf):
+        import struct as _s
+        pos = 0
+        while pos < len(buf):
+            size = _s.unpack(">I", buf[pos:pos + 4])[0]
+            if buf[pos + 4:pos + 8] == b"moov":
+                return pos, pos + size
+            pos += size
+        raise AssertionError("no moov")
+    import struct as _s
+    ms, me = moov_span(v2)
+    mvhd_size = _s.unpack(">I", v2[ms + 8:ms + 12])[0]
+    second_trak = v2[ms + 8 + mvhd_size:me]
+    s1, e1 = moov_span(v1)
+    spliced = (v1[:e1] + second_trak)
+    # regrow the moov size to include the splice
+    spliced = (spliced[:s1]
+               + _s.pack(">I", e1 - s1 + len(second_trak))
+               + spliced[s1 + 4:])
+    d = parse_mp4(spliced)
+    assert d["n_tracks"] == 2
+    # FIRST video track wins for dims and codec
     assert (d["width"], d["height"], d["video_codec"]) == (100, 50, "avc1")
+
+
+def test_mvhd_v1_truncated_raises():
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    # v1 mvhd with a 28-byte payload (4 short of the 32 the fields need)
+    bad = _box(b"mvhd", bytes((1, 0, 0, 0)) + bytes(24))
+    with pytest.raises(ValueError, match="truncated mvhd v1"):
+        parse_mp4(ftyp + _box(b"moov", bad))
+
+
+def test_tkhd_spec_payload_length():
+    # the sink twin must emit the ISO 14496-12 v0 tkhd payload size (84)
+    buf = make_mp4(1000, 1000, 12, 34)
+    i = buf.find(b"tkhd")
+    size = struct.unpack(">I", buf[i - 4:i])[0]
+    assert size == 8 + 84
+    # and a truncated 80-byte real-world tkhd must raise, not mis-read
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    trak = _box(b"trak", _box(b"tkhd", bytes(80)))
+    with pytest.raises(ValueError, match="truncated tkhd"):
+        parse_mp4(ftyp + _box(b"moov", trak))
 
 
 def test_media_probe_operator_error_channel(spark):

@@ -496,3 +496,30 @@ def test_webp_animation_frames_operator_error_channel(spark):
     assert (1, 1) not in got and (1, 2) in got
     assert got[(2, None)]["error"] is not None
     assert got[(3, None)]["error"] == "ValueError: null payload"
+
+
+def test_webp_frames_blend_over_transparent_background():
+    # src-over with a FULLY TRANSPARENT destination must yield the source
+    # color regardless of source alpha (premultiplied math), not a lerp
+    # toward the invisible background luma
+    f0 = np.full((2, 2), 200, np.uint8)
+    p = W.encode_webp_anim(2, 2, [
+        {"pixels": f0, "alpha": 128, "blend": True, "duration_ms": 1},
+    ], bg_bgra=(0, 0, 0, 0))  # transparent black background
+    fr = W.webp_frames(p)[0]
+    assert fr["luma_sum"] == 4 * 200
+
+
+def test_webp_frames_anmf_without_anim_chunk_still_animates():
+    # strip the ANIM chunk: ANMF presence decides animation, and the two
+    # twins must agree on n_frames
+    p = bytearray(_anim())
+    i = p.find(b"ANIM")
+    size = struct.unpack("<I", p[i + 4:i + 8])[0]
+    del p[i - 0:i + 8 + size + (size & 1)]
+    # fix the RIFF size
+    p[4:8] = struct.pack("<I", len(p) - 8)
+    frames = W.webp_frames(bytes(p))
+    assert [f["frame_index"] for f in frames] == [0, 1, 2]
+    assert all(f["n_frames"] == 3 for f in frames)
+    assert W.decode_webp(bytes(p))["n_frames"] == 3
