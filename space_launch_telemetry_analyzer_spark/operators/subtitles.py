@@ -1,0 +1,173 @@
+"""WebVTT / SRT subtitle extraction: video text tracks -> timed cue rows.
+
+The reference pulls TEXT out of VIDEO by OCR-ing frames
+(/root/reference/processing/ocr.py); on the web the same information
+usually ships as a subtitle/caption track — WebVTT (the HTML5 <track>
+format) or SubRip SRT — and a crawl pipeline wants those cues as clean,
+timed text rows (video transcripts are prime training data). Pure-python
+parsers with the usual row-level error channel:
+
+- WebVTT (W3C): `WEBVTT` header line (optional trailing metadata), blank-
+  line-separated cue blocks, optional cue identifier line, a timing line
+  `[HH:]MM:SS.mmm --> [HH:]MM:SS.mmm` with optional cue settings after
+  the end stamp, payload lines joined by newline, `NOTE`/`STYLE`/`REGION`
+  blocks skipped, inline markup tags (<v Speaker>, <i>, <c.cls>, ...)
+  stripped.
+- SRT: numbered blocks with `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing
+  (comma decimal separator); the index line is tolerated missing.
+
+Timestamp arithmetic reuses the engine's time-parse semantics (the P6
+hh:mm:ss operator family, functions/parse.py): milliseconds as exact
+integers, hours optional in VTT. Malformed cue blocks are SKIPPED and
+counted, a malformed FILE (no header for vtt) raises ValueError into the
+operator's error channel.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TS = re.compile(
+    r"(?:(\d{1,4}):)?(\d{1,2}):(\d{2})[.,](\d{3})"
+)
+_TIMING = re.compile(
+    r"^\s*((?:\d{1,4}:)?\d{1,2}:\d{2}[.,]\d{3})\s*-->\s*"
+    r"((?:\d{1,4}:)?\d{1,2}:\d{2}[.,]\d{3})(?:\s+(?:\S.*))?$"
+)
+_TAG = re.compile(r"</?[^>\n]*>")
+
+
+def _ts_ms(stamp: str) -> int:
+    m = _TS.fullmatch(stamp.strip())
+    if not m:
+        raise ValueError(f"bad subtitle timestamp {stamp!r}")
+    hh = int(m.group(1) or 0)
+    return ((hh * 60 + int(m.group(2))) * 60 + int(m.group(3))) * 1000 \
+        + int(m.group(4))
+
+
+def parse_webvtt(text: str) -> dict:
+    """WebVTT document -> {"cues": [(index, start_ms, end_ms, text)],
+    "n_bad": skipped malformed blocks}. Raises ValueError when the WEBVTT
+    header is missing (not a VTT file at all)."""
+    norm = text.lstrip("﻿")
+    if not norm.startswith("WEBVTT"):
+        raise ValueError("not WebVTT: missing WEBVTT header")
+    blocks = re.split(r"\r?\n\r?\n+", norm.replace("\r\n", "\n"))
+    cues = []
+    n_bad = 0
+    for block in blocks[1:]:  # block 0 is the header (+ metadata)
+        lines = [ln for ln in block.split("\n") if ln.strip() != ""]
+        if not lines:
+            continue
+        if lines[0].startswith(("NOTE", "STYLE", "REGION")):
+            continue
+        ti = 0 if _TIMING.match(lines[0]) else (
+            1 if len(lines) > 1 and _TIMING.match(lines[1]) else None)
+        if ti is None:
+            n_bad += 1
+            continue
+        m = _TIMING.match(lines[ti])
+        try:
+            start, end = _ts_ms(m.group(1)), _ts_ms(m.group(2))
+        except ValueError:
+            n_bad += 1
+            continue
+        payload = "\n".join(_TAG.sub("", ln).strip()
+                            for ln in lines[ti + 1:]).strip()
+        cues.append((len(cues), start, end, payload))
+    return {"cues": cues, "n_bad": n_bad}
+
+
+def parse_srt(text: str) -> dict:
+    """SubRip document -> same shape as parse_webvtt. The numeric index
+    line is tolerated missing; cue order defines the emitted index."""
+    blocks = re.split(r"\r?\n\r?\n+", text.lstrip("﻿").replace("\r\n", "\n"))
+    cues = []
+    n_bad = 0
+    saw_any = False
+    for block in blocks:
+        lines = [ln for ln in block.split("\n") if ln.strip() != ""]
+        if not lines:
+            continue
+        saw_any = True
+        ti = 0 if _TIMING.match(lines[0]) else (
+            1 if len(lines) > 1 and _TIMING.match(lines[1]) else None)
+        if ti is None:
+            n_bad += 1
+            continue
+        m = _TIMING.match(lines[ti])
+        try:
+            start, end = _ts_ms(m.group(1)), _ts_ms(m.group(2))
+        except ValueError:
+            n_bad += 1
+            continue
+        payload = "\n".join(_TAG.sub("", ln).strip()
+                            for ln in lines[ti + 1:]).strip()
+        cues.append((len(cues), start, end, payload))
+    if not saw_any:
+        raise ValueError("empty SRT document")
+    return {"cues": cues, "n_bad": n_bad}
+
+
+SUBTITLE_CUES_DDL = (
+    "media_id long, cue_index int, start_ms long, end_ms long, "
+    "text string, n_cues int, n_bad int, error string"
+)
+
+
+def subtitle_cues(df: DataFrame, id_col: str, text_col: str,
+                  fmt: str = "auto") -> DataFrame:
+    """Distributed cue extraction: one (id, subtitle document) row -> one
+    row per cue (timed transcript lines), the crawl-side twin of the
+    reference's per-frame OCR text stream. `fmt`: 'vtt', 'srt', or 'auto'
+    (WEBVTT header decides). Column-prunes before the Python stage;
+    per-row parse failures land in `error`; a document with zero valid
+    cues still emits one row (cue_index NULL) so ids never vanish."""
+    if fmt not in ("auto", "vtt", "srt"):
+        raise ValueError("fmt must be auto|vtt|srt")
+    narrow = df.select(
+        F.col(id_col).alias("media_id"), F.col(text_col).alias("doc"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in ("media_id", "cue_index", "start_ms",
+                                   "end_ms", "text", "n_cues", "n_bad",
+                                   "error")}
+
+            def emit(mid, ci, s, e, t, nc, nb, err):
+                out["media_id"].append(mid)
+                out["cue_index"].append(ci)
+                out["start_ms"].append(s)
+                out["end_ms"].append(e)
+                out["text"].append(t)
+                out["n_cues"].append(nc)
+                out["n_bad"].append(nb)
+                out["error"].append(err)
+
+            for mid, doc in zip(pdf["media_id"], pdf["doc"]):
+                try:
+                    if doc is None:
+                        raise ValueError("null document")
+                    use = fmt
+                    if use == "auto":
+                        use = "vtt" if doc.lstrip("﻿").startswith(
+                            "WEBVTT") else "srt"
+                    d = parse_webvtt(doc) if use == "vtt" else parse_srt(doc)
+                    if not d["cues"]:
+                        emit(mid, None, None, None, None, 0, d["n_bad"],
+                             None)
+                    for ci, s, e, t in d["cues"]:
+                        emit(mid, ci, s, e, t, len(d["cues"]), d["n_bad"],
+                             None)
+                except Exception as e:  # noqa: BLE001 - row-level channel
+                    emit(mid, None, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(kernel, schema=SUBTITLE_CUES_DDL)

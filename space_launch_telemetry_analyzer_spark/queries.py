@@ -2963,6 +2963,78 @@ ORDER BY doc_id
 """
 
 
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-track extraction end-to-end (late r5): even docs become
+    WebVTT (header metadata, a NOTE block, cue-settings suffixes, an <i>
+    markup tag), odd docs SubRip (numbered blocks, comma decimals) — both
+    carrying 1+doc_id%3 cues whose timings and payload are closed-form in
+    doc_id, parsed back through the distributed subtitle_cues operator
+    with fmt='auto'. The reference analog is the per-frame OCR text
+    stream (/root/reference/processing/ocr.py) — the web ships the same
+    video text as caption tracks. A timing-parse, tag-strip, block-split,
+    or format-sniff divergence fails the hash."""
+    from .operators.subtitles import subtitle_cues
+
+    docs = load(spark, sf_dir, "documents")
+
+    def synth(batches):
+        import pandas as pd
+
+        def ts(ms: int, sep: str) -> str:
+            h, rem = divmod(ms, 3600000)
+            m, rem = divmod(rem, 60000)
+            s, ms3 = divmod(rem, 1000)
+            return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms3:03d}"
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                sub = (text or "")[:40]
+                cues = []
+                for k in range(1 + did % 3):
+                    start = did * 1000 + k * 2000
+                    payload = f"T{did} C{k} <i>x</i> {sub}"
+                    if did % 2 == 0:
+                        cues.append(
+                            f"{ts(start, '.')} --> {ts(start + 1500, '.')}"
+                            f" align:start\n{payload}")
+                    else:
+                        cues.append(
+                            f"{k + 1}\n{ts(start, ',')} --> "
+                            f"{ts(start + 1500, ',')}\n{payload}")
+                if did % 2 == 0:
+                    doc = ("WEBVTT - generated\n\nNOTE synthetic\n\n"
+                           + "\n\n".join(cues) + "\n")
+                else:
+                    doc = "\n\n".join(cues) + "\n"
+                ids.append(did)
+                blobs.append(doc)
+            yield pd.DataFrame({"doc_id": ids, "doc": blobs})
+
+    blobs = docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, doc string")
+    return subtitle_cues(blobs, "doc_id", "doc", fmt="auto").select(
+        F.col("media_id").alias("doc_id"), "cue_index", "start_ms",
+        "end_ms", "text", "n_cues", "n_bad",
+    ).orderBy("doc_id", "cue_index")
+
+
+ORACLE_SUBTITLE_CUES = """
+SELECT doc_id,
+       CAST(fi AS INT) AS cue_index,
+       CAST(doc_id * 1000 + fi * 2000 AS BIGINT) AS start_ms,
+       CAST(doc_id * 1000 + fi * 2000 + 1500 AS BIGINT) AS end_ms,
+       'T' || doc_id || ' C' || fi || ' x ' || rtrim(substr(text, 1, 40))
+         AS text,
+       CAST(1 + doc_id % 3 AS INT) AS n_cues,
+       CAST(0 AS INT) AS n_bad
+FROM (SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS fi
+      FROM documents)
+ORDER BY doc_id, cue_index
+"""
+
+
 def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-WebP compositing end-to-end (late r5): per doc, a 16 x
     (3+doc_id%4) canvas with gray background (doc_id*11)%256 carries
@@ -3901,6 +3973,7 @@ QUERIES = {
     "gif_anim_frames": q_gif_anim_frames,
     "webp_anim_frames": q_webp_anim_frames,
     "mp4_probe": q_mp4_probe,
+    "subtitle_cues": q_subtitle_cues,
     "bmp_decode": q_bmp_decode,
     "tiff_decode": q_tiff_decode,
     "wav_decode": q_wav_decode,
@@ -4085,6 +4158,7 @@ ORACLES = {
     "gif_anim_frames": ORACLE_GIF_ANIM_FRAMES,
     "webp_anim_frames": ORACLE_WEBP_ANIM_FRAMES,
     "mp4_probe": ORACLE_MP4_PROBE,
+    "subtitle_cues": ORACLE_SUBTITLE_CUES,
     "bmp_decode": ORACLE_BMP_DECODE,
     "tiff_decode": ORACLE_TIFF_DECODE,
     "wav_decode": ORACLE_WAV_DECODE,
@@ -4135,6 +4209,7 @@ _ADDED_ROUND = {
     "hreflang_clusters": 5, "cdx_index": 5, "gopher_filter": 5,
     "c4_line_filter": 5, "pack_sequences": 5, "bm25_topk": 5,
     "url_blocklist": 5, "webp_anim_frames": 5, "mp4_probe": 5,
+    "subtitle_cues": 5,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4166,6 +4241,7 @@ _LAST_DRIVER_CHECK = {
     "url_blocklist": 0,
     "webp_anim_frames": 0,
     "mp4_probe": 0,
+    "subtitle_cues": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -4318,6 +4394,7 @@ _REGISTRY_ORDER = [
     # ---------------- sampling horizon (50) ends here ----------------
     "webp_anim_frames",
     "mp4_probe",
+    "subtitle_cues",
     "wav_decode",
     "plot_sink",
     "extract_field_spans",
