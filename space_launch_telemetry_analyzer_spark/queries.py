@@ -2320,6 +2320,42 @@ FROM documents
 """
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sidecar roundtrip (late r5): documents become WARC `conversion`
+    records (bare UTF-8 text payload, no HTTP envelope — the Common Crawl
+    WET layout) via write_wet, come back through load_wet's
+    conversion-filter path, and the oracle recomputes url / timestamp /
+    char-length / text-md5 analytically. Completes the CC artifact trio
+    (WARC + CDX + WET) with both directions tested byte-exactly."""
+    from .sources.warc import load_wet, write_wet
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://t"), (F.col("doc_id") % 4).cast("string"),
+                 F.lit(".example/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.col("text"),
+    )
+    out = os.path.join(_roundtrip_scratch_dir(), "wet_" + __import__(
+        "hashlib").md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12])
+    write_wet(pages, out)
+    back = load_wet(spark, out)
+    return back.select(
+        "url", "warc_ts",
+        F.length("text").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+ORACLE_WET_ROUNDTRIP = """
+SELECT 'https://t' || (doc_id % 4) || '.example/d/' || doc_id AS url,
+       CAST(to_timestamp(1704067200 + doc_id) AS TIMESTAMP) AS warc_ts,
+       CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 _ROBOTS_BODY_0 = (
     "# crawl policy\nUser-agent: *\nDisallow: /d1/\nAllow: /d1/keep/\n"
     "\nUser-agent: specialbot\nDisallow: /\n"
@@ -4067,6 +4103,7 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "warc_roundtrip": q_warc_roundtrip,
     "cdx_index": q_cdx_index,
+    "wet_roundtrip": q_wet_roundtrip,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -4149,6 +4186,7 @@ ORACLES = {
     "robots_filter": ORACLE_ROBOTS_FILTER,
     "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
     "cdx_index": ORACLE_CDX_INDEX,
+    "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "png_decode": ORACLE_PNG_DECODE,
@@ -4209,7 +4247,7 @@ _ADDED_ROUND = {
     "hreflang_clusters": 5, "cdx_index": 5, "gopher_filter": 5,
     "c4_line_filter": 5, "pack_sequences": 5, "bm25_topk": 5,
     "url_blocklist": 5, "webp_anim_frames": 5, "mp4_probe": 5,
-    "subtitle_cues": 5,
+    "subtitle_cues": 5, "wet_roundtrip": 5,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4242,6 +4280,7 @@ _LAST_DRIVER_CHECK = {
     "webp_anim_frames": 0,
     "mp4_probe": 0,
     "subtitle_cues": 0,
+    "wet_roundtrip": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -4395,6 +4434,7 @@ _REGISTRY_ORDER = [
     "webp_anim_frames",
     "mp4_probe",
     "subtitle_cues",
+    "wet_roundtrip",
     "wav_decode",
     "plot_sink",
     "extract_field_spans",

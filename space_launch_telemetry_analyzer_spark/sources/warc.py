@@ -452,3 +452,146 @@ def cdx_fetch(cdx: DataFrame) -> DataFrame:
         CDX_SCHEMA + ", fetched_url string, payload_sha1 string, "
         "n_bytes long, ok boolean, error string",
     )
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    gzip_records: bool = True,
+) -> None:
+    """Extracted-text sidecar in the Common Crawl WET convention: one
+    WARC `conversion` record per page, payload = the UTF-8 extracted text
+    (no HTTP envelope — WET records carry bare text), per-record gzip
+    members, one file per partition (part-NNNNN.warc.wet[.gz]). Same
+    distributed streaming/atomic-rename/attempt-safety contract as
+    write_warc. Reads back through load_wet. Use a SEPARATE directory
+    from write_warc: its stale-file sweep matches any part-*.warc* name
+    and would remove sidecars sharing the directory (CC keeps
+    warc/ and wet/ apart too)."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if stale.startswith("part-") and ".warc.wet" in stale:
+            os.remove(os.path.join(path, stale))
+
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    narrow = df.select(
+        F.col(url_col).alias("url"),
+        F.date_format(
+            F.to_utc_timestamp(F.col(ts_col), session_tz),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("ts"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+
+    def write_partition(it):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        suffix = ".warc.wet.gz" if gzip_records else ".warc.wet"
+        target = os.path.join(path, f"part-{pid:05d}{suffix}")
+        tmp = f"{target}.inprogress-{ctx.taskAttemptId()}"
+        f = None
+        try:
+            for i, row in enumerate(it):
+                body = (row.text or "").encode("utf-8")
+                rec_id = _uuid.uuid5(
+                    _uuid.NAMESPACE_URL,
+                    f"wet|{row.url or ''}|{row.ts or ''}|{pid}|{i}",
+                )
+                headers = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: conversion\r\n"
+                    b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode() + b">\r\n"
+                    b"WARC-Target-URI: " + (row.url or "").encode() + b"\r\n"
+                    b"WARC-Date: " + (row.ts or "").encode() + b"\r\n"
+                    b"Content-Type: text/plain\r\n"
+                    b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+                )
+                record = headers + body + b"\r\n\r\n"
+                if f is None:
+                    f = open(tmp, "wb")
+                f.write(gzip.compress(record) if gzip_records else record)
+            if f is not None:
+                f.close()
+                f = None
+                os.replace(tmp, target)
+        finally:
+            if f is not None:
+                f.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return iter(())
+
+    narrow.rdd.mapPartitions(write_partition).count()
+
+
+def load_wet(
+    spark: SparkSession, path: str, rows_per_chunk: int = 2000
+) -> DataFrame:
+    """WET file(s) -> DataFrame(url, warc_ts timestamp, text string,
+    source_file, error). The conversion-record twin of load_warc: one
+    task per file, records stream in bounded chunks, malformed records go
+    to the error channel. Non-conversion records are skipped, so a mixed
+    archive reads fine."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+    narrow = files.select(
+        F.col("path").alias("source_file"), F.col("content"))
+
+    def parse(pdfs):
+        def flush(rows):
+            return pd.DataFrame(
+                rows, columns=["url", "warc_ts", "text", "source_file",
+                               "error"])
+
+        for pdf in pdfs:
+            rows = []
+            for src, raw in zip(pdf["source_file"], pdf["content"]):
+                try:
+                    stream = iter_warc_records_stream(
+                        _open_stream(bytes(raw)))
+                    for rec in stream:
+                        if rec["error"] is not None:
+                            rows.append((None, None, None, src,
+                                         rec["error"]))
+                            continue
+                        h = rec["headers"]
+                        if h.get("warc-type") != "conversion":
+                            continue
+                        url = h.get("warc-target-uri")
+                        if not url:
+                            rows.append((None, None, None, src,
+                                         "conversion record without "
+                                         "WARC-Target-URI"))
+                            continue
+                        rows.append((
+                            url, h.get("warc-date"),
+                            rec["content"].decode("utf-8", "replace"),
+                            src, None))
+                        if len(rows) >= rows_per_chunk:
+                            yield flush(rows)
+                            rows = []
+                except Exception as e:  # noqa: BLE001 - file-level channel
+                    rows.append((None, None, None, src,
+                                 f"{type(e).__name__}: {e}"))
+            if rows:
+                yield flush(rows)
+
+    out = narrow.mapInPandas(
+        parse,
+        "url string, warc_ts string, text string, source_file string, "
+        "error string",
+    )
+    return out.withColumn("warc_ts", F.to_timestamp("warc_ts"))

@@ -357,3 +357,42 @@ def test_cdx_fetch_tolerates_reordered_input(spark, tmp_path):
     res = W.cdx_fetch(shuffled).collect()
     assert len(res) == 6 and all(r["ok"] for r in res)
     assert all(r["ts14"].startswith("2024") for r in res)
+
+
+# --- WET sidecar: write_wet / load_wet -----------------------------------------
+
+def test_wet_roundtrip_and_mixed_archive(spark, tmp_path):
+    rows = [(f"https://w.example/{i}", f"2024-06-0{i + 1}T10:00:0{i}Z",
+             f"extracted text {i} with unicode é…") for i in range(4)]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts")).repartition(2)
+    out = str(tmp_path / "wet")
+    W.write_wet(df, out)
+    import os
+    files = sorted(os.listdir(out))
+    assert len(files) == 2 and all(f.endswith(".warc.wet.gz") for f in files)
+    back = {r.url: (r.warc_ts.isoformat(), r.text)
+            for r in W.load_wet(spark, out).collect()}
+    assert back == {u: (t.replace("Z", ""), x) for u, t, x in rows}
+    # load_wet skips response records: a RESPONSE archive yields nothing
+    wdir = str(tmp_path / "warc")
+    W.write_warc(df.withColumn("html", F.col("text").cast("binary")),
+                 wdir, html_col="html")
+    assert W.load_wet(spark, wdir).count() == 0
+    # and load_warc skips conversion records symmetrically
+    assert W.load_warc(spark, out).where(F.col("error").isNull()).count() == 0
+
+
+def test_wet_plain_and_rerun_sweep(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://a.example/1", "2024-06-01T00:00:00Z", "t")],
+        "url string, warc_ts string, text string") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts")).repartition(3)
+    out = str(tmp_path / "wet")
+    W.write_wet(df, out, gzip_records=False)
+    import os
+    first = set(os.listdir(out))
+    # re-run with 1 partition: stale parts removed, no silent mix
+    W.write_wet(df.repartition(1), out)
+    assert not (set(os.listdir(out)) & first)
+    assert W.load_wet(spark, out).count() == 1
