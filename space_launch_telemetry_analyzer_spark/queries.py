@@ -2356,6 +2356,46 @@ FROM documents
 """
 
 
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT sidecar roundtrip (late r5): per-page metadata JSON (title +
+    char count, built JVM-side with to_json) rides WARC `metadata`
+    records through write_wat, returns through load_wat, and is parsed
+    back with get_json_object — the oracle recomputes url / timestamp /
+    title / n_chars analytically. With warc_roundtrip, cdx_index and
+    wet_roundtrip this closes the full Common Crawl artifact set
+    (WARC + CDX + WAT + WET), every direction oracle-checked."""
+    from .sources.warc import load_wat, write_wat
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://m"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".example/x/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.to_json(F.struct(
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+            F.length("text").alias("n_chars"),
+        )).alias("meta_json"),
+    )
+    out = os.path.join(_roundtrip_scratch_dir(), "wat_" + __import__(
+        "hashlib").md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12])
+    write_wat(pages, out)
+    back = load_wat(spark, out)
+    return back.select(
+        "url", "warc_ts",
+        F.get_json_object("meta_json", "$.title").alias("title"),
+        F.get_json_object("meta_json", "$.n_chars").cast("int").alias("n_chars"),
+    )
+
+
+ORACLE_WAT_ROUNDTRIP = """
+SELECT 'https://m' || (doc_id % 3) || '.example/x/' || doc_id AS url,
+       CAST(to_timestamp(1704067200 + doc_id) AS TIMESTAMP) AS warc_ts,
+       'Doc ' || doc_id AS title,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
 _ROBOTS_BODY_0 = (
     "# crawl policy\nUser-agent: *\nDisallow: /d1/\nAllow: /d1/keep/\n"
     "\nUser-agent: specialbot\nDisallow: /\n"
@@ -4104,6 +4144,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "cdx_index": q_cdx_index,
     "wet_roundtrip": q_wet_roundtrip,
+    "wat_roundtrip": q_wat_roundtrip,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
 }
@@ -4187,6 +4228,7 @@ ORACLES = {
     "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
     "cdx_index": ORACLE_CDX_INDEX,
     "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
+    "wat_roundtrip": ORACLE_WAT_ROUNDTRIP,
     "results_roundtrip": ORACLE_RESULTS_ROUNDTRIP,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "png_decode": ORACLE_PNG_DECODE,
@@ -4247,7 +4289,7 @@ _ADDED_ROUND = {
     "hreflang_clusters": 5, "cdx_index": 5, "gopher_filter": 5,
     "c4_line_filter": 5, "pack_sequences": 5, "bm25_topk": 5,
     "url_blocklist": 5, "webp_anim_frames": 5, "mp4_probe": 5,
-    "subtitle_cues": 5, "wet_roundtrip": 5,
+    "subtitle_cues": 5, "wet_roundtrip": 5, "wat_roundtrip": 5,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4281,6 +4323,7 @@ _LAST_DRIVER_CHECK = {
     "mp4_probe": 0,
     "subtitle_cues": 0,
     "wet_roundtrip": 0,
+    "wat_roundtrip": 0,
     # the 50 queries in CORRECTNESS_r04.json (all green)
     "plot_sink": 4,
     "pdf_layout": 4,
@@ -4435,6 +4478,7 @@ _REGISTRY_ORDER = [
     "mp4_probe",
     "subtitle_cues",
     "wet_roundtrip",
+    "wat_roundtrip",
     "wav_decode",
     "plot_sink",
     "extract_field_spans",

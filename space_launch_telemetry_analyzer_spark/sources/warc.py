@@ -471,6 +471,36 @@ def write_wet(
     from write_warc: its stale-file sweep matches any part-*.warc* name
     and would remove sidecars sharing the directory (CC keeps
     warc/ and wet/ apart too)."""
+    _write_sidecar_records(df, path, url_col, ts_col, text_col,
+                           gzip_records, kind="wet",
+                           rec_type=b"conversion",
+                           content_type=b"text/plain")
+
+
+def write_wat(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    json_col: str = "meta_json",
+    gzip_records: bool = True,
+) -> None:
+    """Per-page metadata sidecar in the Common Crawl WAT convention: one
+    WARC `metadata` record per page, payload = a JSON document (CC nests
+    envelope metadata there; this writer takes the caller's JSON string —
+    typically `F.to_json(F.struct(...))` over page_metadata output).
+    Files are part-NNNNN.warc.wat[.gz]; same contract and separate-
+    directory caveat as write_wet. Reads back through load_wat."""
+    _write_sidecar_records(df, path, url_col, ts_col, json_col,
+                           gzip_records, kind="wat",
+                           rec_type=b"metadata",
+                           content_type=b"application/json")
+
+
+def _write_sidecar_records(df, path, url_col, ts_col, payload_col,
+                           gzip_records, kind, rec_type, content_type):
+    """Shared WET/WAT writer body: simple envelope-less records, streamed
+    per partition with atomic renames (see write_warc for the contract)."""
     import os
     import uuid as _uuid
 
@@ -478,7 +508,7 @@ def write_wet(
 
     os.makedirs(path, exist_ok=True)
     for stale in os.listdir(path):
-        if stale.startswith("part-") and ".warc.wet" in stale:
+        if stale.startswith("part-") and f".warc.{kind}" in stale:
             os.remove(os.path.join(path, stale))
 
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
@@ -488,7 +518,7 @@ def write_wet(
             F.to_utc_timestamp(F.col(ts_col), session_tz),
             "yyyy-MM-dd'T'HH:mm:ss'Z'",
         ).alias("ts"),
-        F.col(text_col).cast("string").alias("text"),
+        F.col(payload_col).cast("string").alias("payload"),
     )
 
     def write_partition(it):
@@ -496,24 +526,24 @@ def write_wet(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
-        suffix = ".warc.wet.gz" if gzip_records else ".warc.wet"
+        suffix = f".warc.{kind}.gz" if gzip_records else f".warc.{kind}"
         target = os.path.join(path, f"part-{pid:05d}{suffix}")
         tmp = f"{target}.inprogress-{ctx.taskAttemptId()}"
         f = None
         try:
             for i, row in enumerate(it):
-                body = (row.text or "").encode("utf-8")
+                body = (row.payload or "").encode("utf-8")
                 rec_id = _uuid.uuid5(
                     _uuid.NAMESPACE_URL,
-                    f"wet|{row.url or ''}|{row.ts or ''}|{pid}|{i}",
+                    f"{kind}|{row.url or ''}|{row.ts or ''}|{pid}|{i}",
                 )
                 headers = (
                     b"WARC/1.0\r\n"
-                    b"WARC-Type: conversion\r\n"
+                    b"WARC-Type: " + rec_type + b"\r\n"
                     b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode() + b">\r\n"
                     b"WARC-Target-URI: " + (row.url or "").encode() + b"\r\n"
                     b"WARC-Date: " + (row.ts or "").encode() + b"\r\n"
-                    b"Content-Type: text/plain\r\n"
+                    b"Content-Type: " + content_type + b"\r\n"
                     b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
                 )
                 record = headers + body + b"\r\n\r\n"
@@ -593,5 +623,66 @@ def load_wet(
         parse,
         "url string, warc_ts string, text string, source_file string, "
         "error string",
+    )
+    return out.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def load_wat(
+    spark: SparkSession, path: str, rows_per_chunk: int = 2000
+) -> DataFrame:
+    """WAT file(s) -> DataFrame(url, warc_ts timestamp, meta_json string,
+    source_file, error). The metadata-record twin of load_wet; other
+    record types are skipped, so mixed archives read fine. Parse the JSON
+    downstream with F.get_json_object / F.from_json."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+    narrow = files.select(
+        F.col("path").alias("source_file"), F.col("content"))
+
+    def parse(pdfs):
+        def flush(rows):
+            return pd.DataFrame(
+                rows, columns=["url", "warc_ts", "meta_json",
+                               "source_file", "error"])
+
+        for pdf in pdfs:
+            rows = []
+            for src, raw in zip(pdf["source_file"], pdf["content"]):
+                try:
+                    for rec in iter_warc_records_stream(
+                            _open_stream(bytes(raw))):
+                        if rec["error"] is not None:
+                            rows.append((None, None, None, src,
+                                         rec["error"]))
+                            continue
+                        h = rec["headers"]
+                        if h.get("warc-type") != "metadata":
+                            continue
+                        url = h.get("warc-target-uri")
+                        if not url:
+                            rows.append((None, None, None, src,
+                                         "metadata record without "
+                                         "WARC-Target-URI"))
+                            continue
+                        rows.append((
+                            url, h.get("warc-date"),
+                            rec["content"].decode("utf-8", "replace"),
+                            src, None))
+                        if len(rows) >= rows_per_chunk:
+                            yield flush(rows)
+                            rows = []
+                except Exception as e:  # noqa: BLE001 - file-level channel
+                    rows.append((None, None, None, src,
+                                 f"{type(e).__name__}: {e}"))
+            if rows:
+                yield flush(rows)
+
+    out = narrow.mapInPandas(
+        parse,
+        "url string, warc_ts string, meta_json string, "
+        "source_file string, error string",
     )
     return out.withColumn("warc_ts", F.to_timestamp("warc_ts"))

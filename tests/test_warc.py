@@ -396,3 +396,19 @@ def test_wet_plain_and_rerun_sweep(spark, tmp_path):
     W.write_wet(df.repartition(1), out)
     assert not (set(os.listdir(out)) & first)
     assert W.load_wet(spark, out).count() == 1
+
+
+def test_wat_roundtrip(spark, tmp_path):
+    rows = [(f"https://w.example/{i}", f"2024-07-0{i + 1}T09:00:00Z",
+             '{"k": %d}' % i) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, meta_json string") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts")).repartition(2)
+    out = str(tmp_path / "wat")
+    W.write_wat(df, out)
+    import os
+    assert all(f.endswith(".warc.wat.gz") for f in os.listdir(out))
+    back = {r.url: r.meta_json for r in W.load_wat(spark, out).collect()}
+    assert back == {u: j for u, _, j in rows}
+    # wat and wet readers don't cross-read each other's record types
+    assert W.load_wet(spark, out).count() == 0
