@@ -13,7 +13,11 @@ decode. Pure stdlib parsing of the ISO 14496-12 box grammar:
 - `moov > mvhd` carries timescale + duration (v0: u32s, v1: u64s);
 - `moov > trak > tkhd` carries the track's 16.16-fixed width/height;
 - `moov > trak > mdia > hdlr` names the handler (vide/soun/...);
-- `... > minf > stbl > stsd` lists sample entries whose 4cc is the codec.
+- `moov > trak > mdia > mdhd` carries the MEDIA timescale;
+- `... > minf > stbl > stsd` lists sample entries whose 4cc is the codec;
+- `... > stbl > stts` (decoding time-to-sample) gives the frame count
+  (sum of entry counts) and, with mdhd's timescale, the average fps —
+  the literal cv2.CAP_PROP_FPS / CAP_PROP_FRAME_COUNT pair.
 
 `make_mp4` is the deterministic sink twin (builds the same subset), so
 probe semantics are pinned end-to-end without any media library.
@@ -60,7 +64,7 @@ def parse_mp4(payload: bytes) -> dict:
     out: dict = {
         "major_brand": None, "timescale": None, "duration_ms": None,
         "n_tracks": 0, "video_codec": None, "audio_codec": None,
-        "width": None, "height": None,
+        "width": None, "height": None, "n_frames": None, "fps": None,
     }
     saw_box = False
 
@@ -88,7 +92,8 @@ def parse_mp4(payload: bytes) -> dict:
                 out["duration_ms"] = int(dur * 1000 // ts) if ts else None
             elif btype == b"trak":
                 out["n_tracks"] += 1
-                tctx = {"kind": None, "w": None, "h": None, "codec": None}
+                tctx = {"kind": None, "w": None, "h": None, "codec": None,
+                        "media_ts": None, "n_samples": None, "ticks": None}
                 walk(ps, pe, tctx)
                 if tctx["kind"] == "vide":
                     if out["video_codec"] is None:
@@ -96,6 +101,13 @@ def parse_mp4(payload: bytes) -> dict:
                     if out["width"] is None:
                         out["width"] = tctx["w"]
                         out["height"] = tctx["h"]
+                    if (out["n_frames"] is None
+                            and tctx["n_samples"] is not None):
+                        out["n_frames"] = tctx["n_samples"]
+                        if tctx["media_ts"] and tctx["ticks"]:
+                            out["fps"] = (
+                                tctx["media_ts"] * tctx["n_samples"]
+                            ) / tctx["ticks"]
                 elif tctx["kind"] == "soun" and out["audio_codec"] is None:
                     out["audio_codec"] = tctx["codec"]
                 continue
@@ -112,6 +124,28 @@ def parse_mp4(payload: bytes) -> dict:
             elif btype == b"hdlr" and ctx is not None:
                 if pe - ps >= 12:
                     ctx["kind"] = payload[ps + 8:ps + 12].decode("latin-1")
+            elif btype == b"mdhd" and ctx is not None:
+                ver = payload[ps] if pe > ps else 0
+                off, need = (20, 32) if ver == 1 else (12, 24)
+                if pe - ps < need:
+                    raise ValueError("truncated mdhd")
+                ctx["media_ts"] = struct.unpack(
+                    ">I", payload[ps + off:ps + off + 4])[0]
+            elif btype == b"stts" and ctx is not None:
+                if pe - ps < 8:
+                    raise ValueError("truncated stts")
+                n_ent = struct.unpack(">I", payload[ps + 4:ps + 8])[0]
+                if pe - ps < 8 + 8 * n_ent:
+                    raise ValueError("stts entries overrun the box")
+                n_samples = 0
+                ticks = 0
+                for k in range(n_ent):
+                    c, d = struct.unpack(
+                        ">II", payload[ps + 8 + 8 * k:ps + 16 + 8 * k])
+                    n_samples += c
+                    ticks += c * d
+                ctx["n_samples"] = n_samples
+                ctx["ticks"] = ticks
             elif btype == b"stsd" and ctx is not None:
                 if pe - ps >= 16:
                     ctx["codec"] = payload[ps + 12:ps + 16].decode(
@@ -137,31 +171,44 @@ def make_mp4(
     video_codec: str = "avc1",
     audio_codec: str | None = None,
     major_brand: str = "isom",
+    media_timescale: int | None = None,
+    frame_deltas: list | None = None,
 ) -> bytes:
     """Deterministic minimal MP4 (the sink twin of parse_mp4): ftyp + moov
     with mvhd and one video trak (tkhd dims, hdlr vide, stsd codec), plus
-    an optional audio trak. Media data (mdat) is intentionally absent —
-    the probe reads structure, not samples."""
+    an optional audio trak. `media_timescale` + `frame_deltas`
+    [(count, delta_ticks), ...] add an mdhd + stts pair to the video trak
+    so fps/n_frames probe back out. Media data (mdat) is intentionally
+    absent — the probe reads structure, not samples."""
     ftyp = _box(b"ftyp", major_brand.encode("latin-1").ljust(4) +
                 struct.pack(">I", 0) + b"isom")
     mvhd = _box(b"mvhd", bytes(4) + struct.pack(">II", 0, 0) +
                 struct.pack(">II", timescale, duration) + bytes(80))
 
-    def trak(kind: str, codec: str, w: int, h: int) -> bytes:
+    def trak(kind: str, codec: str, w: int, h: int, timed: bool) -> bytes:
         # spec-exact v0 tkhd: 76 bytes of ver/flags, times, track id,
         # duration, layer block and identity-free matrix before w/h = 84
         tkhd = _box(b"tkhd", bytes(76) +
                     struct.pack(">II", w << 16, h << 16))
         entry = _box(codec.encode("latin-1").ljust(4)[:4].replace(b"\x00", b" "),
                      bytes(8))
-        stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
-        stbl = _box(b"stbl", stsd)
-        minf = _box(b"minf", stbl)
-        hdlr = _box(b"hdlr", bytes(8) + kind.encode("latin-1") + bytes(13))
-        mdia = _box(b"mdia", hdlr + minf)
+        stbl_body = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        mdia_body = _box(b"hdlr", bytes(8) + kind.encode("latin-1")
+                         + bytes(13))
+        if timed and media_timescale is not None:
+            mdia_body += _box(b"mdhd", bytes(4) + struct.pack(">II", 0, 0)
+                              + struct.pack(">II", media_timescale, 0)
+                              + bytes(4))
+            if frame_deltas:
+                stts = bytes(4) + struct.pack(">I", len(frame_deltas))
+                for c, d in frame_deltas:
+                    stts += struct.pack(">II", c, d)
+                stbl_body += _box(b"stts", stts)
+        minf = _box(b"minf", _box(b"stbl", stbl_body))
+        mdia = _box(b"mdia", mdia_body + minf)
         return _box(b"trak", tkhd + mdia)
 
-    traks = trak("vide", video_codec, width, height)
+    traks = trak("vide", video_codec, width, height, True)
     if audio_codec is not None:
-        traks += trak("soun", audio_codec, 0, 0)
+        traks += trak("soun", audio_codec, 0, 0, False)
     return ftyp + _box(b"moov", mvhd + traks)

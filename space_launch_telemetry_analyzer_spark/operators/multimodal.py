@@ -1017,7 +1017,7 @@ def webp_animation_frames(
 MEDIA_PROBE_DDL = (
     "media_id long, major_brand string, timescale long, duration_ms long, "
     "n_tracks int, video_codec string, audio_codec string, "
-    "width int, height int, error string"
+    "width int, height int, n_frames long, fps double, error string"
 )
 
 
@@ -1034,7 +1034,8 @@ def media_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
     )
     cols = ("major_brand", "timescale", "duration_ms", "n_tracks",
-            "video_codec", "audio_codec", "width", "height")
+            "video_codec", "audio_codec", "width", "height",
+            "n_frames", "fps")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

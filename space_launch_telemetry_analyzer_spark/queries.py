@@ -3008,14 +3008,16 @@ def q_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ts, dur, 320 + did % 64, 240 + did % 48,
                     video_codec=codec,
                     audio_codec="mp4a" if did % 2 == 0 else None,
-                    major_brand="mp42" if did % 5 == 0 else "isom"))
+                    major_brand="mp42" if did % 5 == 0 else "isom",
+                    media_timescale=600,
+                    frame_deltas=[(100 + did % 50, 20 + did % 10)]))
             yield pd.DataFrame({"doc_id": ids, "payload": blobs})
 
     blobs = docs.mapInPandas(synth, "doc_id long, payload binary")
     return MM.media_probe(blobs, "doc_id", "payload").select(
         F.col("media_id").alias("doc_id"), "major_brand", "timescale",
         "duration_ms", "n_tracks", "video_codec", "audio_codec",
-        "width", "height",
+        "width", "height", "n_frames", "fps",
     ).orderBy("doc_id")
 
 
@@ -3033,7 +3035,10 @@ SELECT doc_id,
          AS video_codec,
        CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec,
        CAST(320 + doc_id % 64 AS INT) AS width,
-       CAST(240 + doc_id % 48 AS INT) AS height
+       CAST(240 + doc_id % 48 AS INT) AS height,
+       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+       CAST(600 * (100 + doc_id % 50) AS DOUBLE)
+         / ((100 + doc_id % 50) * (20 + doc_id % 10)) AS fps
 FROM documents
 ORDER BY doc_id
 """

@@ -19,7 +19,8 @@ def test_roundtrip_video_and_audio():
     d = parse_mp4(make_mp4(1000, 95000, 384, 272, "hvc1", "mp4a", "mp42"))
     assert d == {"major_brand": "mp42", "timescale": 1000,
                  "duration_ms": 95000, "n_tracks": 2, "video_codec": "hvc1",
-                 "audio_codec": "mp4a", "width": 384, "height": 272}
+                 "audio_codec": "mp4a", "width": 384, "height": 272,
+                 "n_frames": None, "fps": None}
 
 
 def test_duration_scaling_and_video_only():
@@ -131,3 +132,23 @@ def test_media_probe_operator_error_channel(spark):
     assert got[1]["error"] is None
     assert got[2]["error"] is not None and got[2]["width"] is None
     assert got[3]["error"] == "ValueError: null payload"
+
+
+def test_fps_and_frame_count_from_stts():
+    # constant frame duration: 120 frames of 25 ticks at media ts 600
+    d = parse_mp4(make_mp4(1000, 5000, 320, 240, media_timescale=600,
+                           frame_deltas=[(100, 25), (20, 25)]))
+    assert d["n_frames"] == 120 and d["fps"] == 24.0
+    # variable frame durations average out
+    d2 = parse_mp4(make_mp4(1000, 5000, 320, 240, media_timescale=90000,
+                            frame_deltas=[(50, 3000), (50, 3750)]))
+    assert d2["n_frames"] == 100
+    assert d2["fps"] == 90000 * 100 / (50 * 3000 + 50 * 3750)
+    # stts whose declared entries overrun the box -> ValueError
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    bad_stts = _box(b"stts", bytes(4) + struct.pack(">I", 9))
+    trak = _box(b"trak", _box(b"mdia", _box(
+        b"hdlr", bytes(8) + b"vide" + bytes(13)) + _box(
+        b"minf", _box(b"stbl", bad_stts))))
+    with pytest.raises(ValueError, match="stts entries overrun"):
+        parse_mp4(ftyp + _box(b"moov", trak))
