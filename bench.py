@@ -78,6 +78,50 @@ HEADLINE = [
 ]
 
 
+# Best observed warm wall time per headline query (sec) at the official
+# config (sf0.1, local[32]): min over the r1/r2 driver artifacts
+# (BENCH_r01/r02.json "queries") and the machine-exclusive adjudication
+# windows (BENCH.md #33/#37 warm legs). "Best observed" is the right band
+# basis because contention only ever INFLATES a reading — a query can't get
+# faster than its code. A reading > 2x this band is physically implausible
+# on quiet hardware (measured exclusive-window run-to-run spread is well
+# under 1.5x) and is treated as interference: the leg is re-run, both
+# readings and the retry count are recorded (VERDICT r5 "What's wrong" #2 —
+# the r4/r5 driver artifacts published contention noise because only the
+# extraction legs had retry guards).
+EXPECTED_WARM = {
+    "extract_main_text": 3.33, "extract_field_spans": 1.78,
+    "pricing_summary": 1.64, "nation_revenue": 1.13,
+    "outlier_nulling": 0.85, "lead_acceleration": 1.13,
+    "rolling_trend": 0.59, "zero_anchor_realtime": 0.82,
+    "dedup_exact": 1.92, "ngram_jaccard": 1.56, "minhash_pairs": 1.83,
+    "dedup_survivors": 2.57, "simhash_pairs": 2.22, "embedding_topk": 1.09,
+    "ann_lsh_topk": 1.88, "decontaminate": 1.59, "lang_id": 0.45,
+    "quality_score": 1.52, "token_counts": 0.43, "fingerprint": 0.27,
+    "pii_redact": 0.78, "repetition_filter": 1.00, "tfidf_topk": 1.35,
+    "sessionize": 0.61, "link_graph": 0.28, "pagerank": 1.65,
+    "kmeans_centroids": 3.29,
+}
+QUERY_OUTLIER_FACTOR = 2.0   # reading > factor * band => re-run the leg
+MAX_QUERY_RETRIES = int(os.environ.get("SPARK_GRAFT_QUERY_RETRIES", "3"))
+
+
+def readings_until_in_band(run, band: float | None,
+                           factor: float = QUERY_OUTLIER_FACTOR,
+                           max_retries: int = MAX_QUERY_RETRIES) -> list[float]:
+    """Call `run()` once, then re-run while the latest reading exceeds
+    factor * band, up to max_retries extra runs. Returns every reading;
+    min(readings) is the kept value (contention only inflates — best-of
+    estimates true capability, same discipline as the extraction legs).
+    With no band (non-official config, or a query without a recorded
+    exclusive-window best) a single reading is taken."""
+    readings = [run()]
+    while (band is not None and readings[-1] > factor * band
+           and len(readings) <= max_retries):
+        readings.append(run())
+    return readings
+
+
 def materialize(df) -> int:
     """Force full execution without driver collect: noop-write when
     available, else count over all columns."""
@@ -355,31 +399,84 @@ def main() -> None:
         # made r1-vs-r2 per-query comparisons read as phantom regressions
         # (isolated fresh-session A/B confirmed: simhash_pairs warm 2.27 s
         # vs the 2.86 s cold suite number). Cold times kept alongside.
+        # Band checks only make sense at the config the bands were recorded
+        # at; at other SF/core counts the always-available guards still run.
+        bands_apply = (sf == "0.1" and CPUS == 32)
+
+        def timed_run(name: str) -> float:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            # clear after every run: queries that persist mid-plan frames
+            # (banded minhash signatures) register them with the
+            # CacheManager, which would substitute the previous run's
+            # InMemoryRelation into the next identical plan — and later
+            # queries must not be timed under this query's storage
+            # pressure (the source of r2's shared-session drift)
+            spark.catalog.clearCache()
+            return dt
+
         queries: dict[str, float] = {}
         queries_cold: dict[str, float] = {}
+        query_retries: dict[str, int] = {}
+        query_outliers: dict[str, dict] = {}
         try:
             for name in HEADLINE:
-                t0 = time.perf_counter()
-                materialize(QUERIES[name](spark, SF_DIR))
-                queries_cold[name] = round(time.perf_counter() - t0, 3)
-                # clear BETWEEN cold and warm: queries that persist mid-plan
-                # frames (banded minhash signatures) register them with the
-                # CacheManager, which substitutes the cold run's
-                # InMemoryRelation into the warm run's identical plan — the
-                # warm number would time a cache read, not execution
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                materialize(QUERIES[name](spark, SF_DIR))
-                queries[name] = round(time.perf_counter() - t0, 3)
-                # and again after, so later queries aren't timed under this
-                # query's storage pressure — the source of r2's
-                # shared-session drift
-                spark.catalog.clearCache()
+                queries_cold[name] = timed_run(name)
+                band = EXPECTED_WARM.get(name) if bands_apply else None
+                # warm leg with outlier-retry (VERDICT r5 #2): re-run while
+                # the reading exceeds 2x the best-observed exclusive-window
+                # band — contention only inflates, so min-of-readings
+                # estimates true capability exactly like the extraction
+                # legs' best-of-N.
+                readings = readings_until_in_band(
+                    lambda: timed_run(name), band)
+                queries[name] = min(readings)
+                query_retries[name] = len(readings) - 1
+                if len(readings) > 1:
+                    query_outliers[name] = {
+                        "kind": "warm", "band": band,
+                        "readings": readings, "kept": min(readings),
+                        "still_over": min(readings) > QUERY_OUTLIER_FACTOR * band,
+                    }
         finally:
             spark.stop()
 
+        # Cold-leg outliers (cold = first run of a query in the shared
+        # suite session). A same-session re-run would be warm, so flagged
+        # colds are re-run ONCE in a fresh session (same semantics:
+        # first execution of that query in its session — the BENCH.md #33
+        # adjudication protocol). The cold band adds a 3 s JIT/codegen
+        # allowance on top of the warm band.
+        cold_flagged = [n for n in HEADLINE if bands_apply
+                        and n in EXPECTED_WARM
+                        and queries_cold[n] >
+                        QUERY_OUTLIER_FACTOR * EXPECTED_WARM[n] + 3.0]
+        if cold_flagged:
+            spark = new_session(CPUS, "bench-queries-cold-retry")
+            spark.sparkContext.setLogLevel("ERROR")
+            try:
+                for name in cold_flagged:
+                    first = queries_cold[name]
+                    retried = timed_run(name)
+                    queries_cold[name] = min(first, retried)
+                    query_retries[name] = query_retries.get(name, 0) + 1
+                    query_outliers[name] = {
+                        "kind": "cold",
+                        "band": round(
+                            QUERY_OUTLIER_FACTOR * EXPECTED_WARM[name] + 3.0, 3),
+                        "readings": [first, retried],
+                        "kept": queries_cold[name],
+                        **({"warm": query_outliers[name]}
+                           if name in query_outliers else {}),
+                    }
+            finally:
+                spark.stop()
+
         out["queries"] = queries
         out["queries_cold"] = queries_cold
+        out["query_retries"] = query_retries
+        out["query_outliers"] = query_outliers
         out["extraction"] = extraction
         out["docs_per_sec"] = legs[hi_w]["docs_per_sec"]
         out["scaling_efficiency"] = full

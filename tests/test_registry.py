@@ -23,14 +23,17 @@ def test_bookkeeping_covers_every_query_exactly():
     assert list(QUERIES) == _REGISTRY_ORDER
 
 
-def test_no_query_goes_two_rounds_unchecked():
-    """Every query whose last external verdict (or, for queries added
-    after the founding registry, its registration round — the staleness
-    clock starts when the query exists) is older than the previous round
-    must sit inside the driver's sampling window this round."""
+def test_no_query_ends_a_round_more_than_two_rounds_stale():
+    """Every query whose effective last check (max of last external
+    verdict and registration round — the staleness clock starts when the
+    query exists) is < _CURRENT_ROUND - 2 must sit inside the driver's
+    sampling window this round. This guarantees no query ever ENDS a
+    round with a verdict older than two rounds. (r6 rule change from
+    < ROUND - 1: at 105 queries the 2-round cycle exceeded the 50-slot
+    window's capacity of 100 — see the comment block in queries.py.)"""
     window = set(_REGISTRY_ORDER[:_SAMPLE_HORIZON])
     stale = [q for q, last in _LAST_DRIVER_CHECK.items()
-             if max(last, _ADDED_ROUND.get(q, 0)) < _CURRENT_ROUND - 1]
+             if max(last, _ADDED_ROUND.get(q, 0)) < _CURRENT_ROUND - 2]
     out_of_window = [q for q in stale if q not in window]
     assert not out_of_window, (
         f"stale queries outside the first-{_SAMPLE_HORIZON} sampling window "
