@@ -38,6 +38,7 @@ from .operators import pii as PII
 from .operators import sampling as SA
 from .operators import similarity as S
 from .operators import text_analysis as TA
+from .functions import bpe as BPE
 from .operators import windows as W
 from .operators.extract import extract_pages
 from .rules import default_config
@@ -1540,6 +1541,59 @@ SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_SQL_TOKS} END AS INT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])')) AS INT) AS bpe_tokens
 FROM documents
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level BPE token counts (r6, VERDICT r5 Missing #2):
+    deterministic self-trained merge table (functions/bpe_merges.py),
+    min-rank merge loop behind a per-executor LRU, Arrow-batched — a
+    scan-stage pass with no shuffle. The oracle is an UNROLLED DuckDB SQL
+    twin that recomputes the merge loop independently (window functions +
+    list ops over the same merge table), scoped to printable-ASCII rows —
+    the identical rlike filter is applied here so both engines see the
+    same input (non-ASCII bytes are covered by the Python property suite,
+    tests/test_bpe.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(F.col("text").rlike("^[ -~]*$")).select(
+        "doc_id",
+        BPE.bpe_token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+ORACLE_BPE_TOKEN_COUNT = BPE.bpe_token_count_oracle_sql()
+
+
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences with the REAL BPE counter feeding the boundaries
+    (counter="bpe") — the trainer-facing variant. Same distributed
+    prefix-sum; the oracle composes the unrolled BPE twin with the global
+    window cumsum. ASCII scope matches q_bpe_token_count."""
+    docs = load(spark, sf_dir, "documents")
+    return TA.pack_sequences(
+        docs.where(F.col("text").rlike("^[ -~]*$")).select("doc_id", "text"),
+        "doc_id", "text", seq_len=128, counter="bpe")
+
+
+ORACLE_PACK_SEQUENCES_BPE = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, n_tokens AS n FROM ({ORACLE_BPE_TOKEN_COUNT})),
+pre AS (
+  SELECT id, CAST(n AS BIGINT) AS n,
+         CAST(coalesce(sum(n) OVER (ORDER BY id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS gs
+  FROM toks),
+spans AS (
+  SELECT id, n, gs,
+         unnest(range(gs // 128, (gs + n - 1) // 128 + 1)) AS seq_id
+  FROM pre WHERE n > 0)
+SELECT id, n AS n_tokens, gs AS global_start, seq_id,
+       CAST(greatest(0, seq_id * 128 - gs) AS BIGINT) AS start_tok,
+       CAST(least(n, (seq_id + 1) * 128 - gs) AS BIGINT) AS end_tok,
+       CAST(least(n, (seq_id + 1) * 128 - gs)
+            - greatest(0, seq_id * 128 - gs) AS BIGINT) AS n_seq_toks
+FROM spans
 """
 
 
@@ -4119,6 +4173,8 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "c4_line_filter": q_c4_line_filter,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
+    "bpe_token_count": q_bpe_token_count,
     "bm25_topk": q_bm25_topk,
     "url_blocklist": q_url_blocklist,
     "token_counts": q_token_counts,
@@ -4203,6 +4259,8 @@ ORACLES = {
     "gopher_filter": ORACLE_GOPHER_FILTER,
     "c4_line_filter": ORACLE_C4_LINE_FILTER,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "pack_sequences_bpe": ORACLE_PACK_SEQUENCES_BPE,
+    "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "bm25_topk": ORACLE_BM25_TOPK,
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "token_counts": ORACLE_TOKEN_COUNTS,
@@ -4308,6 +4366,8 @@ _ADDED_ROUND = {
     "c4_line_filter": 5, "pack_sequences": 5, "bm25_topk": 5,
     "url_blocklist": 5, "webp_anim_frames": 5, "mp4_probe": 5,
     "subtitle_cues": 5, "wet_roundtrip": 5, "wat_roundtrip": 5,
+    # r6 additions
+    "bpe_token_count": 6, "pack_sequences_bpe": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4370,6 +4430,9 @@ _LAST_DRIVER_CHECK = {
     "subtitle_cues": 0,
     "wet_roundtrip": 0,
     "wat_roundtrip": 0,
+    # never externally checked (born r6): lead the window with the late-r5 six
+    "bpe_token_count": 0,
+    "pack_sequences_bpe": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4442,6 +4505,9 @@ _REGISTRY_ORDER = [
     "wet_roundtrip",
     "wat_roundtrip",
     "wav_decode",
+    # -- born r6, driver-checked in their birth round ------------------
+    "bpe_token_count",
+    "pack_sequences_bpe",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4486,9 +4552,10 @@ _REGISTRY_ORDER = [
     "time_window_filter",
     "union_compare",
     "validate_report",
+    # ---------------- sampling horizon (50) ends here ----------------
+    # displaced by the two r6-born queries (r4-green, forced back r7)
     "warc_roundtrip",
     "zero_anchor_realtime",
-    # ---------------- sampling horizon (50) ends here ----------------
     # deferred r4-greens (forced into the r7 window by the staleness rule)
     "first_number",
     "hhmmss_format",

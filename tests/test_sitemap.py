@@ -200,6 +200,100 @@ def test_frontier_new_canonical_anti_join(spark):
                     "https://e.x/c": "https://e.x/c#frag"}
 
 
+def test_frontier_bloom_prefilter_identical_output(spark):
+    """The bloom pre-filter must be output-invisible: candidates it proves
+    unseen skip the anti-join, false positives get removed by the exact
+    anti-join behind it — same rows either way (VERDICT r5 Next #5)."""
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        frontier_bloom,
+        frontier_new,
+    )
+
+    cand = spark.createDataFrame(
+        [(f"https://h{i % 37}.example/p/{i}",) for i in range(500)]
+        + [("https://e.x/a?b=2&a=1",), ("HTTP://E.X/a?a=1&b=2#f",)],
+        "url string")
+    seen = spark.createDataFrame(
+        [(f"https://h{i % 37}.example/p/{i}",) for i in range(0, 500, 3)]
+        + [("https://e.x/a?a=1&b=2",)],
+        "url string")
+    bloom = frontier_bloom(seen)
+    plain = sorted(map(tuple, frontier_new(cand, seen).collect()))
+    pre = sorted(map(tuple, frontier_new(cand, seen, bloom=bloom).collect()))
+    assert plain == pre
+    # 500 - ceil(500/3) unseen h-range urls, plus the HTTP:// candidate
+    # (scheme lowercases to http, which differs from the seen https url);
+    # the https /a candidate dedups against seen via param sort
+    assert len(plain) == 334
+
+
+def test_bloom_no_false_negatives_and_sized_fpp(spark):
+    from pyspark.sql import functions as F
+
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        bloom_might_contain,
+        build_url_bloom,
+    )
+
+    members = spark.createDataFrame(
+        [(f"https://m.example/{i}",) for i in range(2000)], "u string")
+    bloom = build_url_bloom(members, "u")
+    # every member must probe True — bloom false negatives are impossible
+    assert members.where(
+        ~bloom_might_contain(bloom, F.col("u"))).count() == 0
+    # non-members probe True only at the sized rate (~0.9% at 10 bits/key,
+    # k=5; assert a loose 5% ceiling so the test never flakes)
+    others = spark.createDataFrame(
+        [(f"https://other.example/{i}",) for i in range(2000)], "u string")
+    fp = others.where(bloom_might_contain(bloom, F.col("u"))).count()
+    assert fp <= 100
+    assert bloom.fpp(2000) < 0.02
+
+
+def test_bloom_broadcast_regime_cap(spark):
+    import pytest as _pytest
+
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        build_url_bloom,
+    )
+    one = spark.createDataFrame([("https://x/",)], "u string")
+    with _pytest.raises(AssertionError, match="shard the"):
+        build_url_bloom(one, "u", m_bits=1 << 32)
+
+
+def test_frontier_bloom_plan_shape(spark):
+    """Plan facts the pre-filter exists for: the definite-new branch has
+    no join at all, the probe is Arrow-batched (no per-row Python), and
+    exactly one anti-join remains for the bloom-hit residue."""
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        frontier_bloom,
+        frontier_new,
+    )
+
+    cand = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(50)], "url string")
+    seen = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(0, 50, 2)], "url string")
+    bloom = frontier_bloom(seen)
+    plan = frontier_new(cand, seen, bloom=bloom) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # exactly one anti-join remains (the bloom-hit residue); the
+    # definite-new branch reaches the union join-free
+    assert plan.count("LeftAnti") == 1
+    # the probe itself is Arrow-batched, not per-row Python — visible in
+    # the pre-checkpoint plan (localCheckpoint truncates lineage, so the
+    # downstream plan starts at Scan ExistingRDD)
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+    probe_plan = cand.withColumn(
+        "hit", bloom_might_contain(bloom, F.col("url"))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in probe_plan
+    assert "BatchEvalPython" not in probe_plan
+
+
 def test_image_sitemap_extension_does_not_overwrite_loc():
     # Google image-sitemap extension: nested image:loc must not clobber
     # the page's real loc (only DIRECT children of <url> count)
