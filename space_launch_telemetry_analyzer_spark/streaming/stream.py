@@ -45,19 +45,12 @@ def read_pages_stream(spark: SparkSession, input_path: str,
     )
 
 
-def stream_extract(
-    spark: SparkSession,
-    input_path: str,
-    output_path: str,
-    checkpoint_path: str,
-    cfg: RuleConfig | None = None,
-    available_now: bool = True,
-):
-    """Run the extraction kernel as a stream; returns the StreamingQuery.
-    `available_now=True` drains existing files and stops (the batch-parity
-    mode used by tests and backfills); False runs continuously."""
-    pages = read_pages_stream(spark, input_path)
-    results = extract_pages(pages, cfg, row_idx_col=None)
+def _start_parquet_sink(results: DataFrame, output_path: str,
+                        checkpoint_path: str, available_now: bool):
+    """Shared writeStream plumbing: append-mode parquet sink with a
+    checkpoint. `available_now=True` drains existing files and stops (the
+    batch-parity mode used by tests and backfills); False runs
+    continuously."""
     writer = (
         results.writeStream.format("parquet")
         .option("path", output_path)
@@ -67,6 +60,98 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    cfg: RuleConfig | None = None,
+    available_now: bool = True,
+):
+    """Run the extraction kernel as a stream; returns the StreamingQuery."""
+    pages = read_pages_stream(spark, input_path)
+    results = extract_pages(pages, cfg, row_idx_col=None)
+    return _start_parquet_sink(results, output_path, checkpoint_path,
+                               available_now)
+
+
+# --- discovery-layer streaming twins (r6, VERDICT r5 Next #7) ----------------
+#
+# sitemap/feed/anchor/page-metadata extraction are stateless single
+# mapInArrow passes (no shuffle, no cross-row state), so their streaming
+# twins share the batch kernels VERBATIM — the twin is the readStream
+# front door + checkpointed sink, and micro-batch boundaries cannot change
+# results (pinned by batch/stream equality tests at maxFilesPerTrigger=1,
+# mirroring stream_frontier_new's test).
+
+XML_DOCS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("xml", T.BinaryType()),
+])
+
+
+def read_xml_stream(spark: SparkSession, input_path: str,
+                    max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming source for fetched sitemap/feed documents
+    (url, xml binary) — the shape a crawl loop lands robots-discovered
+    artifacts in."""
+    return (
+        spark.readStream.schema(XML_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def stream_sitemap_entries(spark: SparkSession, input_path: str,
+                           output_path: str, checkpoint_path: str,
+                           available_now: bool = True,
+                           max_files_per_trigger: int = 8):
+    """Streaming twin of operators.sitemap.sitemap_entries."""
+    from ..operators.sitemap import sitemap_entries
+
+    docs = read_xml_stream(spark, input_path, max_files_per_trigger)
+    return _start_parquet_sink(sitemap_entries(docs), output_path,
+                               checkpoint_path, available_now)
+
+
+def stream_feed_entries(spark: SparkSession, input_path: str,
+                        output_path: str, checkpoint_path: str,
+                        available_now: bool = True,
+                        max_files_per_trigger: int = 8):
+    """Streaming twin of operators.sitemap.feed_entries."""
+    from ..operators.sitemap import feed_entries
+
+    docs = read_xml_stream(spark, input_path, max_files_per_trigger)
+    return _start_parquet_sink(feed_entries(docs), output_path,
+                               checkpoint_path, available_now)
+
+
+def stream_page_metadata(spark: SparkSession, input_path: str,
+                         output_path: str, checkpoint_path: str,
+                         available_now: bool = True,
+                         max_files_per_trigger: int = 8):
+    """Streaming twin of operators.metadata.page_metadata over the pages
+    schema."""
+    from ..operators.metadata import page_metadata
+
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    return _start_parquet_sink(page_metadata(pages), output_path,
+                               checkpoint_path, available_now)
+
+
+def stream_anchor_texts(spark: SparkSession, input_path: str,
+                        output_path: str, checkpoint_path: str,
+                        available_now: bool = True,
+                        max_files_per_trigger: int = 8):
+    """Streaming twin of operators.metadata.anchor_texts over the pages
+    schema."""
+    from ..operators.metadata import anchor_texts
+
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    return _start_parquet_sink(anchor_texts(pages), output_path,
+                               checkpoint_path, available_now)
 
 
 # --- ST2 as real streaming state ---------------------------------------------

@@ -329,3 +329,81 @@ def test_stream_frontier_new(spark, tmp_path):
     q.awaitTermination(timeout=120)
     got = {r["canonical_url"] for r in spark.read.parquet(out_path).collect()}
     assert got == {"https://e.x/b", "https://e.x/c"}
+
+
+def _drain(q):
+    q.awaitTermination(timeout=180)
+
+
+def _sorted_rows(df):
+    # repr-compare: rows carry None and array columns, which break tuple
+    # ordering; reprs order totally and equality is what's asserted
+    return sorted(repr(r) for r in df.collect())
+
+
+def test_stream_sitemap_and_feed_match_batch(spark, tmp_path):
+    """Discovery-layer streaming twins (r6): the batch kernels run
+    unchanged under readStream; maxFilesPerTrigger=1 forces one
+    micro-batch per file so the equality crosses batch boundaries."""
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        feed_entries,
+        sitemap_entries,
+    )
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_feed_entries,
+        stream_sitemap_entries,
+    )
+
+    sm = (b"<urlset><url><loc>https://e/1</loc><priority>0.5</priority>"
+          b"</url><url><loc>https://e/2</loc></url></urlset>")
+    idx = (b"<sitemapindex><sitemap><loc>https://e/s.xml</loc>"
+           b"<lastmod>2024-01-01</lastmod></sitemap></sitemapindex>")
+    feed = (b"<rss><channel><title>F</title><item><title>a</title>"
+            b"<link>https://e/a</link></item><item><title>b</title>"
+            b"<guid>g2</guid></item></channel></rss>")
+    atom = (b'<feed><title>A</title><entry><title>x</title>'
+            b'<link rel="alternate" href="https://e/x"/></entry></feed>')
+    docs = spark.createDataFrame(
+        [("s1", sm), ("s2", idx), ("bad", b"<html>nope</html>"),
+         ("null", None), ("f1", feed), ("f2", atom)],
+        "url string, xml binary")
+    in_path = str(tmp_path / "xml")
+    # one row per file -> one micro-batch per row
+    docs.repartition(6).write.parquet(in_path)
+
+    for twin, batch_op, name in (
+            (stream_sitemap_entries, sitemap_entries, "sm"),
+            (stream_feed_entries, feed_entries, "fd")):
+        out = str(tmp_path / f"out_{name}")
+        cp = str(tmp_path / f"cp_{name}")
+        _drain(twin(spark, in_path, out, cp, max_files_per_trigger=1))
+        got = spark.read.parquet(out)
+        want = batch_op(spark.read.parquet(in_path))
+        assert _sorted_rows(got) == _sorted_rows(want)
+        assert got.schema == want.schema
+
+
+def test_stream_page_metadata_and_anchors_match_batch(spark, tmp_path):
+    from space_launch_telemetry_analyzer_spark.operators.metadata import (
+        anchor_texts,
+        page_metadata,
+    )
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_anchor_texts,
+        stream_page_metadata,
+    )
+
+    in_path = str(tmp_path / "pages")
+    synth_pages_df(spark, 60, partitions=3).select(
+        "url", "warc_ts", "html", "text", "lang").write.parquet(in_path)
+
+    for twin, batch_op, name in (
+            (stream_page_metadata, page_metadata, "meta"),
+            (stream_anchor_texts, anchor_texts, "anchors")):
+        out = str(tmp_path / f"out_{name}")
+        cp = str(tmp_path / f"cp_{name}")
+        _drain(twin(spark, in_path, out, cp, max_files_per_trigger=1))
+        got = spark.read.parquet(out)
+        want = batch_op(spark.read.parquet(in_path))
+        assert _sorted_rows(got) == _sorted_rows(want)
+        assert got.schema == want.schema
