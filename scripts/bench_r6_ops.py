@@ -110,6 +110,30 @@ def main() -> None:
                   "doc_id", bpe_token_count(F.col("text")).alias("n"))),
               results, N)
 
+        # ---- bigram LM scoring ---------------------------------------------
+        from space_launch_telemetry_analyzer_spark.functions.lm import (
+            bigram_lm_score,
+        )
+        timed("lm_bigram_score",
+              lambda: materialize(bigram_lm_score(docs, "doc_id", "text")),
+              results, N)
+
+        # ---- decontamination: broadcast set vs bloom -----------------------
+        from space_launch_telemetry_analyzer_spark.operators.dedup import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+        bench_docs = docs.where(F.col("doc_id") % 13 == 0).select("text")
+        timed("decontaminate_exact",
+              lambda: materialize(decontaminate(
+                  docs, bench_docs, "doc_id", "text", "text")),
+              results, N)
+        timed("decontaminate_bloom",
+              lambda: materialize(decontaminate_bloom(
+                  docs, bench_docs, "doc_id", "text", "text",
+                  m_bits=1 << 26, hashes=10)),
+              results, N)
+
         # ---- frontier A/B -------------------------------------------------
         t0 = time.perf_counter()
         bloom = frontier_bloom(seen)

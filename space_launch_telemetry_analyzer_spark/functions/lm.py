@@ -1,0 +1,192 @@
+"""Bigram language-model quality scoring — the CCNet-style perplexity
+filter (public method: Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data" scores crawl text with a small
+LM and keeps the low-perplexity band; the reference repo has no analog —
+this is part of the graft mandate's LLM-data-pipeline suite, next to the
+Gopher/C4 rule sets in operators/text_analysis.py).
+
+Model: word-bigram LM with Laplace (add-one) smoothing, trained on the
+same fixed authored corpus as the BPE table (functions/bpe.py
+TRAINING_CORPUS) — deterministic counting, no committed artifact needed.
+
+Cross-engine exactness (the whole design): log-probabilities are
+pre-computed in Python ONCE and shipped as INTEGER MICRO-NATS
+(round(ln(p) * 1e6)). Integer sums are exact and order-independent in
+both Spark and DuckDB — no float accumulation ever happens in either
+engine — and the final average is the identical two-division IEEE
+sequence on identical operands, so the oracle matches bit-for-bit without
+any rounding fudge (the bm25 ln/avg lessons, BENCH.md r5).
+
+Scale shape: tokenization and bigram construction are JVM expressions on
+the scan; the model ships as TWO broadcast tables (seen bigrams + per-w1
+unseen fallback, a few thousand rows); the only corpus shuffle carries
+(id, int) rows into a uniform-keyed groupBy.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "LM_TOKEN_PATTERN",
+    "bigram_lm_score",
+    "bigram_lm_oracle_sql",
+    "bigram_lm_tables",
+]
+
+# Token lexer shared verbatim with the DuckDB oracle (RE2-safe: no
+# lookahead). ASCII scope is enforced by the caller's row filter, so
+# lower() agrees across engines by construction.
+LM_TOKEN_PATTERN = r"[a-z0-9']+"
+_TOKEN_RE = re.compile(LM_TOKEN_PATTERN)
+
+
+@lru_cache(maxsize=1)
+def bigram_lm_tables() -> tuple[dict, dict, int]:
+    """Train the LM (deterministic counting) and return
+    (bigram_micro, w1_unseen_micro, oov_micro):
+
+    - bigram_micro[(w1, w2)]  = round(1e6 * ln((c12 + 1) / (c1 + V + 1)))
+      for every SEEN bigram;
+    - w1_unseen_micro[w1]     = round(1e6 * ln(      1   / (c1 + V + 1)))
+      — the probability Laplace assigns any unseen/unknown w2 after a
+      known w1;
+    - oov_micro               = round(1e6 * ln(1 / (V + 1)))
+      — both words unknown (c1 = 0).
+
+    V + 1 counts the vocabulary plus the <unk> outcome, so the
+    conditional distribution sums to <= 1 with mass reserved for unseen
+    continuations."""
+    from .bpe import TRAINING_CORPUS
+
+    toks = _TOKEN_RE.findall(TRAINING_CORPUS.lower())
+    uni = Counter(toks)
+    big = Counter(zip(toks, toks[1:]))
+    v1 = len(uni) + 1
+
+    def micro(num: int, den: int) -> int:
+        return round(math.log(num / den) * 1_000_000)
+
+    bigram_micro = {
+        (w1, w2): micro(c12 + 1, uni[w1] + v1) for (w1, w2), c12 in big.items()
+    }
+    w1_unseen_micro = {w1: micro(1, c1 + v1) for w1, c1 in uni.items()}
+    return bigram_micro, w1_unseen_micro, micro(1, v1)
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                    keep_threshold: float = -6.0) -> DataFrame:
+    """Per-document LM score: (id, n_bigrams, sum_lp_micro, avg_logprob,
+    keep). avg_logprob is mean ln-probability per bigram (higher = more
+    natural-language-like; CCNet's perplexity = exp(-avg) is monotone in
+    it, so thresholding here IS the perplexity filter without the libm
+    exp). Documents with < 2 tokens score NULL and keep=false (no
+    evidence is not good evidence)."""
+    spark = df.sparkSession
+    bigram_micro, w1_unseen_micro, oov_micro = bigram_lm_tables()
+    bg = spark.createDataFrame(
+        [(w1, w2, lp) for (w1, w2), lp in sorted(bigram_micro.items())],
+        "w1 string, w2 string, lp bigint")
+    ug = spark.createDataFrame(
+        sorted(w1_unseen_micro.items()), "w1 string, lpu bigint")
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(LM_TOKEN_PATTERN), F.lit(0))
+    # adjacent pairs as one JVM expression over the token array; Spark
+    # arrays are 0-based here, DuckDB's are 1-based in the twin — both
+    # walk i = 2..len and take (elem i-1, elem i) in their own indexing
+    pairs = F.expr(
+        "CASE WHEN size(t) < 2 THEN "
+        "  CAST(array() AS array<struct<w1:string,w2:string>>) "
+        "ELSE transform(sequence(2, size(t), 1), "
+        "  i -> struct(t[i-2] AS w1, t[i-1] AS w2)) END")
+    exploded = (
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .select("id", F.explode_outer(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    scored = (
+        exploded
+        .join(F.broadcast(bg), ["w1", "w2"], "left")
+        .join(F.broadcast(ug), ["w1"], "left")
+        .withColumn("lp_final", F.when(
+            F.col("w1").isNull(), F.lit(None).cast("bigint")
+        ).otherwise(F.coalesce("lp", "lpu", F.lit(oov_micro))))
+        .groupBy("id")
+        .agg(F.count("w1").alias("n_bigrams"),
+             F.sum("lp_final").alias("sum_lp_micro"))
+    )
+    avg = (F.col("sum_lp_micro").cast("double")
+           / F.col("n_bigrams").cast("double")
+           / F.lit(1000000.0))
+    return scored.select(
+        "id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "sum_lp_micro",
+        F.when(F.col("n_bigrams") > 0, avg).alias("avg_logprob"),
+        F.coalesce(
+            F.when(F.col("n_bigrams") > 0, avg) >= F.lit(keep_threshold),
+            F.lit(False)).alias("keep"),
+    )
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bigram_lm_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text",
+                         keep_threshold: float = -6.0) -> str:
+    """DuckDB twin: identical tokenization (shared RE2-safe pattern),
+    identical integer micro-nat tables (embedded as VALUES from the same
+    Python training pass), identical two-division average. ASCII scope
+    filter matches the caller's."""
+    bigram_micro, w1_unseen_micro, oov_micro = bigram_lm_tables()
+    bg_rows = ",".join(f"({_q(a)},{_q(b)},{lp})"
+                       for (a, b), lp in sorted(bigram_micro.items()))
+    ug_rows = ",".join(f"({_q(a)},{lp})"
+                       for a, lp in sorted(w1_unseen_micro.items()))
+    pat = _q(LM_TOKEN_PATTERN)
+    return f"""
+WITH bg(w1, w2, lp) AS (VALUES {bg_rows}),
+ug(w1, lpu) AS (VALUES {ug_rows}),
+docs AS (
+  SELECT {id_col} AS id, regexp_extract_all(lower({text_col}), {pat}) AS t
+  FROM {table} WHERE regexp_matches({text_col}, '^[ -~]*$')
+),
+pairs AS (
+  SELECT id, t[i - 1] AS w1, t[i] AS w2
+  FROM (SELECT id, t, unnest(generate_series(2, len(t))) AS i FROM docs)
+),
+scored AS (
+  SELECT p.id,
+         count(p.w1) AS n_bigrams,
+         -- DuckDB sum(BIGINT) widens to HUGEINT (decimal128(38,0) in
+         -- Arrow); cast back to match Spark's int64 at the hash layer
+         CAST(sum(coalesce(bg.lp, ug.lpu, {oov_micro})) AS BIGINT)
+           AS sum_lp_micro
+  FROM pairs p
+  LEFT JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+  LEFT JOIN ug ON ug.w1 = p.w1
+  GROUP BY p.id
+)
+SELECT d.id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.sum_lp_micro,
+       CASE WHEN coalesce(s.n_bigrams, 0) > 0 THEN
+         CAST(s.sum_lp_micro AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+         / CAST(1000000 AS DOUBLE)
+       END AS avg_logprob,
+       coalesce(
+         CASE WHEN coalesce(s.n_bigrams, 0) > 0 THEN
+           CAST(s.sum_lp_micro AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+           / CAST(1000000 AS DOUBLE) >= CAST({keep_threshold} AS DOUBLE)
+         END, false) AS keep
+FROM docs d LEFT JOIN scored s ON s.id = d.id
+"""

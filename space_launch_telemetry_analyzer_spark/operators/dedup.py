@@ -492,6 +492,63 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id_col: str,
+    doc_text_col: str,
+    bench_text_col: str,
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    m_bits: int | None = None,
+    hashes: int = 7,
+) -> DataFrame:
+    """decontaminate() with the benchmark shingle set held as a BLOOM
+    FILTER instead of a broadcast string set (r6; the bloom machinery is
+    operators/bloom.py, shared with frontier_new's pre-filter).
+
+    When to use which: the exact variant broadcasts every distinct
+    benchmark shingle STRING — fine for one benchmark suite, but a
+    consolidated eval registry (hundreds of suites, 10^8+ distinct
+    shingles) is gigabytes as strings; the bloom is 10 bits/shingle
+    (~125 MiB at 10^8) regardless of shingle length. The price is
+    one-sided error: bloom false positives can only INFLATE a document's
+    match count — conservative in exactly the direction decontamination
+    wants (a contaminated doc can never slip through the filter that the
+    exact variant would have caught). `hashes`=7 at 10 bits/key sizes the
+    default fpp to ~0.8%; size `m_bits` up for stricter bounds.
+
+    Same output schema and aggregation shape as decontaminate(); the
+    benchmark side collapses to a bitmap built with one (word, bit)
+    shuffle, and the corpus side probes it in a vectorized Arrow batch —
+    the corpus still never shuffles raw text."""
+    from .bloom import bloom_might_contain, build_url_bloom
+
+    bench_sh = benchmark.select(
+        F.explode(token_shingles(F.col(bench_text_col), k)).alias("sh"))
+    bloom = build_url_bloom(bench_sh, "sh", m_bits=m_bits, k=hashes)
+    doc_sh = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.explode(token_shingles(F.col(doc_text_col), k)).alias("sh"),
+    )
+    matched = (
+        doc_sh.withColumn("__hit", bloom_might_contain(bloom, F.col("sh")))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("__hit").cast("int")).alias("n_matched"),
+        )
+    )
+    contamination = F.col("n_matched").cast("double") / F.col("n_shingles")
+    return matched.select(
+        "id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.col("n_matched").cast("int").alias("n_matched"),
+        contamination.alias("contamination"),
+        (contamination >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 # --- SimHash ------------------------------------------------------------------
 #
 # Performance note (measured, BENCH.md): 64 per-bit HOF aggregates over the

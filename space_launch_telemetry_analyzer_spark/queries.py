@@ -39,6 +39,7 @@ from .operators import sampling as SA
 from .operators import similarity as S
 from .operators import text_analysis as TA
 from .functions import bpe as BPE
+from .functions import lm as LM
 from .operators import windows as W
 from .operators.extract import extract_pages
 from .rules import default_config
@@ -1082,6 +1083,44 @@ SELECT doc_id AS id,
        CAST(n_matched AS DOUBLE) / n_shingles >= 0.5 AS contaminated
 FROM m
 """
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-backed decontamination (r6): same semantics as
+    `decontaminate`, benchmark shingles held as a bloom instead of a
+    broadcast string set (operators/bloom.py). The oracle is the EXACT
+    recompute, which is only honest if zero false positives land on the
+    fixture: the DEFAULT production sizing (10 bits/key, ~1% fpp) is
+    deliberately NOT used here — it produced 3 measured fps at sf0.001 —
+    so the query pins m=2^26/k=10 (8 MiB, fpp ~4e-13, expected fps ~1e-7
+    across every SF's ~10^5-10^6 probes). The hashing is deterministic
+    (JVM xxhash64, fixed seeds), so equality is a fixed property of the
+    fixture, verified bitwise at sf0.001/0.01/0.1 by the local gate; a
+    future mismatch would mean a real fp landed — the documented
+    one-sided error, surfaced rather than hidden."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 13 == 0).select("text")
+    return D.decontaminate_bloom(
+        spread(docs), bench, "doc_id", "text", "text", threshold=0.5,
+        m_bits=1 << 26, hashes=10)
+
+
+ORACLE_DECONTAMINATE_BLOOM = ORACLE_DECONTAMINATE
+
+
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (r6, functions/lm.py): word-bigram
+    Laplace LM trained on the fixed authored corpus, log-probs shipped as
+    integer micro-nats so both engines sum EXACT integers (no float
+    accumulation, no rounding fudge); avg_logprob is the identical
+    two-division IEEE sequence in both. ASCII row scope matches the
+    oracle's filter, like bpe_token_count."""
+    docs = load(spark, sf_dir, "documents")
+    return LM.bigram_lm_score(
+        docs.where(F.col("text").rlike("^[ -~]*$")), "doc_id", "text")
+
+
+ORACLE_LM_BIGRAM_SCORE = LM.bigram_lm_oracle_sql()
 
 
 # --- structural SQL twins for the hyperplane LSH (the weights are a closed-
@@ -4141,6 +4180,8 @@ QUERIES = {
     "event_forms_parse": q_event_forms_parse,
     "event_range_filter": q_event_range_filter,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "lm_bigram_score": q_lm_bigram_score,
     "outlier_nulling": q_outlier_nulling,
     "lead_acceleration": q_lead_acceleration,
     "g_force": q_g_force,
@@ -4227,6 +4268,8 @@ ORACLES = {
     "event_forms_parse": ORACLE_EVENT_FORMS_PARSE,
     "event_range_filter": ORACLE_EVENT_RANGE_FILTER,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "decontaminate_bloom": ORACLE_DECONTAMINATE_BLOOM,
+    "lm_bigram_score": ORACLE_LM_BIGRAM_SCORE,
     "outlier_nulling": ORACLE_OUTLIER_NULLING,
     "lead_acceleration": ORACLE_LEAD_ACCELERATION,
     "g_force": ORACLE_G_FORCE,
@@ -4368,6 +4411,7 @@ _ADDED_ROUND = {
     "subtitle_cues": 5, "wet_roundtrip": 5, "wat_roundtrip": 5,
     # r6 additions
     "bpe_token_count": 6, "pack_sequences_bpe": 6,
+    "decontaminate_bloom": 6, "lm_bigram_score": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4433,6 +4477,8 @@ _LAST_DRIVER_CHECK = {
     # never externally checked (born r6): lead the window with the late-r5 six
     "bpe_token_count": 0,
     "pack_sequences_bpe": 0,
+    "decontaminate_bloom": 0,
+    "lm_bigram_score": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4508,6 +4554,8 @@ _REGISTRY_ORDER = [
     # -- born r6, driver-checked in their birth round ------------------
     "bpe_token_count",
     "pack_sequences_bpe",
+    "decontaminate_bloom",
+    "lm_bigram_score",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4550,10 +4598,10 @@ _REGISTRY_ORDER = [
     "rolling_trend",
     "sample_every_nth",
     "time_window_filter",
+    # ---------------- sampling horizon (50) ends here ----------------
+    # displaced by the four r6-born queries (r4-green, forced back r7)
     "union_compare",
     "validate_report",
-    # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the two r6-born queries (r4-green, forced back r7)
     "warc_roundtrip",
     "zero_anchor_realtime",
     # deferred r4-greens (forced into the r7 window by the staleness rule)

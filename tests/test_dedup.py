@@ -397,3 +397,49 @@ def test_dup_ngram_mask_exact_and_hashed_agree(spark):
     b = sorted(tuple(r) for r in
                D.dup_ngram_mask(df, "id", "text", k=5, exact=False).collect())
     assert a == b
+
+
+def test_decontaminate_bloom_matches_exact_when_sized(spark):
+    """With the oracle-grade sizing (2^26 bits / k=10) the bloom variant
+    must equal the exact broadcast-set variant bitwise — zero false
+    positives land on a corpus this size."""
+    from space_launch_telemetry_analyzer_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i % 7} "
+              f"iota kappa word{i}") for i in range(200)],
+        "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") % 9 == 0).select("text")
+    exact = sorted(map(repr, decontaminate(
+        docs, bench, "doc_id", "text", "text").collect()))
+    bloomy = sorted(map(repr, decontaminate_bloom(
+        docs, bench, "doc_id", "text", "text",
+        m_bits=1 << 26, hashes=10).collect()))
+    assert exact == bloomy
+
+
+def test_decontaminate_bloom_error_is_one_sided(spark):
+    """An undersized bloom may only INFLATE match counts (false positives),
+    never deflate them (no false negatives) — the conservative direction
+    for decontamination."""
+    from space_launch_telemetry_analyzer_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five six seven eight doc{i % 5} "
+              f"nine ten word{i}") for i in range(300)],
+        "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") % 9 == 0).select("text")
+    exact = {r["id"]: r["n_matched"] for r in decontaminate(
+        docs, bench, "doc_id", "text", "text").collect()}
+    # 2^10 bits for thousands of shingles -> false positives guaranteed
+    tiny = {r["id"]: r["n_matched"] for r in decontaminate_bloom(
+        docs, bench, "doc_id", "text", "text",
+        m_bits=1 << 10, hashes=3).collect()}
+    assert all(tiny[i] >= exact[i] for i in exact)
+    assert any(tiny[i] > exact[i] for i in exact)

@@ -1,0 +1,105 @@
+"""Bigram-LM quality scoring (functions/lm.py — CCNet-style perplexity
+filter with exact integer micro-nat cross-engine arithmetic)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from space_launch_telemetry_analyzer_spark.functions.lm import (
+    LM_TOKEN_PATTERN,
+    _TOKEN_RE,
+    bigram_lm_oracle_sql,
+    bigram_lm_score,
+    bigram_lm_tables,
+)
+
+
+def test_tables_shape_and_determinism():
+    bg, ug, oov = bigram_lm_tables()
+    bg2, ug2, oov2 = bigram_lm_tables()
+    assert (bg, ug, oov) == (bg2, ug2, oov2)
+    assert len(bg) > 150 and len(ug) > 100
+    # every log-prob is negative; a seen bigram beats the same w1's
+    # unseen fallback (c12+1 >= 2 > 1 in the same-denominator ratio)
+    assert all(lp < 0 for lp in bg.values()) and oov < 0
+    assert all(bg[(a, b)] > ug[a] for (a, b) in bg)
+
+
+def _py_score(text: str) -> tuple[int, int | None]:
+    """Independent recompute of (n_bigrams, sum_lp_micro) straight from
+    the tables — no shared scoring code with the Spark operator."""
+    bg, ug, oov = bigram_lm_tables()
+    toks = _TOKEN_RE.findall(text.lower())
+    pairs = list(zip(toks, toks[1:]))
+    if not pairs:
+        return 0, None
+    return len(pairs), sum(
+        bg.get(p, ug.get(p[0], oov)) for p in pairs)
+
+
+CASES = [
+    "The fast scan beats the slow scan.",
+    "it's the planner's job",
+    "zzz qqq xxx unseen words everywhere",
+    "single",
+    "",
+    "12 34 the 56",
+    "a a a a a",
+]
+
+
+def test_spark_scores_match_independent_recompute(spark):
+    df = spark.createDataFrame(
+        list(enumerate(CASES)) + [(99, None)], "doc_id long, text string")
+    rows = {r["id"]: r for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    for i, t in enumerate(CASES):
+        n, s = _py_score(t)
+        assert rows[i]["n_bigrams"] == n, t
+        assert rows[i]["sum_lp_micro"] == s, t
+        if n:
+            want = s / n / 1_000_000.0
+            assert rows[i]["avg_logprob"] == want
+            assert rows[i]["keep"] == (want >= -6.0)
+        else:
+            assert rows[i]["avg_logprob"] is None
+            assert rows[i]["keep"] is False
+    # null text: no tokens -> 0 bigrams, keep=false (never a crash)
+    assert rows[99]["n_bigrams"] == 0 and rows[99]["keep"] is False
+
+
+def test_oracle_twin_matches_on_adversarial_values():
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(CASES):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = {r[0]: r for r in con.sql(bigram_lm_oracle_sql()).fetchall()}
+    for i, t in enumerate(CASES):
+        n, s = _py_score(t)
+        assert got[i][1] == n and got[i][2] == s, t
+        if n:
+            assert got[i][3] == s / n / 1_000_000.0
+
+
+def test_natural_text_outscores_gibberish(spark):
+    df = spark.createDataFrame(
+        [(0, "the query plans the scan and the filter and the join"),
+         (1, "zq xv qj wk vz jx kq zx vq jw")],
+        "doc_id long, text string")
+    rows = {r["id"]: r["avg_logprob"]
+            for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    assert rows[0] > rows[1]
+
+
+def test_token_pattern_is_re2_safe():
+    # same lexer both engines (no lookahead; leftmost-first is moot for a
+    # single character-class pattern, but pin it anyway)
+    con = duckdb.connect()
+    for s in ["it's 42 ok", "", "a1b", "''", "UPPER lower"]:
+        got = con.execute(
+            "SELECT regexp_extract_all(lower(?), ?)",
+            [s, LM_TOKEN_PATTERN]).fetchone()[0]
+        assert got == _TOKEN_RE.findall(s.lower()), s
