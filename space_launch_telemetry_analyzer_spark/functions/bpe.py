@@ -320,11 +320,15 @@ def bpe_token_count_oracle_sql(table: str = "documents",
                                text_col: str = "text",
                                steps: int = 15,
                                bpe: ByteBPE | None = None) -> str:
-    """DuckDB SQL that recomputes BPE token counts per document from the
+    r"""DuckDB SQL that recomputes BPE token counts per document from the
     merge table alone — an independent implementation of the same public
     algorithm in a different engine (the repo's oracle standard).
 
-    Scope: printable-ASCII documents (filter `^[ -~]*$` applied
+    Scope: printable-ASCII documents (filter `^[ -~]*\z` applied — \z
+    (end-of-TEXT), not $: Java/Spark's $ matches before a final line
+    terminator while RE2's does not, so a trailing-newline doc would pass
+    the Spark filter and fail the oracle's; \z means the same thing in
+    both engines, and Python's equivalent is \Z —
     IDENTICALLY on the Spark side), where one char == one byte so the
     char-level list ops below are byte-level. `steps` unrolled iterations
     fully tokenize any pre-token up to steps+1 bytes (each step shortens
@@ -335,11 +339,11 @@ def bpe_token_count_oracle_sql(table: str = "documents",
     bpe = bpe or default_bpe()
     steps_sql = ",".join(_step_sql(k) for k in range(steps))
     pattern = _sql_quote(PRETOK_PATTERN)
-    return f"""
+    return rf"""
 WITH bpe_merges AS (SELECT * FROM {_merges_values_sql(bpe)}),
 docs AS MATERIALIZED (
   SELECT {id_col} AS doc_id, {text_col} AS text FROM {table}
-  WHERE regexp_matches({text_col}, '^[ -~]*$')
+  WHERE regexp_matches({text_col}, '^[ -~]*\z')
 ),
 pt AS MATERIALIZED (
   SELECT doc_id, unnest(regexp_extract_all(text, {pattern})) AS w

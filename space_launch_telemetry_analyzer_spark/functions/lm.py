@@ -136,29 +136,27 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def _q(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
-
-
 def bigram_lm_oracle_sql(table: str = "documents", id_col: str = "doc_id",
                          text_col: str = "text",
                          keep_threshold: float = -6.0) -> str:
-    """DuckDB twin: identical tokenization (shared RE2-safe pattern),
+    r"""DuckDB twin: identical tokenization (shared RE2-safe pattern),
     identical integer micro-nat tables (embedded as VALUES from the same
     Python training pass), identical two-division average. ASCII scope
     filter matches the caller's."""
+    from .bpe import _sql_quote as _q
+
     bigram_micro, w1_unseen_micro, oov_micro = bigram_lm_tables()
     bg_rows = ",".join(f"({_q(a)},{_q(b)},{lp})"
                        for (a, b), lp in sorted(bigram_micro.items()))
     ug_rows = ",".join(f"({_q(a)},{lp})"
                        for a, lp in sorted(w1_unseen_micro.items()))
     pat = _q(LM_TOKEN_PATTERN)
-    return f"""
+    return rf"""
 WITH bg(w1, w2, lp) AS (VALUES {bg_rows}),
 ug(w1, lpu) AS (VALUES {ug_rows}),
 docs AS (
   SELECT {id_col} AS id, regexp_extract_all(lower({text_col}), {pat}) AS t
-  FROM {table} WHERE regexp_matches({text_col}, '^[ -~]*$')
+  FROM {table} WHERE regexp_matches({text_col}, '^[ -~]*\z')
 ),
 pairs AS (
   SELECT id, t[i - 1] AS w1, t[i] AS w2

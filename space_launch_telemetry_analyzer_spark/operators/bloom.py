@@ -26,11 +26,12 @@ class UrlBloom:
     re-implements the hash.
 
     Regime (documented, asserted): a broadcast bloom is the right
-    pre-filter while the seen set fits a broadcastable bitmap — at 10 bits
-    per key, up to ~10^8-10^9 keys (128 MiB-1.2 GiB). Past that, shard the
-    frontier by host/url-hash and keep one bloom per shard, or rely on the
-    storage-partitioned (bucketed-seen) anti-join alone; the cap below
-    makes the overflow loud instead of silently unbroadcastable."""
+    pre-filter while the seen set fits a broadcastable bitmap — MAX_BITS
+    caps it at 2^31 bits = 256 MiB, i.e. ~2x10^8 keys at the default 10
+    bits/key. Past that, shard the frontier by host/url-hash and keep one
+    bloom per shard, or rely on the storage-partitioned (bucketed-seen)
+    anti-join alone; the cap makes the overflow loud instead of silently
+    unbroadcastable."""
 
     MAX_BITS = 1 << 31  # 256 MiB bitmap — the sane broadcast ceiling
 

@@ -525,7 +525,9 @@ def decontaminate_bloom(
     from .bloom import bloom_might_contain, build_url_bloom
 
     bench_sh = benchmark.select(
-        F.explode(token_shingles(F.col(bench_text_col), k)).alias("sh"))
+        F.explode(token_shingles(F.col(bench_text_col), k)).alias("sh")
+    ).distinct()  # like decontaminate(): duplicate shingles would inflate
+    # the auto-sizing count ~10x (and the (word, bit) build shuffle with it)
     bloom = build_url_bloom(bench_sh, "sh", m_bits=m_bits, k=hashes)
     doc_sh = docs.select(
         F.col(doc_id_col).alias("id"),
