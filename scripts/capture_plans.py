@@ -40,6 +40,10 @@ QUERY_SET = [
     "link_graph",
     "pagerank",
     "pagerank_dangling",
+    "bpe_token_count",
+    "pack_sequences_bpe",
+    "lm_bigram_score",
+    "decontaminate_bloom",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",
@@ -126,6 +130,29 @@ def main() -> None:
 
     for name in QUERY_SET:
         sections.append((f"query: {name}", formatted(QUERIES[name](spark, sf_dir))))
+
+    # frontier bloom pre-filter (r6): executedPlan (not explain-formatted —
+    # the localCheckpoint truncates lineage, so capture both halves).
+    # Facts to check: the _maybe_seen Filter sits BELOW the anti-join's
+    # candidate-side Exchange (only bloom hits shuffle); the definite-new
+    # branch reaches the Union join-free; the probe is ArrowEvalPython in
+    # the pre-checkpoint plan.
+    from space_launch_telemetry_analyzer_spark.operators.sitemap import (
+        bloom_might_contain, frontier_bloom, frontier_new,
+    )
+    cand = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(50)], "url string")
+    seen = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(0, 50, 2)], "url string")
+    bloom = frontier_bloom(seen)
+    full = frontier_new(cand, seen, bloom=bloom) \
+        ._jdf.queryExecution().executedPlan().toString()
+    probe = cand.withColumn("hit", bloom_might_contain(bloom, F.col("url"))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "operator: frontier_new(bloom=...) — bloom pre-filter (r6)",
+        "DOWNSTREAM (post-checkpoint):\n" + full
+        + "\nPROBE (pre-checkpoint):\n" + probe))
 
     out = [
         '# PLANS — captured physical plans (`explain("formatted")`, local[8])',
