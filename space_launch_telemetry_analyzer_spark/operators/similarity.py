@@ -180,6 +180,45 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def semdedup(corpus: DataFrame, id_col: str, vec_col: str,
+             centroids: DataFrame, centroid_id_col: str,
+             centroid_vec_col: str, threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (public method: Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster the
+    embedding space, then within each cluster mark every vector whose
+    cosine to an EARLIER-id cluster member reaches `threshold` as a
+    semantic duplicate — keep-first-by-id, fully deterministic. Returns
+    (id, centroid_id, is_dup); filter `~is_dup` for the survivor set.
+
+    Scale shape: assignment is the broadcast-centroid scan (ivf_assign, no
+    corpus shuffle); the duplicate test is a WITHIN-CLUSTER self-join —
+    quadratic in cluster size by design (that is SemDeDup: k must grow
+    with the corpus so clusters stay bounded; the paper uses k ~ sqrt(n)).
+    The join keys on centroid_id, so a runaway cluster is a skew key —
+    AQE skew-join splits it, and the real fix is more centroids. The
+    assigned frame feeds three consumers (both join sides + the output),
+    so it is localCheckpoint'ed once instead of re-scoring the corpus
+    3x (the MinHash self-join lesson). Cosines are the deterministic
+    sequential fold, so the threshold comparison is engine-exact."""
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids,
+                          centroid_id_col, centroid_vec_col) \
+        .localCheckpoint(eager=False)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+               & (F.col("a.id") > F.col("b.id")))
+        .where(cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(threshold))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned
+        .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        .select("id", "centroid_id",
+                F.coalesce("__dup", F.lit(False)).alias("is_dup"))
+    )
+
+
 def kmeans_lloyd(corpus: DataFrame, id_col: str, vec_col: str,
                  centroids: DataFrame, centroid_id_col: str,
                  centroid_vec_col: str, n_iter: int = 2,

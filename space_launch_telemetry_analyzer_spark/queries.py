@@ -1289,6 +1289,50 @@ m_{out} AS (SELECT centroid_id, dim,
 {out} AS (SELECT centroid_id, list(m ORDER BY dim) AS cvec FROM m_{out} GROUP BY centroid_id)"""
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r6, Abbas et al. 2023): cluster-then-within-cluster
+    cosine dedup over the embeddings table, keep-first-by-id. The raw
+    synthetic embeddings are near-orthogonal (measured max within-cluster
+    cosine 0.493), so the fixture plants exact duplicates in-query (every
+    vec_id % 50 == 0 vector re-appears as vec_id + 10000 — both engines
+    build the same union) and thresholds at 0.45 to ALSO catch the
+    organic near-pairs: 10 planted + 7 organic dup ids at sf0.01.
+    Cosines are the deterministic sequential fold on both sides, so the
+    threshold comparison is engine-exact with no rounding."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    cents = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"))
+    return S.semdedup(base, "vec_id", "embedding", cents,
+                      "centroid_id", "cvec", threshold=0.45)
+
+
+ORACLE_SEMDEDUP = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings
+              WHERE vec_id % 50 = 0),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM base WHERE vec_id < 8),
+a0 AS (SELECT e.vec_id AS id, e.embedding AS vec, k.centroid_id,
+              {_sql_cosine('e.embedding', 'k.cvec', _ANN_DIM)} AS cscore
+       FROM base e, cents k),
+assign AS (SELECT id, vec, centroid_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+                                          ORDER BY cscore DESC, centroid_id) AS rn
+             FROM a0) WHERE rn = 1),
+dups AS (SELECT DISTINCT a.id
+         FROM assign a JOIN assign b
+           ON a.centroid_id = b.centroid_id AND a.id > b.id
+         WHERE {_sql_cosine('a.vec', 'b.vec', _ANN_DIM)} >= 0.45::DOUBLE)
+SELECT s.id, s.centroid_id, (d.id IS NOT NULL) AS is_dup
+FROM assign s LEFT JOIN dups d ON d.id = s.id
+"""
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations over the embeddings table (seeds = first 8
     vectors, components quantized to 6 decimals so the DECIMAL casts never
@@ -4209,6 +4253,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "kmeans_centroids": q_kmeans_centroids,
+    "semdedup": q_semdedup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "gopher_filter": q_gopher_filter,
@@ -4297,6 +4342,7 @@ ORACLES = {
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
     "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
+    "semdedup": ORACLE_SEMDEDUP,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "gopher_filter": ORACLE_GOPHER_FILTER,
@@ -4411,7 +4457,7 @@ _ADDED_ROUND = {
     "subtitle_cues": 5, "wet_roundtrip": 5, "wat_roundtrip": 5,
     # r6 additions
     "bpe_token_count": 6, "pack_sequences_bpe": 6,
-    "decontaminate_bloom": 6, "lm_bigram_score": 6,
+    "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4479,6 +4525,7 @@ _LAST_DRIVER_CHECK = {
     "pack_sequences_bpe": 0,
     "decontaminate_bloom": 0,
     "lm_bigram_score": 0,
+    "semdedup": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4558,6 +4605,7 @@ _REGISTRY_ORDER = [
     "pack_sequences_bpe",
     "decontaminate_bloom",
     "lm_bigram_score",
+    "semdedup",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4598,10 +4646,10 @@ _REGISTRY_ORDER = [
     "results_roundtrip",
     "robots_filter",
     "rolling_trend",
-    "sample_every_nth",
     "time_window_filter",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the four r6-born queries (r4-green, forced back r7)
+    # displaced by the five r6-born queries (r4-green, forced back r7)
+    "sample_every_nth",
     "union_compare",
     "validate_report",
     "warc_roundtrip",

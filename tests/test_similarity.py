@@ -201,3 +201,48 @@ def test_hyperplane_weights_have_no_small_period():
         row = [w(b, d) for d in range(128)]
         for period in (13, 26):
             assert row[:128 - period] != row[period:], (b, period)
+
+
+def test_semdedup_keep_first_and_survivors(spark):
+    """SemDeDup: exact copies land in one cluster; the EARLIEST id is
+    kept, every later copy flagged; orthogonal vectors survive."""
+    from space_launch_telemetry_analyzer_spark.operators.similarity import (
+        semdedup,
+    )
+
+    e = lambda i: [0.0] * i + [1.0] + [0.0] * (3 - i)  # noqa: E731
+    rows = [(0, e(0)), (1, e(1)), (2, e(2)),
+            (10, e(0)), (20, e(0)),          # two later copies of id 0
+            (11, [0.0, 0.999, 0.001, 0.0])]  # near-dup of id 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    got = {r["id"]: (r["centroid_id"], r["is_dup"]) for r in semdedup(
+        df, "vec_id", "embedding", cents, "cid", "cvec",
+        threshold=0.95).collect()}
+    assert got[0] == (0, False)          # first copy kept
+    assert got[10][1] and got[20][1]     # later copies flagged
+    assert got[1] == (1, False)
+    assert got[11] == (1, True)          # near-dup in cluster 1 flagged
+    assert got[2] == (2, False)
+
+
+def test_semdedup_partition_invariance(spark):
+    from space_launch_telemetry_analyzer_spark.operators.similarity import (
+        semdedup,
+    )
+    import random
+    rng = random.Random(3)
+    rows = [(i, [round(rng.uniform(-1, 1), 6) for _ in range(8)])
+            for i in range(60)]
+    rows += [(i + 100, rows[i][1]) for i in range(0, 60, 7)]  # planted
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df1.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    out = lambda df: sorted(map(tuple, semdedup(  # noqa: E731
+        df, "vec_id", "embedding", cents, "cid", "cvec",
+        threshold=0.999).collect()))
+    a = out(df1)
+    b = out(df1.repartition(16))
+    assert a == b
+    assert sum(1 for _, _, d in a if d) == 9  # the planted copies
