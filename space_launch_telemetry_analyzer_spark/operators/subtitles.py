@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TS = re.compile(
@@ -171,3 +171,60 @@ def subtitle_cues(df: DataFrame, id_col: str, text_col: str,
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(kernel, schema=SUBTITLE_CUES_DDL)
+
+
+# --- multi-track language routing (r6) ----------------------------------------
+
+def route_subtitle_tracks(tracks: DataFrame, id_col: str, track_col: str,
+                          doc_col: str, preferences: list[str],
+                          lang_col: str | None = None) -> DataFrame:
+    """A web video commonly ships SEVERAL subtitle tracks (one per
+    language — HLS/DASH manifests, <track srclang=...>, YouTube exports);
+    a transcript pipeline wants exactly one per video. Pick the best
+    track per media by language preference, then extract its cues.
+
+    Language per track: `lang_col` when the crawl recorded it (manifest /
+    srclang), else sniffed from the WebVTT header metadata block
+    (`Language: xx` — the YouTube-export convention) with a JVM regexp
+    over the document head, so the sniff costs no Python. Choice: first
+    language in `preferences` present for the media wins; no match (or a
+    tie) falls back to the lowest track id — fully deterministic. Only
+    the CHOSEN documents enter the Python cue parser.
+
+    Returns one row per cue of the chosen track: (media_id, track_id,
+    lang, cue_index, start_ms, end_ms, text, n_cues, n_bad, error);
+    zero-cue and unparsable chosen tracks keep their one row via
+    subtitle_cues' error-channel contract.
+
+    Scale shape: one (media_id)-keyed window for the choice (uniform
+    key), one broadcast-free join of cue rows back to per-media track
+    metadata (chosen is ONE row per media). The reference analog is the
+    per-camera-feed selection ahead of the OCR stream."""
+    if not preferences:
+        raise ValueError("preferences must name at least one language")
+    t = tracks.select(
+        F.col(id_col).alias("media_id"),
+        F.col(track_col).alias("track_id"),
+        F.col(doc_col).alias("doc"),
+        (F.col(lang_col) if lang_col else F.nullif(
+            F.regexp_extract(F.substring(F.col(doc_col), 1, 512),
+                             r"(?m)^Language:[ \t]*([A-Za-z0-9-]+)[ \t]*$",
+                             1),
+            F.lit(""))).alias("lang"),
+    )
+    rank = F.array_position(
+        F.array(*[F.lit(p) for p in preferences]), F.col("lang"))
+    ranked = t.withColumn(
+        "__rank", F.when(rank > 0, rank).otherwise(F.lit(1 << 30)))
+    w = Window.partitionBy("media_id").orderBy("__rank", "track_id")
+    chosen = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("media_id", "track_id", "lang", "doc")
+    )
+    cues = subtitle_cues(chosen, "media_id", "doc")
+    return (
+        cues.join(chosen.select("media_id", "track_id", "lang"), "media_id")
+        .select("media_id", "track_id", "lang", "cue_index", "start_ms",
+                "end_ms", "text", "n_cues", "n_bad", "error")
+    )

@@ -3253,6 +3253,81 @@ ORDER BY doc_id, cue_index
 """
 
 
+def q_subtitle_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-track subtitle language routing (r6): each doc becomes a
+    video with 2 + doc_id%2 WebVTT tracks, track t carrying
+    `Language: {en,fr,de}[(doc_id+t) % 3]` header metadata and
+    1 + doc_id%2 closed-form cues; route_subtitle_tracks picks per media
+    with preferences ('fr', 'en') — fr when any track has it, else en,
+    else lowest track id — sniffing the language from the VTT header
+    (no lang column passed). The chosen track index is closed-form in
+    doc_id, so the oracle recomputes the whole route + cue arithmetic; a
+    sniff-regexp, preference-rank, tie-break, or timing divergence fails
+    the hash. Reference analog: selecting ONE camera/caption feed ahead
+    of the OCR stream."""
+    from .operators.subtitles import route_subtitle_tracks
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    langs = ["en", "fr", "de"]
+
+    def synth(batches):
+        import pandas as pd
+
+        def ts(ms: int) -> str:
+            h, rem = divmod(ms, 3600000)
+            m, rem = divmod(rem, 60000)
+            s, ms3 = divmod(rem, 1000)
+            return f"{h:02d}:{m:02d}:{s:02d}.{ms3:03d}"
+
+        for pdf in batches:
+            out = {"doc_id": [], "track_id": [], "doc": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                for t in range(2 + did % 2):
+                    lang = langs[(did + t) % 3]
+                    cues = []
+                    for k in range(1 + did % 2):
+                        start = did * 1000 + t * 100000 + k * 2000
+                        cues.append(f"{ts(start)} --> {ts(start + 1500)}\n"
+                                    f"T{did} K{t} C{k} {lang}")
+                    out["doc_id"].append(did)
+                    out["track_id"].append(t)
+                    out["doc"].append(f"WEBVTT\nLanguage: {lang}\n\n"
+                                      + "\n\n".join(cues) + "\n")
+            yield pd.DataFrame(out)
+
+    tracks = docs.mapInPandas(synth, "doc_id long, track_id int, doc string")
+    return route_subtitle_tracks(
+        tracks, "doc_id", "track_id", "doc", ["fr", "en"]).select(
+        "media_id", "track_id", "lang", "cue_index", "start_ms", "end_ms",
+        "text", "n_cues", "n_bad")
+
+
+ORACLE_SUBTITLE_LANG_ROUTE = """
+WITH pick AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN ((1 - doc_id % 3) + 3) % 3
+              WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS t,
+         -- chosen language: fr everywhere except even docs whose two
+         -- tracks carry {de, en} (doc_id % 3 = 2) -> en
+         CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 2
+              THEN 'en' ELSE 'fr' END AS lang,
+         1 + doc_id % 2 AS n_cues
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(t AS INT) AS track_id,
+       lang,
+       CAST(k AS INT) AS cue_index,
+       CAST(doc_id * 1000 + t * 100000 + k * 2000 AS BIGINT) AS start_ms,
+       CAST(doc_id * 1000 + t * 100000 + k * 2000 + 1500 AS BIGINT)
+         AS end_ms,
+       'T' || doc_id || ' K' || t || ' C' || k || ' ' || lang AS text,
+       CAST(n_cues AS INT) AS n_cues,
+       CAST(0 AS INT) AS n_bad
+FROM (SELECT *, unnest(range(0, n_cues)) AS k FROM pick)
+"""
+
+
 def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-WebP compositing end-to-end (late r5): per doc, a 16 x
     (3+doc_id%4) canvas with gray background (doc_id*11)%256 carries
@@ -4254,6 +4329,7 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "kmeans_centroids": q_kmeans_centroids,
     "semdedup": q_semdedup,
+    "subtitle_lang_route": q_subtitle_lang_route,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "gopher_filter": q_gopher_filter,
@@ -4343,6 +4419,7 @@ ORACLES = {
     "ivf_ann_topk": ORACLE_IVF_ANN_TOPK,
     "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "semdedup": ORACLE_SEMDEDUP,
+    "subtitle_lang_route": ORACLE_SUBTITLE_LANG_ROUTE,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "gopher_filter": ORACLE_GOPHER_FILTER,
@@ -4458,6 +4535,7 @@ _ADDED_ROUND = {
     # r6 additions
     "bpe_token_count": 6, "pack_sequences_bpe": 6,
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
+    "subtitle_lang_route": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4526,6 +4604,7 @@ _LAST_DRIVER_CHECK = {
     "decontaminate_bloom": 0,
     "lm_bigram_score": 0,
     "semdedup": 0,
+    "subtitle_lang_route": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4606,6 +4685,7 @@ _REGISTRY_ORDER = [
     "decontaminate_bloom",
     "lm_bigram_score",
     "semdedup",
+    "subtitle_lang_route",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4646,9 +4726,9 @@ _REGISTRY_ORDER = [
     "results_roundtrip",
     "robots_filter",
     "rolling_trend",
-    "time_window_filter",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the five r6-born queries (r4-green, forced back r7)
+    # displaced by the six r6-born queries (r4-green, forced back r7)
+    "time_window_filter",
     "sample_every_nth",
     "union_compare",
     "validate_report",

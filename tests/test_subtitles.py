@@ -84,3 +84,56 @@ def test_subtitle_cues_bad_fmt_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "media_id long, doc string")
     with pytest.raises(ValueError, match="fmt"):
         subtitle_cues(df, "media_id", "doc", fmt="ass")
+
+
+def test_route_subtitle_tracks_preference_and_fallback(spark):
+    """Language routing: preference order wins; media with no preferred
+    language fall back to the lowest track id; sniffed and explicit
+    langs agree; unparsable chosen docs keep the error-channel row."""
+    from pyspark.sql import functions as F
+
+    from space_launch_telemetry_analyzer_spark.operators.subtitles import (
+        route_subtitle_tracks,
+    )
+
+    vtt = lambda lang, txt: (  # noqa: E731
+        f"WEBVTT\nLanguage: {lang}\n\n"
+        f"00:00:01.000 --> 00:00:02.000\n{txt}\n")
+    rows = [
+        # media 1: en + fr -> fr preferred
+        (1, 0, vtt("en", "one-en")), (1, 1, vtt("fr", "one-fr")),
+        # media 2: de + es (no preference hit) -> lowest track id (0)
+        (2, 0, vtt("de", "two-de")), (2, 1, vtt("es", "two-es")),
+        # media 3: header missing Language -> lang NULL -> fallback t=0
+        (3, 0, "WEBVTT\n\n00:00:01.000 --> 00:00:02.000\nthree\n"),
+        # media 4: chosen (only) track is garbage -> zero-cue row (the
+        # auto format sniff falls to SRT, which counts malformed blocks
+        # instead of raising — ids never vanish)
+        (4, 0, "not a subtitle at all"),
+    ]
+    df = spark.createDataFrame(rows, "mid long, tid int, doc string")
+    got = {r["media_id"]: r for r in route_subtitle_tracks(
+        df, "mid", "tid", "doc", ["fr", "en"]).collect()}
+    assert (got[1]["track_id"], got[1]["lang"], got[1]["text"]) == \
+        (1, "fr", "one-fr")
+    assert (got[2]["track_id"], got[2]["lang"]) == (0, "de")
+    assert got[3]["track_id"] == 0 and got[3]["lang"] is None
+    assert got[4]["cue_index"] is None and got[4]["n_cues"] == 0
+    assert got[4]["n_bad"] >= 1
+    # explicit lang column overrides sniffing
+    df2 = df.withColumn("l", F.lit("fr"))
+    got2 = route_subtitle_tracks(
+        df2, "mid", "tid", "doc", ["fr"], lang_col="l").collect()
+    assert all(r["lang"] == "fr" for r in got2)
+
+
+def test_route_subtitle_tracks_requires_preferences(spark):
+    import pytest as _pytest
+
+    from space_launch_telemetry_analyzer_spark.operators.subtitles import (
+        route_subtitle_tracks,
+    )
+    df = spark.createDataFrame([(1, 0, "WEBVTT\n\n")],
+                               "mid long, tid int, doc string")
+    with _pytest.raises(ValueError, match="preferences"):
+        route_subtitle_tracks(df, "mid", "tid", "doc", [])
