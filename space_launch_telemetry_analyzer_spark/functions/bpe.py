@@ -44,6 +44,8 @@ __all__ = [
     "PRETOK_PATTERN",
     "TRAINING_CORPUS",
     "ByteBPE",
+    "bpe_chunk_documents",
+    "bpe_chunk_oracle_sql",
     "bpe_encode",
     "bpe_token_count",
     "bpe_token_count_oracle_sql",
@@ -336,28 +338,112 @@ def bpe_token_count_oracle_sql(table: str = "documents",
     bound. Non-ASCII text is covered by the Python property suite
     (byte-fallback round-trip), not this oracle.
     """
-    bpe = bpe or default_bpe()
-    steps_sql = ",".join(_step_sql(k) for k in range(steps))
-    pattern = _sql_quote(PRETOK_PATTERN)
     return rf"""
-WITH bpe_merges AS (SELECT * FROM {_merges_values_sql(bpe)}),
-docs AS MATERIALIZED (
-  SELECT {id_col} AS doc_id, {text_col} AS text FROM {table}
-  WHERE regexp_matches({text_col}, '^[ -~]*\z')
-),
-pt AS MATERIALIZED (
-  SELECT doc_id, unnest(regexp_extract_all(text, {pattern})) AS w
-  FROM docs
-),
-s0 AS MATERIALIZED (
-  SELECT w AS wid, string_split(w, '') AS syms
-  FROM (SELECT DISTINCT w FROM pt)
-),{steps_sql},
-cnt AS (SELECT wid, len(syms) AS c FROM s{steps})
+WITH {_bpe_word_count_ctes(table, id_col, text_col, steps, bpe)}
 SELECT d.doc_id,
        CAST(coalesce(sum(cnt.c), 0) AS BIGINT) AS n_tokens
 FROM docs d
 LEFT JOIN pt ON pt.doc_id = d.doc_id
 LEFT JOIN cnt ON cnt.wid = pt.w
 GROUP BY d.doc_id
+"""
+
+
+def _bpe_word_count_ctes(table: str, id_col: str, text_col: str,
+                         steps: int, bpe: ByteBPE | None) -> str:
+    r"""Shared CTE chain for every BPE oracle: ASCII-scoped docs ->
+    pre-tokens with per-doc ordinality (parallel unnests zip in DuckDB)
+    -> distinct-word symbol states -> `steps` unrolled merge iterations
+    -> per-word token counts. Yields CTEs: docs(doc_id, text),
+    pt(doc_id, i, w), cnt(wid, c)."""
+    bpe = bpe or default_bpe()
+    steps_sql = ",".join(_step_sql(k) for k in range(steps))
+    pattern = _sql_quote(PRETOK_PATTERN)
+    return rf"""bpe_merges AS (SELECT * FROM {_merges_values_sql(bpe)}),
+docs AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, {text_col} AS text FROM {table}
+  WHERE regexp_matches({text_col}, '^[ -~]*\z')
+),
+pt AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(generate_series(1, len(regexp_extract_all(text, {pattern}))))
+           AS i,
+         unnest(regexp_extract_all(text, {pattern})) AS w
+  FROM docs
+),
+s0 AS MATERIALIZED (
+  SELECT w AS wid, string_split(w, '') AS syms
+  FROM (SELECT DISTINCT w FROM pt)
+),{steps_sql},
+cnt AS (SELECT wid, len(syms) AS c FROM s{steps})"""
+
+
+def bpe_chunk_documents(df, id_col: str, text_col: str,
+                        max_tokens: int = 512):
+    """Token-budget document chunking at pre-token granularity (r6, the
+    trainer-facing twin of chunk_tokens' whitespace windows): every
+    pre-token goes to chunk floor(tokens_before / max_tokens), computed
+    with the REAL BPE counts, and chunk text is the exact concatenation
+    of its pre-tokens — "".join(chunks) reproduces the document byte-for-
+    byte (the pre-tokenizer partitions the text, pinned by test). A
+    chunk can exceed max_tokens only by the tail of its last pre-token
+    (bounded by the longest word), which is the standard don't-split-
+    words tolerance. Documents with no pre-tokens emit no rows.
+
+    Scale shape: one posexplode (rows = pre-tokens), per-row counts via
+    the LRU-cached Arrow UDF, one per-doc window cumsum (uniform key),
+    one (doc, chunk) groupBy with an ordered rebuild — no driver work,
+    no broadcast beyond the merge table. Returns (id, chunk_id, text,
+    n_tokens)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(PRETOK_PATTERN), F.lit(0))
+    exploded = (
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .select("id", F.posexplode("t").alias("i", "w"))
+        .withColumn("c", bpe_token_count(F.col("w")))
+    )
+    w = (Window.partitionBy("id").orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    staged = exploded.withColumn(
+        "cb", F.coalesce(F.sum("c").over(w), F.lit(0))
+    ).withColumn("chunk_id", F.expr(f"CAST(cb div {int(max_tokens)} AS INT)"))
+    return (
+        staged.groupBy("id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ), "").alias("text"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_chunk_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text", max_tokens: int = 512,
+                         steps: int = 15,
+                         bpe: ByteBPE | None = None) -> str:
+    """DuckDB twin of bpe_chunk_documents: same shared word-count CTEs,
+    same cumsum-before, same integer-division chunk assignment, ordered
+    string_agg rebuild."""
+    return rf"""
+WITH {_bpe_word_count_ctes(table, id_col, text_col, steps, bpe)},
+cum AS (
+  SELECT p.doc_id, p.i, p.w, cnt.c,
+         coalesce(sum(cnt.c) OVER (PARTITION BY p.doc_id ORDER BY p.i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cb
+  FROM pt p JOIN cnt ON cnt.wid = p.w)
+SELECT doc_id AS id,
+       CAST(cb // {int(max_tokens)} AS INT) AS chunk_id,
+       string_agg(w, '' ORDER BY i) AS text,
+       CAST(sum(c) AS BIGINT) AS n_tokens
+FROM cum
+GROUP BY doc_id, CAST(cb // {int(max_tokens)} AS INT)
 """

@@ -1647,6 +1647,22 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BPE_TOKEN_COUNT = BPE.bpe_token_count_oracle_sql()
 
 
+def q_bpe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking with the REAL BPE counter (r6): every
+    pre-token lands in chunk floor(tokens_before / 32); chunk text is the
+    exact pre-token concatenation, so the chunks reassemble the document
+    byte-for-byte. Same ASCII scope as bpe_token_count; the oracle reuses
+    the unrolled merge-loop CTEs plus the identical cumsum/int-division
+    assignment."""
+    docs = load(spark, sf_dir, "documents")
+    return BPE.bpe_chunk_documents(
+        docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text",
+        max_tokens=32)
+
+
+ORACLE_BPE_CHUNK_DOCUMENTS = BPE.bpe_chunk_oracle_sql(max_tokens=32)
+
+
 def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_sequences with the REAL BPE counter feeding the boundaries
     (counter="bpe") — the trainer-facing variant. Same distributed
@@ -4337,6 +4353,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "bpe_token_count": q_bpe_token_count,
+    "bpe_chunk_documents": q_bpe_chunk_documents,
     "bm25_topk": q_bm25_topk,
     "url_blocklist": q_url_blocklist,
     "token_counts": q_token_counts,
@@ -4427,6 +4444,7 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_sequences_bpe": ORACLE_PACK_SEQUENCES_BPE,
     "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
+    "bpe_chunk_documents": ORACLE_BPE_CHUNK_DOCUMENTS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "token_counts": ORACLE_TOKEN_COUNTS,
@@ -4535,7 +4553,7 @@ _ADDED_ROUND = {
     # r6 additions
     "bpe_token_count": 6, "pack_sequences_bpe": 6,
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
-    "subtitle_lang_route": 6,
+    "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4605,6 +4623,7 @@ _LAST_DRIVER_CHECK = {
     "lm_bigram_score": 0,
     "semdedup": 0,
     "subtitle_lang_route": 0,
+    "bpe_chunk_documents": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4686,6 +4705,7 @@ _REGISTRY_ORDER = [
     "lm_bigram_score",
     "semdedup",
     "subtitle_lang_route",
+    "bpe_chunk_documents",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4725,9 +4745,9 @@ _REGISTRY_ORDER = [
     "outlier_nulling",
     "results_roundtrip",
     "robots_filter",
-    "rolling_trend",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the six r6-born queries (r4-green, forced back r7)
+    # displaced by the seven r6-born queries (r4-green, forced back r7)
+    "rolling_trend",
     "time_window_filter",
     "sample_every_nth",
     "union_compare",

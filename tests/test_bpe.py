@@ -216,3 +216,60 @@ def test_spark_udf_nulls_and_counts(spark):
     assert rows[1] == (0, [])
     assert rows[2][0] == bpe.count("the table") == len(rows[2][1])
     assert bpe.decode(rows[3][1]) == "café".encode("utf-8")
+
+
+def test_chunks_reassemble_documents_and_respect_budget(spark):
+    from pyspark.sql import functions as F
+
+    from space_launch_telemetry_analyzer_spark.functions.bpe import (
+        bpe_chunk_documents,
+    )
+    texts = [
+        "the table the value " * 30,
+        "short",
+        "",
+        "punctuation! and, numbers 12345 " * 10,
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    rows = bpe_chunk_documents(df, "doc_id", "text", max_tokens=16) \
+        .orderBy("id", "chunk_id").collect()
+    bpe = default_bpe()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, t in enumerate(texts):
+        got = by_doc.get(i, [])
+        # chunks reassemble the document byte-for-byte, in chunk order
+        assert "".join(r["text"] for r in got) == t, i
+        # chunk ids are dense from 0
+        assert [r["chunk_id"] for r in got] == list(range(len(got)))
+        # token accounting is exact
+        assert sum(r["n_tokens"] for r in got) == bpe.count(t)
+        # budget: every chunk except possibly via its LAST pre-token
+        # stays under max_tokens + the longest pre-token's cost
+        for r in got:
+            if r["chunk_id"] < len(got) - 1 or len(got) == 1:
+                assert r["n_tokens"] < 16 + 32
+    assert by_doc.get(2, []) == []  # empty doc emits no rows
+
+
+def test_java_pretokenizer_matches_python(spark):
+    """bpe_chunk_documents lexes with Spark's Java regexp_extract_all;
+    the counts inside come from Python findall — the two engines must
+    segment identically on the ASCII scope."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    cases = ["it's  they're   i'll", "a1b2c3", "", "x" * 40,
+             TRAINING_CORPUS[:400].replace("\n", " ")]
+    cases += ["".join(rng.choice(" aZ09'!.-(&") for _ in range(rng.randint(0, 80)))
+              for _ in range(120)]
+    df = spark.createDataFrame(list(enumerate(cases)), "i long, t string")
+    got = {r["i"]: r["toks"] for r in df.select(
+        "i", F.regexp_extract_all(
+            "t", F.lit(PRETOK_PATTERN), F.lit(0)).alias("toks")).collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == _PRETOK_RE.findall(s), repr(s)
