@@ -40,6 +40,7 @@ from .operators import similarity as S
 from .operators import text_analysis as TA
 from .functions import bpe as BPE
 from .functions import lm as LM
+from .functions import quality_clf as QC
 from .operators import windows as W
 from .operators.extract import extract_pages
 from .rules import default_config
@@ -1121,6 +1122,26 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LM_BIGRAM_SCORE = LM.bigram_lm_oracle_sql()
+
+
+def q_quality_clf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier (r6, functions/quality_clf.py):
+    logistic regression over md5-hashed unigram+bigram buckets, trained
+    deterministically on the fixed authored corpus vs three seeded
+    corruption families, committed as integer micro-weights. Scores are
+    exact integer sums + a fixed IEEE division sequence, so the oracle
+    matches bitwise. Complements lm_bigram_score: the classifier catches
+    out-of-lexicon noise and repetition, the LM catches order corruption.
+    keep threshold -0.7 (measured margin: natural text scores > -0.6,
+    char soup and repetition < -1.1). Same ASCII scope as the other
+    text-twin queries."""
+    docs = load(spark, sf_dir, "documents")
+    return QC.quality_clf_score(
+        docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text",
+        keep_threshold=-0.7)
+
+
+ORACLE_QUALITY_CLF_FILTER = QC.quality_clf_oracle_sql(keep_threshold=-0.7)
 
 
 # --- structural SQL twins for the hyperplane LSH (the weights are a closed-
@@ -4317,6 +4338,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "lm_bigram_score": q_lm_bigram_score,
+    "quality_clf_filter": q_quality_clf_filter,
     "outlier_nulling": q_outlier_nulling,
     "lead_acceleration": q_lead_acceleration,
     "g_force": q_g_force,
@@ -4408,6 +4430,7 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_bloom": ORACLE_DECONTAMINATE_BLOOM,
     "lm_bigram_score": ORACLE_LM_BIGRAM_SCORE,
+    "quality_clf_filter": ORACLE_QUALITY_CLF_FILTER,
     "outlier_nulling": ORACLE_OUTLIER_NULLING,
     "lead_acceleration": ORACLE_LEAD_ACCELERATION,
     "g_force": ORACLE_G_FORCE,
@@ -4554,6 +4577,7 @@ _ADDED_ROUND = {
     "bpe_token_count": 6, "pack_sequences_bpe": 6,
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
+    "quality_clf_filter": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4624,6 +4648,7 @@ _LAST_DRIVER_CHECK = {
     "semdedup": 0,
     "subtitle_lang_route": 0,
     "bpe_chunk_documents": 0,
+    "quality_clf_filter": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4706,6 +4731,7 @@ _REGISTRY_ORDER = [
     "semdedup",
     "subtitle_lang_route",
     "bpe_chunk_documents",
+    "quality_clf_filter",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4741,12 +4767,12 @@ _REGISTRY_ORDER = [
     "g_force",
     "lead_acceleration",
     "nation_revenue",
-    "ngram_jaccard",
     "outlier_nulling",
     "results_roundtrip",
     "robots_filter",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the seven r6-born queries (r4-green, forced back r7)
+    # displaced by the eight r6-born queries (r4-green, forced back r7)
+    "ngram_jaccard",
     "rolling_trend",
     "time_window_filter",
     "sample_every_nth",
