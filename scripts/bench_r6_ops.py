@@ -118,6 +118,21 @@ def main() -> None:
               lambda: materialize(bigram_lm_score(docs, "doc_id", "text")),
               results, N)
 
+        # ---- quality classifier + BPE chunker ------------------------------
+        from space_launch_telemetry_analyzer_spark.functions.bpe import (
+            bpe_chunk_documents,
+        )
+        from space_launch_telemetry_analyzer_spark.functions.quality_clf import (
+            quality_clf_score,
+        )
+        timed("quality_clf_score",
+              lambda: materialize(quality_clf_score(docs, "doc_id", "text")),
+              results, N)
+        timed("bpe_chunk_documents",
+              lambda: materialize(bpe_chunk_documents(
+                  docs, "doc_id", "text", max_tokens=32)),
+              results, N)
+
         # ---- decontamination: broadcast set vs bloom -----------------------
         from space_launch_telemetry_analyzer_spark.operators.dedup import (
             decontaminate,
@@ -133,6 +148,35 @@ def main() -> None:
                   docs, bench_docs, "doc_id", "text", "text",
                   m_bits=1 << 26, hashes=10)),
               results, N)
+
+        # ---- SemDeDup (embedding-cluster dedup) -----------------------------
+        # n^2/k within-cluster pairs is the operator's inherent cost; the
+        # leg sizes n=20k, k=128 (~3M candidate pairs, 64-dim fold cosine)
+        from space_launch_telemetry_analyzer_spark.operators.similarity import (
+            semdedup,
+        )
+        n_vec, n_cent = 20_000, 128
+        emb = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (F.pmod(F.xxhash64("id", i), F.lit(1000))
+                           .cast("double") / 500.0 - 1.0),
+            ).alias("vec"))
+        emb.write.mode("overwrite").parquet(f"{tmp}/emb")
+        emb = spark.read.parquet(f"{tmp}/emb")
+        cents = emb.where(F.col("vec_id") < n_cent).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+        timed("semdedup_exact",
+              lambda: materialize(semdedup(
+                  emb, "vec_id", "vec", cents, "cid", "cvec",
+                  threshold=0.95)),
+              results, n_vec, unit="vec")
+        timed("semdedup_fast",
+              lambda: materialize(semdedup(
+                  emb, "vec_id", "vec", cents, "cid", "cvec",
+                  threshold=0.95, exact=False)),
+              results, n_vec, unit="vec")
 
         # ---- frontier A/B -------------------------------------------------
         t0 = time.perf_counter()

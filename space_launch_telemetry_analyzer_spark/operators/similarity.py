@@ -180,9 +180,33 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def _cosine_batch(a: Column, b: Column) -> Column:
+    """Vectorized cosine over Arrow batches (numpy einsum) — the fast
+    path for pair-heavy operators. NOT bit-identical to the sequential
+    fold `cosine()` (BLAS/pairwise reduction order differs in the last
+    ulps), so exactness-gated callers keep the fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(xa, xb):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+        if len(xa) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(xa.to_numpy()).astype(np.float64)
+        B = np.vstack(xb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
 def semdedup(corpus: DataFrame, id_col: str, vec_col: str,
              centroids: DataFrame, centroid_id_col: str,
-             centroid_vec_col: str, threshold: float = 0.95) -> DataFrame:
+             centroid_vec_col: str, threshold: float = 0.95,
+             exact: bool = True) -> DataFrame:
     """SemDeDup (public method: Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): cluster the
     embedding space, then within each cluster mark every vector whose
@@ -198,16 +222,26 @@ def semdedup(corpus: DataFrame, id_col: str, vec_col: str,
     AQE skew-join splits it, and the real fix is more centroids. The
     assigned frame feeds three consumers (both join sides + the output),
     so it is localCheckpoint'ed once instead of re-scoring the corpus
-    3x (the MinHash self-join lesson). Cosines are the deterministic
-    sequential fold, so the threshold comparison is engine-exact."""
+    3x (the MinHash self-join lesson).
+
+    `exact=True` (default) scores pairs with the deterministic sequential
+    fold — engine-exact threshold comparisons, what the driver oracle
+    pins. `exact=False` scores with the Arrow-batched numpy kernel
+    (measured 13x faster on the 3M-pair bench leg, BENCH.md #42); its
+    reduction order differs in the last ulps, so a pair sitting WITHIN
+    float noise of the threshold may flip — the dup_ngram_mask(
+    exact=False) trade, documented and tested for agreement away from
+    the boundary."""
     assigned = ivf_assign(corpus, id_col, vec_col, centroids,
                           centroid_id_col, centroid_vec_col) \
         .localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
+    score = (cosine if exact else _cosine_batch)(
+        F.col("a.vec"), F.col("b.vec"))
     dup_ids = (
         a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
                & (F.col("a.id") > F.col("b.id")))
-        .where(cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(threshold))
+        .where(score >= F.lit(threshold))
         .select(F.col("a.id").alias("id"))
         .distinct()
     )

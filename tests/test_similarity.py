@@ -246,3 +246,26 @@ def test_semdedup_partition_invariance(spark):
     b = out(df1.repartition(16))
     assert a == b
     assert sum(1 for _, _, d in a if d) == 9  # the planted copies
+
+
+def test_semdedup_fast_path_agrees_off_boundary(spark):
+    """exact=False (numpy batch cosine) must reproduce exact=True's
+    decisions whenever scores sit away from the threshold's float noise
+    — which planted exact copies (cos=1) and random vectors (cos<<0.999)
+    both do."""
+    import random
+
+    from space_launch_telemetry_analyzer_spark.operators.similarity import (
+        semdedup,
+    )
+    rng = random.Random(13)
+    rows = [(i, [round(rng.uniform(-1, 1), 6) for _ in range(16)])
+            for i in range(80)]
+    rows += [(i + 200, rows[i][1]) for i in range(0, 80, 9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    run = lambda ex: sorted(map(tuple, semdedup(  # noqa: E731
+        df, "vec_id", "embedding", cents, "cid", "cvec",
+        threshold=0.999, exact=ex).collect()))
+    assert run(True) == run(False)
