@@ -388,7 +388,10 @@ def bpe_chunk_documents(df, id_col: str, text_col: str,
     byte (the pre-tokenizer partitions the text, pinned by test). A
     chunk can exceed max_tokens only by the tail of its last pre-token
     (bounded by the longest word), which is the standard don't-split-
-    words tolerance. Documents with no pre-tokens emit no rows.
+    words tolerance; symmetrically, a single pre-token costing MORE than
+    max_tokens makes floor() jump, so chunk ids are strictly increasing
+    but not necessarily dense (pinned by test — consumers must not index
+    by contiguous id). Documents with no pre-tokens emit no rows.
 
     Scale shape: one posexplode (rows = pre-tokens), per-row counts via
     the LRU-cached Arrow UDF, one per-doc window cumsum (uniform key),

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "LM_TOKEN_PATTERN",
+    "bigram_array_sql",
     "bigram_lm_score",
     "bigram_lm_oracle_sql",
     "bigram_lm_tables",
@@ -80,6 +81,17 @@ def bigram_lm_tables() -> tuple[dict, dict, int]:
     return bigram_micro, w1_unseen_micro, micro(1, v1)
 
 
+def bigram_array_sql(elem: str, elem_type: str) -> str:
+    """SQL fragment building the adjacent-bigram array over a token array
+    column `t` (0-based Spark indexing; the DuckDB twins walk 1-based).
+    Shared by the LM scorer and the quality classifier so their size
+    guard and pair construction can never drift apart (review-caught
+    duplication). `elem` is the per-pair expression over t[i-2]/t[i-1];
+    `elem_type` types the empty array for the size<2 branch."""
+    return (f"CASE WHEN size(t) < 2 THEN CAST(array() AS array<{elem_type}>) "
+            f"ELSE transform(sequence(2, size(t), 1), i -> {elem}) END")
+
+
 def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
                     keep_threshold: float = -6.0) -> DataFrame:
     """Per-document LM score: (id, n_bigrams, sum_lp_micro, avg_logprob,
@@ -101,11 +113,9 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     # adjacent pairs as one JVM expression over the token array; Spark
     # arrays are 0-based here, DuckDB's are 1-based in the twin — both
     # walk i = 2..len and take (elem i-1, elem i) in their own indexing
-    pairs = F.expr(
-        "CASE WHEN size(t) < 2 THEN "
-        "  CAST(array() AS array<struct<w1:string,w2:string>>) "
-        "ELSE transform(sequence(2, size(t), 1), "
-        "  i -> struct(t[i-2] AS w1, t[i-1] AS w2)) END")
+    pairs = F.expr(bigram_array_sql(
+        "struct(t[i-2] AS w1, t[i-1] AS w2)",
+        "struct<w1:string,w2:string>"))
     exploded = (
         df.select(F.col(id_col).alias("id"), toks.alias("t"))
         .select("id", F.explode_outer(pairs).alias("p"))

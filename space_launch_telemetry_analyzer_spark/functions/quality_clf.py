@@ -35,7 +35,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lm import LM_TOKEN_PATTERN
+from .lm import LM_TOKEN_PATTERN, bigram_array_sql
 
 __all__ = [
     "CLF_DIM",
@@ -120,10 +120,8 @@ def quality_clf_score(df: DataFrame, id_col: str, text_col: str,
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(LM_TOKEN_PATTERN), F.lit(0))
     base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
-    feats = F.expr(
-        "concat(t, CASE WHEN size(t) < 2 THEN CAST(array() AS array<string>) "
-        "ELSE transform(sequence(2, size(t), 1), "
-        "i -> concat(t[i-2], ' ', t[i-1])) END)")
+    feats = F.expr("concat(t, " + bigram_array_sql(
+        "concat(t[i-2], ' ', t[i-1])", "string") + ")")
     exploded = base.select("id", F.explode_outer(feats).alias("f"))
     hashed = exploded.withColumn(
         "h", F.when(F.col("f").isNotNull(), F.pmod(

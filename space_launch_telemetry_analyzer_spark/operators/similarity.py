@@ -191,14 +191,32 @@ def _cosine_batch(a: Column, b: Column) -> Column:
     def _cos(xa, xb):  # type: ignore[no-untyped-def]
         import numpy as np
         import pandas as pd
-        if len(xa) == 0:
+        n = len(xa)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        A = np.vstack(xa.to_numpy()).astype(np.float64)
-        B = np.vstack(xb.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
-        return pd.Series(out)
+        va, vb = xa.to_numpy(), xb.to_numpy()
+        # NULL or length-mismatched vectors score NULL — the SAME drop
+        # decision the exact fold makes (zip_with pads with null ->
+        # NULL cosine -> pair filtered); vstack on them would crash.
+        # Real None, NOT NaN: Spark orders NaN ABOVE every double, so a
+        # NaN score would pass `>= threshold` and mark garbage as dups.
+        out: list = [None] * n
+        lens_a = np.array([-1 if v is None else len(v) for v in va])
+        lens_b = np.array([-1 if v is None else len(v) for v in vb])
+        for d in np.unique(lens_a):
+            if d < 0:
+                continue
+            idx = np.nonzero((lens_a == d) & (lens_b == d))[0]
+            if not len(idx):
+                continue
+            A = np.vstack([va[i] for i in idx]).astype(np.float64)
+            B = np.vstack([vb[i] for i in idx]).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            vals = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+            for j, i in enumerate(idx):
+                out[i] = float(vals[j])
+        return pd.Series(out, dtype=object)
 
     return _cos(a, b)
 

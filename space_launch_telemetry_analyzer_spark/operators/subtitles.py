@@ -202,25 +202,39 @@ def route_subtitle_tracks(tracks: DataFrame, id_col: str, track_col: str,
     per-camera-feed selection ahead of the OCR stream."""
     if not preferences:
         raise ValueError("preferences must name at least one language")
+    # sniff scope = the WebVTT HEADER BLOCK only (everything before the
+    # first blank line of a document that starts with WEBVTT, after BOM
+    # strip / CRLF fold) — scanning the whole document would let a CUE
+    # PAYLOAD line that happens to read "Language: xx" masquerade as the
+    # track language (review-caught), and a fixed byte prefix could clip
+    # a code mid-value.
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col(doc_col), "^﻿", ""), "\r\n", "\n")
+    header = F.when(F.substring(norm, 1, 6) == "WEBVTT",
+                    F.substring_index(norm, "\n\n", 1))
+    sniffed = F.nullif(
+        F.regexp_extract(header,
+                         r"(?m)^Language:[ \t]*([A-Za-z0-9-]+)[ \t]*$", 1),
+        F.lit(""))
     t = tracks.select(
         F.col(id_col).alias("media_id"),
         F.col(track_col).alias("track_id"),
         F.col(doc_col).alias("doc"),
-        (F.col(lang_col) if lang_col else F.nullif(
-            F.regexp_extract(F.substring(F.col(doc_col), 1, 512),
-                             r"(?m)^Language:[ \t]*([A-Za-z0-9-]+)[ \t]*$",
-                             1),
-            F.lit(""))).alias("lang"),
+        (F.col(lang_col) if lang_col else sniffed).alias("lang"),
     )
     rank = F.array_position(
         F.array(*[F.lit(p) for p in preferences]), F.col("lang"))
     ranked = t.withColumn(
         "__rank", F.when(rank > 0, rank).otherwise(F.lit(1 << 30)))
     w = Window.partitionBy("media_id").orderBy("__rank", "track_id")
+    # chosen feeds TWO consumers (the cue parser and the metadata join);
+    # checkpoint so the tracks scan + sniff + window run once, and both
+    # consumers see the SAME winner (one tiny row per media)
     chosen = (
         ranked.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("media_id", "track_id", "lang", "doc")
+        .localCheckpoint(eager=False)
     )
     cues = subtitle_cues(chosen, "media_id", "doc")
     return (

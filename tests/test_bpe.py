@@ -242,8 +242,12 @@ def test_chunks_reassemble_documents_and_respect_budget(spark):
         got = by_doc.get(i, [])
         # chunks reassemble the document byte-for-byte, in chunk order
         assert "".join(r["text"] for r in got) == t, i
-        # chunk ids are dense from 0
-        assert [r["chunk_id"] for r in got] == list(range(len(got)))
+        # chunk ids start at 0 and strictly increase; they are NOT
+        # guaranteed dense — a single pre-token costing > max_tokens
+        # jumps floor(cum/max) past intermediate ids (review-verified:
+        # an 80-token word at max_tokens=16 yields ids [0, 5])
+        ids = [r["chunk_id"] for r in got]
+        assert ids == sorted(set(ids)) and (not ids or ids[0] == 0)
         # token accounting is exact
         assert sum(r["n_tokens"] for r in got) == bpe.count(t)
         # budget: every chunk except possibly via its LAST pre-token
@@ -273,3 +277,18 @@ def test_java_pretokenizer_matches_python(spark):
             "t", F.lit(PRETOK_PATTERN), F.lit(0)).alias("toks")).collect()}
     for i, s in enumerate(cases):
         assert got[i] == _PRETOK_RE.findall(s), repr(s)
+
+
+def test_chunk_ids_can_gap_past_a_giant_pretoken(spark):
+    """A pre-token costing more than max_tokens jumps chunk ids (floor-
+    based assignment, identical in the oracle) — pinned so no consumer
+    assumes density."""
+    from space_launch_telemetry_analyzer_spark.functions.bpe import (
+        bpe_chunk_documents,
+    )
+    giant = "zq" * 40  # no merges apply -> ~80 tokens
+    df = spark.createDataFrame([(0, f"the {giant} end")],
+                               "doc_id long, text string")
+    ids = [r["chunk_id"] for r in bpe_chunk_documents(
+        df, "doc_id", "text", max_tokens=16).orderBy("chunk_id").collect()]
+    assert ids[0] == 0 and ids[-1] >= 5 and len(ids) < ids[-1] + 1
