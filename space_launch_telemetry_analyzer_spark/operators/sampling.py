@@ -76,3 +76,34 @@ def quota_sample_two_phase(df: DataFrame, strata_cols: list[str], order_col: str
         .drop("_salt", "_r1")
     )
     return quota_sample(pruned, strata_cols, order_col, k, id_col, descending)
+
+
+def mix_sample(df: DataFrame, id_col: str, source_col: str,
+               rates: dict[str, float], n_buckets: int = 10000) -> DataFrame:
+    """Training-mix builder (r6): deterministic per-source subsampling to
+    the given keep RATES in [0, 1] — e.g. {"wiki": 1.0, "web": 0.25}
+    keeps every wiki doc and a quarter of the web docs. Row choice is the
+    stable md5 bucket of the id (hash_bucket), so the mix is
+    partition-invariant, reproducible across engines and re-runs, and
+    CONSISTENT with every other hash-sampled artifact of the same ids.
+    Sources absent from `rates` drop entirely (a mix spec is a
+    whitelist). Rates quantize to 1/n_buckets steps (documented;
+    round-half-even via the int round, pinned by the oracle twin using
+    the same quantization).
+
+    Scale shape: a scan-stage JVM CASE chain over the (small) source
+    list + the md5 bucket filter — no shuffle, no Python. The mix spec
+    is config-sized; a million-source spec would want a broadcast join
+    variant instead of the literal chain."""
+    if not rates:
+        raise ValueError("rates must name at least one source")
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    chain = None
+    for s, r in sorted(rates.items()):
+        cut = int(round(r * n_buckets))
+        chain = (F.when(F.col(source_col) == s, F.lit(cut)) if chain is None
+                 else chain.when(F.col(source_col) == s, F.lit(cut)))
+    cutoff = chain.otherwise(F.lit(0))
+    return df.where(hash_bucket(F.col(id_col), n_buckets) < cutoff)

@@ -2038,6 +2038,30 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.hash_sample(docs, "doc_id", 10).select("doc_id", "lang", "source")
 
 
+_MIX_RATES = {f"src{k}": (k % 5) / 4 for k in range(0, 20, 2)}
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix builder (r6): per-source deterministic keep rates —
+    even-numbered sources get rates 0/.25/.5/.75/1.0 (cycling), odd
+    sources are absent from the spec and drop entirely (a mix spec is a
+    whitelist). Row choice is the same md5 bucket as hash_sample, so the
+    mix composes consistently with every other hash-keyed artifact."""
+    docs = load(spark, sf_dir, "documents")
+    return SA.mix_sample(docs, "doc_id", "source", _MIX_RATES).select(
+        "doc_id", "lang", "source")
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {int(round(r * 10000))}"
+    for s, r in sorted(_MIX_RATES.items()))
+ORACLE_MIX_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+      % 10000 < (CASE {_MIX_CASE} ELSE 0 END)
+"""
+
+
 ORACLE_HASH_SAMPLE = """
 SELECT doc_id, lang, source FROM documents
 WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 < 10
@@ -4391,6 +4415,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "repetition_filter": q_repetition_filter,
     "hash_sample": q_hash_sample,
+    "mix_sample": q_mix_sample,
     "quota_sample": q_quota_sample,
     "doc_frequency": q_doc_frequency,
     "tfidf_topk": q_tfidf_topk,
@@ -4483,6 +4508,7 @@ ORACLES = {
     "pii_redact": ORACLE_PII_REDACT,
     "repetition_filter": ORACLE_REPETITION_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,
+    "mix_sample": ORACLE_MIX_SAMPLE,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "doc_frequency": ORACLE_DOC_FREQUENCY,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
@@ -4577,7 +4603,7 @@ _ADDED_ROUND = {
     "bpe_token_count": 6, "pack_sequences_bpe": 6,
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
-    "quality_clf_filter": 6,
+    "quality_clf_filter": 6, "mix_sample": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4649,6 +4675,7 @@ _LAST_DRIVER_CHECK = {
     "subtitle_lang_route": 0,
     "bpe_chunk_documents": 0,
     "quality_clf_filter": 0,
+    "mix_sample": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4732,6 +4759,7 @@ _REGISTRY_ORDER = [
     "subtitle_lang_route",
     "bpe_chunk_documents",
     "quality_clf_filter",
+    "mix_sample",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4769,9 +4797,9 @@ _REGISTRY_ORDER = [
     "nation_revenue",
     "outlier_nulling",
     "results_roundtrip",
-    "robots_filter",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the eight r6-born queries (r4-green, forced back r7)
+    # displaced by the nine r6-born queries (r4-green, forced back r7)
+    "robots_filter",
     "ngram_jaccard",
     "rolling_trend",
     "time_window_filter",

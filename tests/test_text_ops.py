@@ -485,3 +485,50 @@ def test_url_blocklist_optional_lists(spark):
     df = spark.createDataFrame([("https://x.example/a",)], "url string")
     r = ta.url_blocklist_filter(df, "url").collect()[0]
     assert r["keep"] and not r["blocked_domain"] and not r["blocked_prefix"]
+
+
+def test_mix_sample_rates_whitelist_and_partition_invariance(spark):
+    """Training-mix builder: per-source keep rates applied on the stable
+    md5 bucket — rate 1.0 keeps everything, rate 0 and absent sources
+    drop everything, fractional rates keep exactly the hash_bucket
+    subset, and the row set ignores partitioning."""
+    from pyspark.sql import functions as F
+
+    from space_launch_telemetry_analyzer_spark.operators.sampling import (
+        hash_bucket,
+        mix_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string")
+    rates = {"s0": 1.0, "s1": 0.25, "s2": 0.0}  # s3 absent -> dropped
+    got = {r["doc_id"] for r in mix_sample(
+        df, "doc_id", "source", rates).collect()}
+    expected_buckets = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id", hash_bucket(F.col("doc_id"), 10000).alias("b")).collect()}
+    want = set()
+    for i in range(400):
+        src = f"s{i % 4}"
+        cut = {"s0": 10000, "s1": 2500, "s2": 0}.get(src)
+        if cut and expected_buckets[i] < cut:
+            want.add(i)
+    assert got == want
+    assert {i for i in got if i % 4 == 0} == {i for i in range(400)
+                                              if i % 4 == 0}
+    assert not any(i % 4 in (2, 3) for i in got)
+    got2 = {r["doc_id"] for r in mix_sample(
+        df.repartition(13), "doc_id", "source", rates).collect()}
+    assert got2 == got
+
+
+def test_mix_sample_validates_rates(spark):
+    import pytest as _pytest
+
+    from space_launch_telemetry_analyzer_spark.operators.sampling import (
+        mix_sample,
+    )
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        mix_sample(df, "doc_id", "source", {"a": 1.5})
+    with _pytest.raises(ValueError, match="at least one"):
+        mix_sample(df, "doc_id", "source", {})
