@@ -42,8 +42,13 @@ QUERY_SET = [
     "pagerank_dangling",
     "bpe_token_count",
     "pack_sequences_bpe",
+    "bpe_chunk_documents",
     "lm_bigram_score",
+    "quality_clf_filter",
     "decontaminate_bloom",
+    "semdedup",
+    "subtitle_lang_route",
+    "mix_sample",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",
