@@ -137,3 +137,18 @@ def test_route_subtitle_tracks_requires_preferences(spark):
                                "mid long, tid int, doc string")
     with _pytest.raises(ValueError, match="preferences"):
         route_subtitle_tracks(df, "mid", "tid", "doc", [])
+
+
+def test_route_subtitle_tracks_null_doc_survives(spark):
+    """A NULL document must not crash routing: lang sniffs NULL, the
+    track can still win by fallback, and the cue parser's error channel
+    keeps the media id."""
+    from space_launch_telemetry_analyzer_spark.operators.subtitles import (
+        route_subtitle_tracks,
+    )
+    df = spark.createDataFrame([(1, 0, None)],
+                               "mid long, tid int, doc string")
+    rows = route_subtitle_tracks(df, "mid", "tid", "doc", ["en"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["media_id"] == 1 and rows[0]["lang"] is None
+    assert rows[0]["error"] is not None
