@@ -1,0 +1,99 @@
+"""Plan-shape guards for the nine r6-born queries.
+
+The repo's discipline: once a query's physical plan has the shape it was
+designed for, pin the load-bearing facts so a refactor that silently
+regresses the plan (a per-row Python UDF sneaking in, a broadcast turning
+into a shuffle, a scan-stage filter growing an Exchange) fails a test
+instead of a bench round. These assert the INITIAL executed plan (pre-AQE),
+so they are stable across data sizes and runtimes.
+
+Facts pinned per query (why):
+- ALL nine: no ``BatchEvalPython`` — the input_hint's "no per-row Python"
+  rule; every Python kernel must be Arrow-batched.
+- ``mix_sample``: zero ``Exchange`` — it is a scan-stage CASE-chain filter
+  by design (operators/sampling.py mix_sample docstring); any shuffle here
+  is a regression.
+- ``bpe_token_count`` / ``bpe_chunk_documents`` / ``decontaminate_bloom``:
+  exactly one ``ArrowEvalPython`` — one vectorized kernel pass over the
+  scan, not stacked Python stages.
+- ``decontaminate_bloom``: no join operator at all — the whole point of
+  the bloom variant is that the benchmark side collapses into a broadcast
+  bitmap probed in the Arrow batch; shingle-vs-shingle joins must not
+  reappear.
+- ``lm_bigram_score`` / ``quality_clf_filter`` / ``subtitle_lang_route`` /
+  ``pack_sequences_bpe``: model/route/boundary joins stay ``Broadcast``
+  (the model tables are config-sized); no SortMergeJoin.
+- ``semdedup``: the within-cluster self-join IS a keyed join on
+  centroid_id (quadratic-in-cluster by design, Abbas et al. 2023) — pin
+  that it is keyed (no BroadcastNestedLoopJoin / cartesian fallback), and
+  that the assigned frame is localCheckpoint'ed (plan restarts at
+  ``Scan ExistingRDD``) so the corpus is scored once, not three times.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+R6_QUERIES = [
+    "bpe_token_count",
+    "pack_sequences_bpe",
+    "decontaminate_bloom",
+    "lm_bigram_score",
+    "semdedup",
+    "subtitle_lang_route",
+    "bpe_chunk_documents",
+    "quality_clf_filter",
+    "mix_sample",
+]
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", R6_QUERIES)
+def test_no_per_row_python(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, f"{name}: per-row Python UDF"
+
+
+def test_mix_sample_is_scan_stage_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mix_sample")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["bpe_token_count", "bpe_chunk_documents", "decontaminate_bloom"])
+def test_single_arrow_kernel_pass(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("ArrowEvalPython") == 1, f"{name}: stacked Python stages"
+
+
+def test_decontaminate_bloom_has_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontaminate_bloom")
+    assert "Join" not in plan, "bloom variant re-grew a shingle join"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["lm_bigram_score", "quality_clf_filter", "subtitle_lang_route",
+     "pack_sequences_bpe"])
+def test_model_joins_stay_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: broadcast join vanished"
+    assert "SortMergeJoin" not in plan, f"{name}: config-sized join shuffles"
+
+
+def test_semdedup_self_join_is_keyed_and_checkpointed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semdedup")
+    # keyed on centroid_id — never a cartesian/unkeyed fallback
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan
+    # the assigned frame is localCheckpoint'ed: downstream plan restarts at
+    # Scan ExistingRDD instead of re-running the broadcast-assign 3x
+    assert "Scan ExistingRDD" in plan
