@@ -49,6 +49,7 @@ QUERY_SET = [
     "semdedup",
     "subtitle_lang_route",
     "mix_sample",
+    "markdown_pages",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",

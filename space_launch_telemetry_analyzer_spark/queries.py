@@ -4315,6 +4315,67 @@ ORDER BY host
 """
 
 
+def q_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> CommonMark conversion end-to-end (operators/markdown.py):
+    deterministic structured HTML built from `documents` columns exercises
+    every frozen-spec form — skip tags (title/style), nav group flush,
+    h1/h2, em/strong/code/a/img inline, br hard break, entity unescape,
+    nested ul, real-numbered ol, blockquote, verbatim <pre> fence, hr —
+    and the oracle reconstructs the exact expected markdown closed-form.
+    The error channel rides along (all-null proves no row degraded)."""
+    from .operators.markdown import to_markdown_pages
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>skip</title><style>p{color:red}</style>"
+              "</head><body>"
+              '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+              "<h1>Doc <em>"), sid, F.lit("</em></h1>"
+              "<div><span>lang </span><strong>"), F.col("lang"),
+        F.lit("</strong><br>src "), F.col("source"),
+        F.lit(" &amp; co</div><p>"), F.col("text"),
+        F.lit("</p><h2>Stats</h2><ul><li>chars <code>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</code></li><li>mod "), (F.col("doc_id") % 7).cast("string"),
+        F.lit("<ul><li>nested "), (F.col("doc_id") % 3).cast("string"),
+        F.lit('</li></ul></li></ul><ol><li><a href="/d/'), sid,
+        F.lit('">self</a></li><li>two</li></ol>'
+              "<blockquote><p>quoted "), (F.col("doc_id") % 5).cast("string"),
+        F.lit("</p></blockquote><pre>\nid="), sid,
+        F.lit("\nn="), F.col("n_chars").cast("string"),
+        F.lit("\n</pre><hr>"
+              '<p>fin <img src="/i/'), sid,
+        F.lit('.png" alt="img'), sid, F.lit('"></p></body></html>'),
+    )
+    pages = docs.select(_doc_url(), html.cast("binary").alias("html"))
+    return to_markdown_pages(pages)
+
+
+ORACLE_MARKDOWN_PAGES = """
+SELECT concat('doc://', doc_id) AS url,
+       concat(
+         '[Home](/) [About](/about)', chr(10), chr(10),
+         '# Doc *', doc_id, '*', chr(10), chr(10),
+         'lang **', lang, '**', chr(10), 'src ', source, ' & co',
+         chr(10), chr(10),
+         text, chr(10), chr(10),
+         '## Stats', chr(10), chr(10),
+         '- chars `', n_chars, '`', chr(10),
+         '- mod ', doc_id % 7, chr(10),
+         '  - nested ', doc_id % 3, chr(10), chr(10),
+         '1. [self](/d/', doc_id, ')', chr(10), '2. two', chr(10), chr(10),
+         '> quoted ', doc_id % 5, chr(10), chr(10),
+         '```', chr(10), 'id=', doc_id, chr(10), 'n=', n_chars, chr(10),
+         '```', chr(10), chr(10),
+         '---', chr(10), chr(10),
+         'fin ![img', doc_id, '](/i/', doc_id, '.png)'
+       ) AS markdown,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4434,9 +4495,11 @@ QUERIES = {
     "wat_roundtrip": q_wat_roundtrip,
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
+    "markdown_pages": q_markdown_pages,
 }
 
 ORACLES = {
+    "markdown_pages": ORACLE_MARKDOWN_PAGES,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -4603,7 +4666,7 @@ _ADDED_ROUND = {
     "bpe_token_count": 6, "pack_sequences_bpe": 6,
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
-    "quality_clf_filter": 6, "mix_sample": 6,
+    "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4676,6 +4739,7 @@ _LAST_DRIVER_CHECK = {
     "bpe_chunk_documents": 0,
     "quality_clf_filter": 0,
     "mix_sample": 0,
+    "markdown_pages": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4730,18 +4794,19 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 4 r6-born queries (driver-checked in their birth
-# round), then 40 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 10 r6-born queries (driver-checked in their birth
+# round), then 39 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. NINE r4-green queries are deferred to r7
+# come back for a fresh verdict. TEN r4-green queries are deferred to r7
 # for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
 # pkg/functions/parse.py, unchanged since r1, exercised in-window through
 # extract_field_spans/validate_report which call the same kernels), plus
-# union_compare, validate_report, warc_roundtrip, zero_anchor_realtime
-# (displaced by the r6-born queries). Every deferred query is re-verified
-# bitwise by the local full-registry oracle gate on every test run.
+# union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
+# results_roundtrip (displaced by the r6-born queries). Every deferred
+# query is re-verified bitwise by the local full-registry oracle gate on
+# every test run.
 _REGISTRY_ORDER = [
     # -- never driver-checked (late r5) — VERDICT r5 item 1 ------------
     "webp_anim_frames",
@@ -4760,6 +4825,7 @@ _REGISTRY_ORDER = [
     "bpe_chunk_documents",
     "quality_clf_filter",
     "mix_sample",
+    "markdown_pages",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4796,9 +4862,9 @@ _REGISTRY_ORDER = [
     "lead_acceleration",
     "nation_revenue",
     "outlier_nulling",
-    "results_roundtrip",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the nine r6-born queries (r4-green, forced back r7)
+    # displaced by the ten r6-born queries (r4-green, forced back r7)
+    "results_roundtrip",
     "robots_filter",
     "ngram_jaccard",
     "rolling_trend",

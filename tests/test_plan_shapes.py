@@ -1,4 +1,4 @@
-"""Plan-shape guards for the nine r6-born queries.
+"""Plan-shape guards for the ten r6-born queries.
 
 The repo's discipline: once a query's physical plan has the shape it was
 designed for, pin the load-bearing facts so a refactor that silently
@@ -46,6 +46,7 @@ R6_QUERIES = [
     "bpe_chunk_documents",
     "quality_clf_filter",
     "mix_sample",
+    "markdown_pages",
 ]
 
 
@@ -86,6 +87,16 @@ def test_model_joins_stay_broadcast(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BroadcastHashJoin" in plan, f"{name}: broadcast join vanished"
     assert "SortMergeJoin" not in plan, f"{name}: config-sized join shuffles"
+
+
+def test_markdown_pages_is_one_arrow_pass_no_shuffle(spark, sf_dir):
+    """The converter is a single mapInPandas over a JVM-built fixture:
+    no Exchange (raw html never shuffles), no join, exactly one Arrow
+    Python stage (MapInPandas)."""
+    plan = _plan(spark, sf_dir, "markdown_pages")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 1
 
 
 def test_semdedup_self_join_is_keyed_and_checkpointed(spark, sf_dir):
