@@ -50,6 +50,7 @@ QUERY_SET = [
     "subtitle_lang_route",
     "mix_sample",
     "markdown_pages",
+    "dsir_select",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",

@@ -1124,6 +1124,32 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LM_BIGRAM_SCORE = LM.bigram_lm_oracle_sql()
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (r6, functions/dsir.py — Xie et al.
+    2023): hashed unigram+bigram bucket features, per-document
+    log-importance weight ln(p_target/p_raw) shipped as integer
+    micro-nat deltas (the lm.py exactness discipline — no libm in either
+    engine), top-250 selection with the total (weight DESC, id)
+    tie-break. Selection is TakeOrderedAndProject — per-partition heaps,
+    never a global sort shuffle. Same ASCII scope as the other
+    text-twin queries."""
+    from .functions import dsir as DS
+
+    docs = load(spark, sf_dir, "documents")
+    w = DS.dsir_weights(
+        docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text")
+    return DS.dsir_topk(w, 250).withColumnRenamed("id", "doc_id")
+
+
+def _oracle_dsir_select() -> str:
+    from .functions import dsir as DS
+
+    return DS.dsir_oracle_sql(250)
+
+
+ORACLE_DSIR_SELECT = _oracle_dsir_select()
+
+
 def q_quality_clf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style quality classifier (r6, functions/quality_clf.py):
     logistic regression over md5-hashed unigram+bigram buckets, trained
@@ -4496,10 +4522,12 @@ QUERIES = {
     "results_roundtrip": q_results_roundtrip,
     "normalize_text": q_normalize_text,
     "markdown_pages": q_markdown_pages,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES = {
     "markdown_pages": ORACLE_MARKDOWN_PAGES,
+    "dsir_select": ORACLE_DSIR_SELECT,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -4667,6 +4695,7 @@ _ADDED_ROUND = {
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
     "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
+    "dsir_select": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4740,6 +4769,7 @@ _LAST_DRIVER_CHECK = {
     "quality_clf_filter": 0,
     "mix_sample": 0,
     "markdown_pages": 0,
+    "dsir_select": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4794,19 +4824,19 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 10 r6-born queries (driver-checked in their birth
-# round), then 39 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 11 r6-born queries (driver-checked in their birth
+# round), then 38 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. TEN r4-green queries are deferred to r7
-# for window space (all forced there by the staleness rule):
+# come back for a fresh verdict. ELEVEN r4-green queries are deferred to
+# r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
 # pkg/functions/parse.py, unchanged since r1, exercised in-window through
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
-# results_roundtrip (displaced by the r6-born queries). Every deferred
-# query is re-verified bitwise by the local full-registry oracle gate on
-# every test run.
+# results_roundtrip, outlier_nulling (displaced by the r6-born queries).
+# Every deferred query is re-verified bitwise by the local full-registry
+# oracle gate on every test run.
 _REGISTRY_ORDER = [
     # -- never driver-checked (late r5) — VERDICT r5 item 1 ------------
     "webp_anim_frames",
@@ -4826,6 +4856,7 @@ _REGISTRY_ORDER = [
     "quality_clf_filter",
     "mix_sample",
     "markdown_pages",
+    "dsir_select",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4861,9 +4892,9 @@ _REGISTRY_ORDER = [
     "g_force",
     "lead_acceleration",
     "nation_revenue",
-    "outlier_nulling",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the ten r6-born queries (r4-green, forced back r7)
+    # displaced by the eleven r6-born queries (r4-green, forced back r7)
+    "outlier_nulling",
     "results_roundtrip",
     "robots_filter",
     "ngram_jaccard",

@@ -47,6 +47,7 @@ R6_QUERIES = [
     "quality_clf_filter",
     "mix_sample",
     "markdown_pages",
+    "dsir_select",
 ]
 
 
@@ -97,6 +98,16 @@ def test_markdown_pages_is_one_arrow_pass_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_dsir_select_broadcasts_model_and_heaps_topk(spark, sf_dir):
+    """The delta table is broadcast (never a corpus shuffle for the
+    model), selection is TakeOrderedAndProject (per-partition heaps),
+    and the whole path is JVM expressions."""
+    plan = _plan(spark, sf_dir, "dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_semdedup_self_join_is_keyed_and_checkpointed(spark, sf_dir):
