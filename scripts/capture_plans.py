@@ -51,6 +51,7 @@ QUERY_SET = [
     "mix_sample",
     "markdown_pages",
     "dsir_select",
+    "quality_signals",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",

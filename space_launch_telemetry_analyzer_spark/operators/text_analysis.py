@@ -112,6 +112,55 @@ def quality_score(text: Column) -> Column:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_signal_cols(text: Column) -> tuple[dict, dict, Column]:
+    """The Gopher stats, per-rule booleans, and conjunction as Column
+    expressions — the single source of truth shared by `gopher_filter`
+    and the one-pass `quality_signals` bundle (refactored out so the two
+    can never drift). Returns (stats, rules, keep)."""
+    words = F.split(F.trim(text), r"\s+")
+    n_words = token_count(text)
+    wden = F.greatest(n_words, F.lit(1)).cast("double")
+    mwl = mean_word_length(text)
+    n_sym = (
+        occurrence_count(text, "#")
+        + occurrence_count(F.replace(text, F.lit("…"), F.lit("...")), "...")
+    )
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    lden = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^[•\-*]")))
+    ellipsis = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    stats = {
+        "n_words": n_words,
+        "mean_word_len": F.round(mwl, 6),
+        "symbol_ratio": n_sym.cast("double") / wden,
+        "bullet_ratio": bullet.cast("double") / lden,
+        "ellipsis_ratio": ellipsis.cast("double") / lden,
+        "alpha_ratio": alpha_words.cast("double") / wden,
+        "n_stopwords": stop_hits,
+    }
+    rules = {
+        "ok_words": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mwl": (stats["mean_word_len"] >= 3.0)
+                  & (stats["mean_word_len"] <= 10.0),
+        "ok_symbols": stats["symbol_ratio"] <= 0.1,
+        "ok_bullets": stats["bullet_ratio"] <= 0.9,
+        "ok_ellipsis": stats["ellipsis_ratio"] <= 0.3,
+        "ok_alpha": stats["alpha_ratio"] >= 0.8,
+        "ok_stopwords": stats["n_stopwords"] >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    return stats, rules, keep
+
+
 def gopher_filter(df, id_col: str, text_col: str):
     """The Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
     Table A1 — the filter set MassiveWeb popularized and most CC pipelines
@@ -132,52 +181,12 @@ def gopher_filter(df, id_col: str, text_col: str):
     across engines, so the DuckDB oracle hashes them directly. Empty/blank
     documents fail the word-count rule (n_words 0) and define ratio
     denominators via greatest(n, 1) — documented, oracle-matched."""
-    text = F.col(text_col)
-    words = F.split(F.trim(text), r"\s+")
-    n_words = token_count(text)
-    wden = F.greatest(n_words, F.lit(1)).cast("double")
-    mwl = mean_word_length(text)
-    n_sym = (
-        occurrence_count(text, "#")
-        + occurrence_count(F.replace(text, F.lit("…"), F.lit("...")), "...")
-    )
-    lines = F.split(text, r"\n")
-    n_lines = F.size(lines)
-    lden = F.greatest(n_lines, F.lit(1)).cast("double")
-    bullet = F.size(F.filter(
-        lines, lambda l: F.ltrim(l).rlike(r"^[•\-*]")))
-    ellipsis = F.size(F.filter(
-        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    stop_hits = F.size(F.array_intersect(
-        F.array_distinct(F.transform(words, F.lower)),
-        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
-
-    stats = df.select(
+    stats, rules, keep = gopher_signal_cols(F.col(text_col))
+    return df.select(
         F.col(id_col).alias("id"),
-        n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        (n_sym.cast("double") / wden).alias("symbol_ratio"),
-        (bullet.cast("double") / lden).alias("bullet_ratio"),
-        (ellipsis.cast("double") / lden).alias("ellipsis_ratio"),
-        (alpha_words.cast("double") / wden).alias("alpha_ratio"),
-        stop_hits.alias("n_stopwords"),
-    )
-    r = stats
-    rules = {
-        "ok_words": (r.n_words >= 50) & (r.n_words <= 100_000),
-        "ok_mwl": (r.mean_word_len >= 3.0) & (r.mean_word_len <= 10.0),
-        "ok_symbols": r.symbol_ratio <= 0.1,
-        "ok_bullets": r.bullet_ratio <= 0.9,
-        "ok_ellipsis": r.ellipsis_ratio <= 0.3,
-        "ok_alpha": r.alpha_ratio >= 0.8,
-        "ok_stopwords": r.n_stopwords >= 2,
-    }
-    keep = None
-    for c in rules.values():
-        keep = c if keep is None else keep & c
-    return stats.select(
-        "*", *[c.alias(n) for n, c in rules.items()], keep.alias("keep")
+        *[c.alias(n) for n, c in stats.items()],
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("keep"),
     )
 
 
@@ -196,6 +205,20 @@ def c4_line_filter(df, id_col: str, text_col: str):
     corpus tokenization (split on whitespace runs). One scan, no shuffle,
     no Python."""
     text = F.col(text_col)
+    lines, kept, doc_ok = c4_signal_cols(text)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        doc_ok.alias("keep"),
+    )
+
+
+def c4_signal_cols(text: Column) -> tuple[Column, Column, Column]:
+    """C4 line/document rules as Column expressions (shared by
+    `c4_line_filter` and `quality_signals`): returns (lines array, kept
+    lines array, document keep)."""
     lines = F.split(text, r"\n")
     is_kept = lambda l: (  # noqa: E731
         F.rtrim(l).rlike(r'[.!?"]$')
@@ -208,12 +231,43 @@ def c4_line_filter(df, id_col: str, text_col: str):
         & ~text.contains("{")
         & (F.size(kept) >= 3)
     )
+    return lines, kept, doc_ok
+
+
+def quality_signals(df, id_col: str, text_col: str):
+    """One-pass signal bundle — the Dolma-tagger pattern (Soldaini et al.
+    2024 compute every quality attribute in one sweep and persist them
+    beside the corpus, because at web scale EVERY EXTRA PASS over the
+    data is the dominant cost). Emits, from a SINGLE scan-stage Project
+    (no shuffle, no Python):
+
+    - `lang_pred` (marker-count language ID),
+    - `n_tokens`, `punct_ratio`, `stopword_ratio`, `mean_word_len`,
+      `quality` (the composite heuristic),
+    - the Gopher stats + `gopher_keep` (gopher_signal_cols — the same
+      expressions `gopher_filter` emits),
+    - `c4_n_kept` + `c4_keep` (c4_signal_cols).
+
+    Downstream curation filters/re-thresholds on the persisted columns
+    without ever touching `text` again. All ratios are exact
+    integer-count divisions (oracle-hashable bitwise)."""
+    text = F.col(text_col)
+    gstats, _grules, gkeep = gopher_signal_cols(text)
+    _lines, c4_kept, c4_ok = c4_signal_cols(text)
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_join(kept, "\n").alias("text_clean"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        doc_ok.alias("keep"),
+        lang_id(text).alias("lang_pred"),
+        token_count(text).alias("n_tokens"),
+        F.round(punct_ratio(text), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(text), 6).alias("mean_word_len"),
+        F.round(quality_score(text), 6).alias("quality"),
+        gstats["symbol_ratio"].alias("symbol_ratio"),
+        gstats["alpha_ratio"].alias("alpha_ratio"),
+        gstats["n_stopwords"].alias("n_gopher_stopwords"),
+        gkeep.alias("gopher_keep"),
+        F.size(c4_kept).alias("c4_n_kept"),
+        c4_ok.alias("c4_keep"),
     )
 
 

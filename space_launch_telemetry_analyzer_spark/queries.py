@@ -1491,6 +1491,13 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stat and rule with DuckDB list ops; ratios are exact
     integer-count divisions so the hash is bitwise."""
     docs = load(spark, sf_dir, "documents")
+    return TA.gopher_filter(_gopher_corpus(docs), "id", "text")
+
+
+def _gopher_corpus(docs: DataFrame) -> DataFrame:
+    """The shared 4-line page fixture (see q_gopher_filter docstring);
+    also feeds q_quality_signals so its oracle can reuse
+    _SQL_GOPHER_TEXT."""
     l1 = F.concat(F.substring("text", 1, 120), F.lit(" and the results."))
     l2 = F.when(F.col("doc_id") % 3 == 0, F.lit("- item one of the list")) \
         .otherwise(F.concat(F.substring("text", 121, 100),
@@ -1499,10 +1506,9 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("be that as it may."))
     l4 = F.when(F.col("doc_id") % 7 == 0, F.lit("#### #### #### ####")) \
         .otherwise(F.substring("text", 221, 80))
-    corpus = docs.select(
+    return docs.select(
         F.col("doc_id").alias("id"),
         F.concat_ws("\n", l1, l2, l3, l4).alias("text"))
-    return TA.gopher_filter(corpus, "id", "text")
 
 
 _SQL_GOPHER_TEXT = (
@@ -1614,6 +1620,123 @@ SELECT id,
        (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{')
         AND len(kept) >= 3) AS keep
 FROM marked
+"""
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass quality-signal bundle (r6, TA.quality_signals — the Dolma
+    tagger pattern): language ID, token/punct/stopword/word-length stats,
+    the composite quality score, the Gopher stats + keep, and the C4 keep,
+    ALL computed in a single scan-stage Project (at 100 TB every extra
+    corpus pass is the dominant cost, so signals are computed once and
+    persisted beside the corpus). Runs over the shared 4-line Gopher
+    fixture so every signal has variance; the oracle recomputes each
+    fragment on the same rebuilt text. The gopher/c4 columns come from
+    the same shared Column helpers the standalone queries use, so bundle
+    and standalone can never drift."""
+    docs = load(spark, sf_dir, "documents")
+    return TA.quality_signals(_gopher_corpus(docs), "id", "text")
+
+
+def _st_count(needle: str) -> str:
+    pad = "concat(' ', lower(t), ' ')"
+    return (f"CAST((length({pad}) - length(replace({pad}, '{needle}', '')))"
+            f" / {len(needle)} AS INT)")
+
+
+_ST_TOKS = (r"(CASE WHEN length(trim(t)) = 0 THEN 0 "
+            r"ELSE len(regexp_split_to_array(trim(t), '\s+')) END)")
+_ST_PUNCT = (
+    r"(CASE WHEN length(t) = 0 THEN 0.0 ELSE "
+    r"CAST(length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)"
+    r" / length(t) END)"
+)
+_ST_STOP = (
+    "(CASE WHEN " + _ST_TOKS + " = 0 THEN 0.0 ELSE CAST("
+    + " + ".join(_st_count(sw) for sw in
+                 (" the ", " a ", " of ", " and ", " to ", " in "))
+    + " AS DOUBLE) / " + _ST_TOKS + " END)"
+)
+_ST_MWL = (
+    r"(CASE WHEN " + _ST_TOKS + r" = 0 THEN 0.0 ELSE "
+    r"CAST(length(regexp_replace(trim(t), '\s+', '', 'g')) AS DOUBLE) / "
+    + _ST_TOKS + " END)"
+)
+_ST_WDEN = f"CAST(greatest({_ST_TOKS}, 1) AS DOUBLE)"
+_ST_SYM = (
+    "CAST((length(t) - length(replace(t, '#', '')))"
+    " + (length(replace(t, '…', '...'))"
+    "    - length(replace(replace(t, '…', '...'), '...', ''))) // 3"
+    f" AS DOUBLE) / {_ST_WDEN}"
+)
+_ST_ALPHA = (
+    r"CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),"
+    r" w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / " + _ST_WDEN
+)
+_ST_NSTOP = (
+    r"len(list_intersect(list_distinct(list_transform("
+    r"regexp_split_to_array(trim(t), '\s+'), w -> lower(w))),"
+    r" ['the','be','to','of','and','that','have','with']))"
+)
+_ST_LDEN = "CAST(greatest(len(string_split(t, chr(10))), 1) AS DOUBLE)"
+_ST_BULLET = (
+    r"CAST(len(list_filter(string_split(t, chr(10)),"
+    r" l -> regexp_matches(ltrim(l), '^[•\-*]'))) AS DOUBLE) / " + _ST_LDEN
+)
+_ST_ELLIPSIS = (
+    r"CAST(len(list_filter(string_split(t, chr(10)),"
+    r" l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE) / "
+    + _ST_LDEN
+)
+_ST_C4_KEPT = (
+    r"list_filter(string_split(t, chr(10)),"
+    r" l -> regexp_matches(rtrim(l), '[.!?\x22]$')"
+    r" AND len(regexp_split_to_array(trim(l), '\s+')) >= 5"
+    r" AND NOT contains(lower(l), 'javascript'))"
+)
+
+ORACLE_QUALITY_SIGNALS = rf"""
+WITH corpus AS (SELECT doc_id AS id, {_SQL_GOPHER_TEXT} AS t FROM documents),
+s AS (
+  SELECT id,
+         {_st_count(' the ')} + {_st_count(' and ')} + {_st_count(' of ')} AS en,
+         {_st_count(' der ')} + {_st_count(' und ')} + {_st_count(' die ')} AS de,
+         {_st_count(' le ')} + {_st_count(' et ')} + {_st_count(' les ')} AS fr,
+         {_ST_TOKS} AS n_tokens,
+         round({_ST_PUNCT}, 6) AS punct_ratio,
+         round({_ST_STOP}, 6) AS stopword_ratio,
+         round({_ST_MWL}, 6) AS mean_word_len,
+         round(least(CAST(length(t) AS DOUBLE) / 200.0, 1.0) * 0.4
+               + (1.0 - least({_ST_PUNCT} * 5.0, 1.0)) * 0.2
+               + least({_ST_STOP} * 10.0, 1.0) * 0.2
+               + (CASE WHEN {_ST_MWL} >= 3.0 AND {_ST_MWL} <= 10.0
+                  THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+         {_ST_SYM} AS symbol_ratio,
+         {_ST_ALPHA} AS alpha_ratio,
+         {_ST_NSTOP} AS n_gopher_stopwords,
+         {_ST_BULLET} AS bullet_ratio,
+         {_ST_ELLIPSIS} AS ellipsis_ratio,
+         len({_ST_C4_KEPT}) AS c4_n_kept,
+         (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{')
+          AND len({_ST_C4_KEPT}) >= 3) AS c4_keep
+  FROM corpus)
+SELECT id,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       CAST(n_tokens AS INT) AS n_tokens,
+       punct_ratio, stopword_ratio, mean_word_len, quality,
+       symbol_ratio, alpha_ratio,
+       CAST(n_gopher_stopwords AS INT) AS n_gopher_stopwords,
+       ((n_tokens >= 50 AND n_tokens <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        AND n_gopher_stopwords >= 2) AS gopher_keep,
+       CAST(c4_n_kept AS INT) AS c4_n_kept,
+       c4_keep
+FROM s
 """
 
 
@@ -4523,11 +4646,13 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "markdown_pages": q_markdown_pages,
     "dsir_select": q_dsir_select,
+    "quality_signals": q_quality_signals,
 }
 
 ORACLES = {
     "markdown_pages": ORACLE_MARKDOWN_PAGES,
     "dsir_select": ORACLE_DSIR_SELECT,
+    "quality_signals": ORACLE_QUALITY_SIGNALS,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -4695,7 +4820,7 @@ _ADDED_ROUND = {
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
     "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
-    "dsir_select": 6,
+    "dsir_select": 6, "quality_signals": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4770,6 +4895,7 @@ _LAST_DRIVER_CHECK = {
     "mix_sample": 0,
     "markdown_pages": 0,
     "dsir_select": 0,
+    "quality_signals": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4824,19 +4950,19 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 11 r6-born queries (driver-checked in their birth
-# round), then 38 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 12 r6-born queries (driver-checked in their birth
+# round), then 37 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. ELEVEN r4-green queries are deferred to
+# come back for a fresh verdict. TWELVE r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
 # pkg/functions/parse.py, unchanged since r1, exercised in-window through
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
-# results_roundtrip, outlier_nulling (displaced by the r6-born queries).
-# Every deferred query is re-verified bitwise by the local full-registry
-# oracle gate on every test run.
+# results_roundtrip, outlier_nulling, nation_revenue (displaced by the
+# r6-born queries). Every deferred query is re-verified bitwise by the
+# local full-registry oracle gate on every test run.
 _REGISTRY_ORDER = [
     # -- never driver-checked (late r5) — VERDICT r5 item 1 ------------
     "webp_anim_frames",
@@ -4857,6 +4983,7 @@ _REGISTRY_ORDER = [
     "mix_sample",
     "markdown_pages",
     "dsir_select",
+    "quality_signals",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -4891,9 +5018,9 @@ _REGISTRY_ORDER = [
     "fuel_pair_rule",
     "g_force",
     "lead_acceleration",
-    "nation_revenue",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the eleven r6-born queries (r4-green, forced back r7)
+    # displaced by the twelve r6-born queries (r4-green, forced back r7)
+    "nation_revenue",
     "outlier_nulling",
     "results_roundtrip",
     "robots_filter",

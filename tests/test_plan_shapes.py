@@ -48,6 +48,7 @@ R6_QUERIES = [
     "mix_sample",
     "markdown_pages",
     "dsir_select",
+    "quality_signals",
 ]
 
 
@@ -108,6 +109,15 @@ def test_dsir_select_broadcasts_model_and_heaps_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_signals_is_scan_stage_only(spark, sf_dir):
+    """The whole point of the one-pass bundle: every signal computes in
+    a single scan-stage Project — no shuffle, no join, no Python."""
+    plan = _plan(spark, sf_dir, "quality_signals")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
 
 
 def test_semdedup_self_join_is_keyed_and_checkpointed(spark, sf_dir):

@@ -532,3 +532,47 @@ def test_mix_sample_validates_rates(spark):
         mix_sample(df, "doc_id", "source", {"a": 1.5})
     with _pytest.raises(ValueError, match="at least one"):
         mix_sample(df, "doc_id", "source", {})
+
+
+# ---------------------------------------------------------------------------
+# one-pass quality_signals bundle
+# ---------------------------------------------------------------------------
+
+_SIGNAL_FIXTURE = [
+    (1, "the quick brown fox jumps over the lazy dog and that is that.\n"
+        "- a bullet item here\nto be continued...\nplain closing line of "
+        "the day with many more words to have with that."),
+    (2, "der hund und die katze und der vogel"),
+    (3, "#### #### ####\n{ code } lorem ipsum dolor"),
+    (4, ""),
+]
+
+
+def test_quality_signals_matches_standalone_ops(spark):
+    """The bundle's gopher/c4 columns must equal the standalone
+    operators' output row-for-row (they share the same Column helpers;
+    this pins that the wiring stays shared)."""
+    df = spark.createDataFrame(_SIGNAL_FIXTURE, "id long, text string")
+    sig = {r["id"]: r for r in ta.quality_signals(df, "id", "text").collect()}
+    gop = {r["id"]: r for r in ta.gopher_filter(df, "id", "text").collect()}
+    c4 = {r["id"]: r for r in ta.c4_line_filter(df, "id", "text").collect()}
+    for i, _ in _SIGNAL_FIXTURE:
+        assert sig[i]["gopher_keep"] == gop[i]["keep"], i
+        assert sig[i]["symbol_ratio"] == gop[i]["symbol_ratio"], i
+        assert sig[i]["alpha_ratio"] == gop[i]["alpha_ratio"], i
+        assert sig[i]["n_gopher_stopwords"] == gop[i]["n_stopwords"], i
+        assert sig[i]["c4_n_kept"] == c4[i]["n_kept"], i
+        assert sig[i]["c4_keep"] == c4[i]["keep"], i
+        assert sig[i]["n_tokens"] == gop[i]["n_words"], i
+
+
+def test_quality_signals_values(spark):
+    df = spark.createDataFrame(_SIGNAL_FIXTURE, "id long, text string")
+    rows = {r["id"]: r for r in ta.quality_signals(df, "id", "text").collect()}
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "de"
+    assert rows[4]["lang_pred"] == "und"
+    assert rows[4]["n_tokens"] == 0
+    assert rows[4]["quality"] == 0.2  # punct_ok term alone
+    assert rows[3]["c4_keep"] is False        # lorem ipsum + brace
+    assert rows[3]["gopher_keep"] is False    # symbol spam
