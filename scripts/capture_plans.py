@@ -52,6 +52,7 @@ QUERY_SET = [
     "markdown_pages",
     "dsir_select",
     "quality_signals",
+    "gopher_repetition",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",

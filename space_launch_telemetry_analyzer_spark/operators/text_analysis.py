@@ -458,6 +458,154 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
+    """The Gopher REPETITION rule set (Rae et al. 2021, arXiv:2112.11446
+    Table A1's other half — `gopher_filter` covers the quality rules):
+
+    - duplicate line / paragraph fraction  <= 0.30
+    - duplicate line / paragraph CHARACTER fraction <= 0.20
+    - top 2/3/4-gram character fraction <= 0.20/0.18/0.16
+    - duplicate 5..10-gram character fraction <= 0.15..0.10
+
+    Frozen semantics (documented where the paper leaves latitude):
+    - lines split on '\\n', paragraphs on '\\n\\n'; both CASE-SENSITIVE;
+      empty segments count (a run of blank lines is itself repetition);
+    - duplicate fraction = (items - distinct items) / items; duplicate
+      char fraction counts every occurrence BEYOND the first:
+      sum over groups with c > 1 of (c-1) * len(key) / total segment
+      chars;
+    - word n-grams over lowercased whitespace tokens joined by ' ';
+    - top n-gram char fraction = max over grams WITH c >= 2 of
+      c * len(gram) / len(text), else 0 — the REPEATED gram with the
+      largest coverage (deterministic without a tie-break; equals the
+      paper's most-frequent-gram definition whenever that gram repeats
+      and covers the most, and scores an unrepetitive document 0 instead
+      of charging it for one arbitrary unique gram);
+    - duplicate n-gram char fraction = sum over grams with c >= 2 of
+      c * len(gram) / len(text) (occurrence overlap not subtracted —
+      the standard implementation shortcut, stated);
+    - denominators are greatest(x, 1); a document with no grams of some
+      order passes those rules trivially.
+
+    Distributed shape: ONE explode of (id, kind, key) rows — kind in
+    {line, para, g2..g10} — into a (id, kind, key) count (map-side
+    combine; keys are segment/gram strings, uniformly distributed), then
+    ONE (id) aggregation with per-kind conditional expressions. Two
+    shuffles total, both keyed on the document id (+gram), no driver
+    materialization, no Python. The gram explode is ~9x the token count
+    per doc — the algorithm's inherent cost (same budget as
+    dup_ngram_mask)."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    lines = F.split(text, r"\n")
+    paras = F.split(text, r"\n\n")
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tagged(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr, lambda k: F.struct(F.lit(kind).alias("kind"),
+                                    k.alias("key")))
+
+    keyed = F.concat(
+        tagged("line", lines),
+        tagged("para", paras),
+        *[tagged(f"g{n}", grams(n)) for n in range(2, 11)],
+    )
+    seg_chars = lambda arr: F.greatest(  # noqa: E731
+        F.aggregate(arr, F.lit(0), lambda a, s: a + F.length(s)),
+        F.lit(1)).cast("double")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.length(text), F.lit(1)).cast("double").alias("text_len"),
+        seg_chars(lines).alias("line_chars"),
+        seg_chars(paras).alias("para_chars"),
+        F.explode(keyed).alias("e"),
+    )
+    counts = (
+        base.select("id", "text_len", "line_chars", "para_chars",
+                    F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
+        .groupBy("id", "kind", "key")
+        .agg(F.first("text_len").alias("text_len"),
+             F.first("line_chars").alias("line_chars"),
+             F.first("para_chars").alias("para_chars"),
+             F.count("*").alias("c"))
+    )
+    k = lambda kind: F.col("kind") == kind  # noqa: E731
+    dup_chars = F.when(F.col("c") > 1,
+                       (F.col("c") - 1) * F.length("key")).otherwise(0)
+    cover = F.col("c") * F.length("key")
+    aggs = [
+        F.first("text_len").alias("text_len"),
+        F.first("line_chars").alias("line_chars"),
+        F.first("para_chars").alias("para_chars"),
+    ]
+    for kind in ("line", "para"):
+        aggs += [
+            F.sum(F.when(k(kind), F.col("c")).otherwise(0)).alias(f"{kind}_items"),
+            F.sum(F.when(k(kind), 1).otherwise(0)).alias(f"{kind}_distinct"),
+            F.sum(F.when(k(kind), dup_chars).otherwise(0)).alias(f"{kind}_dup_chars"),
+        ]
+    aggs += [F.max(F.when(k(f"g{n}") & (F.col("c") >= 2), cover))
+             .alias(f"top{n}_cover") for n in (2, 3, 4)]
+    aggs += [F.sum(F.when(k(f"g{n}") & (F.col("c") >= 2), cover)
+                   .otherwise(0)).alias(f"dup{n}_cover")
+             for n in range(5, 11)]
+    stats = counts.groupBy("id").agg(*aggs)
+
+    fracs = {
+        "dup_line_frac": (F.col("line_items") - F.col("line_distinct"))
+                         .cast("double") / F.col("line_items").cast("double"),
+        "dup_para_frac": (F.col("para_items") - F.col("para_distinct"))
+                         .cast("double") / F.col("para_items").cast("double"),
+        "dup_line_char_frac": F.col("line_dup_chars").cast("double")
+                              / F.col("line_chars"),
+        "dup_para_char_frac": F.col("para_dup_chars").cast("double")
+                              / F.col("para_chars"),
+    }
+    for n in (2, 3, 4):
+        fracs[f"top_{n}gram_char_frac"] = (
+            F.coalesce(F.col(f"top{n}_cover"), F.lit(0)).cast("double")
+            / F.col("text_len"))
+    for n in range(5, 11):
+        fracs[f"dup_{n}gram_char_frac"] = (
+            F.col(f"dup{n}_cover").cast("double") / F.col("text_len"))
+
+    keep = None
+    for name, thr in GOPHER_REP_THRESHOLDS.items():
+        ok = fracs[name] <= F.lit(thr)
+        keep = ok if keep is None else keep & ok
+    return stats.select(
+        "id",
+        *[c.alias(name) for name, c in fracs.items()],
+        keep.alias("keep"),
+    )
+
+
 def doc_frequency(df, id_col: str = "doc_id", text_col: str = "text",
                   min_df: int = 2):
     """Corpus document frequency per token (IDF feedstock): distinct tokens

@@ -1740,6 +1740,132 @@ FROM s
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules end-to-end (r6, TA.gopher_repetition —
+    Table A1's other half): each doc becomes a 4-line / 2-3-paragraph
+    page with planted repetition by stratum — doc_id%2 duplicates a line,
+    %3 plants a token-repetition line (top-2gram trigger), %5 plants a
+    repeated 6-gram, %7 appends a duplicate paragraph — so every rule
+    family fires on some stratum. Fractions are exact integer-count
+    divisions; the oracle rebuilds the same text and recomputes every
+    stat with unnest + FILTER aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    l1 = F.concat(F.substring("text", 1, 80), F.lit(" first line."))
+    l2 = F.when(F.col("doc_id") % 2 == 0, l1).otherwise(
+        F.concat(F.substring("text", 81, 80), F.lit(" second line.")))
+    l3 = F.when(F.col("doc_id") % 3 == 0,
+                F.lit("spam spam spam spam spam spam")).otherwise(
+        F.concat(F.substring("text", 161, 80), F.lit(" third.")))
+    l4 = F.when(F.col("doc_id") % 5 == 0,
+                F.lit("one two three four five six "
+                      "one two three four five six extra")).otherwise(
+        F.lit("final closing words for the document now."))
+    t = F.concat(l1, F.lit("\n"), l2, F.lit("\n\n"), l3, F.lit("\n"), l4)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit("\n\n"), l1, F.lit("\n"), l2)).otherwise(t)
+    corpus = docs.select(F.col("doc_id").alias("id"), t.alias("text"))
+    return TA.gopher_repetition(corpus, "id", "text")
+
+
+_SQL_REP_L1 = "substr(text, 1, 80) || ' first line.'"
+_SQL_REP_L2 = (f"CASE WHEN doc_id % 2 = 0 THEN {_SQL_REP_L1} "
+               "ELSE substr(text, 81, 80) || ' second line.' END")
+_SQL_REP_L3 = ("CASE WHEN doc_id % 3 = 0 THEN 'spam spam spam spam spam spam' "
+               "ELSE substr(text, 161, 80) || ' third.' END")
+_SQL_REP_L4 = ("CASE WHEN doc_id % 5 = 0 THEN "
+               "'one two three four five six one two three four five six extra' "
+               "ELSE 'final closing words for the document now.' END")
+_SQL_REP_BASE = (f"{_SQL_REP_L1} || chr(10) || {_SQL_REP_L2} || chr(10) || "
+                 f"chr(10) || {_SQL_REP_L3} || chr(10) || {_SQL_REP_L4}")
+_SQL_REP_TEXT = (f"CASE WHEN doc_id % 7 = 0 THEN {_SQL_REP_BASE} || chr(10) "
+                 f"|| chr(10) || {_SQL_REP_L1} || chr(10) || {_SQL_REP_L2} "
+                 f"ELSE {_SQL_REP_BASE} END")
+
+_SQL_REP_GRAM_ITEMS = "\n  UNION ALL ".join(
+    f"SELECT id, 'g{n}' AS kind, "
+    f"unnest(list_transform(generate_series(1, len(toks) - {n} + 1), "
+    f"i -> array_to_string(toks[i:i + {n} - 1], ' '))) AS key FROM base"
+    for n in range(2, 11)
+)
+_SQL_REP_TOPS = ",\n  ".join(
+    f"CAST(coalesce(max(c * length(key)) "
+    f"FILTER (WHERE kind = 'g{n}' AND c >= 2), 0) "
+    f"AS DOUBLE) AS top{n}_cover" for n in (2, 3, 4))
+_SQL_REP_DUPS = ",\n  ".join(
+    f"CAST(coalesce(sum(c * length(key)) "
+    f"FILTER (WHERE kind = 'g{n}' AND c >= 2), 0) AS DOUBLE) "
+    f"AS dup{n}_cover" for n in range(5, 11))
+_SQL_REP_RULES = " AND ".join((
+    "(line_items - line_distinct) / line_items <= 0.30",
+    "(para_items - para_distinct) / para_items <= 0.30",
+    "line_dup_chars / line_chars <= 0.20",
+    "para_dup_chars / para_chars <= 0.20",
+    "top2_cover / text_len <= 0.20",
+    "top3_cover / text_len <= 0.18",
+    "top4_cover / text_len <= 0.16",
+    "dup5_cover / text_len <= 0.15",
+    "dup6_cover / text_len <= 0.14",
+    "dup7_cover / text_len <= 0.13",
+    "dup8_cover / text_len <= 0.12",
+    "dup9_cover / text_len <= 0.11",
+    "dup10_cover / text_len <= 0.10",
+))
+
+ORACLE_GOPHER_REPETITION = rf"""
+WITH corpus AS (SELECT doc_id AS id, {_SQL_REP_TEXT} AS t FROM documents),
+base AS (
+  SELECT id, t,
+         CAST(greatest(length(t), 1) AS DOUBLE) AS text_len,
+         string_split(t, chr(10)) AS lines,
+         string_split(t, chr(10) || chr(10)) AS paras,
+         regexp_split_to_array(trim(lower(t)), '\s+') AS toks
+  FROM corpus),
+dens AS (
+  SELECT id, text_len,
+         CAST(greatest(list_sum(list_transform(lines, l -> length(l))), 1)
+              AS DOUBLE) AS line_chars,
+         CAST(greatest(list_sum(list_transform(paras, p -> length(p))), 1)
+              AS DOUBLE) AS para_chars
+  FROM base),
+items AS (
+  SELECT id, 'line' AS kind, unnest(lines) AS key FROM base
+  UNION ALL SELECT id, 'para' AS kind, unnest(paras) AS key FROM base
+  UNION ALL {_SQL_REP_GRAM_ITEMS}
+),
+counts AS (
+  SELECT id, kind, key, count(*) AS c FROM items GROUP BY id, kind, key),
+stats AS (
+  SELECT id,
+  CAST(sum(c) FILTER (WHERE kind = 'line') AS DOUBLE) AS line_items,
+  CAST(count(*) FILTER (WHERE kind = 'line') AS DOUBLE) AS line_distinct,
+  CAST(coalesce(sum((c - 1) * length(key))
+       FILTER (WHERE kind = 'line' AND c > 1), 0) AS DOUBLE) AS line_dup_chars,
+  CAST(sum(c) FILTER (WHERE kind = 'para') AS DOUBLE) AS para_items,
+  CAST(count(*) FILTER (WHERE kind = 'para') AS DOUBLE) AS para_distinct,
+  CAST(coalesce(sum((c - 1) * length(key))
+       FILTER (WHERE kind = 'para' AND c > 1), 0) AS DOUBLE) AS para_dup_chars,
+  {_SQL_REP_TOPS},
+  {_SQL_REP_DUPS}
+  FROM counts GROUP BY id)
+SELECT s.id,
+       (line_items - line_distinct) / line_items AS dup_line_frac,
+       (para_items - para_distinct) / para_items AS dup_para_frac,
+       line_dup_chars / line_chars AS dup_line_char_frac,
+       para_dup_chars / para_chars AS dup_para_char_frac,
+       top2_cover / text_len AS top_2gram_char_frac,
+       top3_cover / text_len AS top_3gram_char_frac,
+       top4_cover / text_len AS top_4gram_char_frac,
+       dup5_cover / text_len AS dup_5gram_char_frac,
+       dup6_cover / text_len AS dup_6gram_char_frac,
+       dup7_cover / text_len AS dup_7gram_char_frac,
+       dup8_cover / text_len AS dup_8gram_char_frac,
+       dup9_cover / text_len AS dup_9gram_char_frac,
+       dup10_cover / text_len AS dup_10gram_char_frac,
+       ({_SQL_REP_RULES}) AS keep
+FROM stats s JOIN dens USING (id)
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing end-to-end (late r5): concat-and-split at
     seq_len=128 over documents in doc_id order via the DISTRIBUTED
@@ -4647,12 +4773,14 @@ QUERIES = {
     "markdown_pages": q_markdown_pages,
     "dsir_select": q_dsir_select,
     "quality_signals": q_quality_signals,
+    "gopher_repetition": q_gopher_repetition,
 }
 
 ORACLES = {
     "markdown_pages": ORACLE_MARKDOWN_PAGES,
     "dsir_select": ORACLE_DSIR_SELECT,
     "quality_signals": ORACLE_QUALITY_SIGNALS,
+    "gopher_repetition": ORACLE_GOPHER_REPETITION,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -4820,7 +4948,7 @@ _ADDED_ROUND = {
     "decontaminate_bloom": 6, "lm_bigram_score": 6, "semdedup": 6,
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
     "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
-    "dsir_select": 6, "quality_signals": 6,
+    "dsir_select": 6, "quality_signals": 6, "gopher_repetition": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -4896,6 +5024,7 @@ _LAST_DRIVER_CHECK = {
     "markdown_pages": 0,
     "dsir_select": 0,
     "quality_signals": 0,
+    "gopher_repetition": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -4950,19 +5079,19 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 12 r6-born queries (driver-checked in their birth
-# round), then 37 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 13 r6-born queries (driver-checked in their birth
+# round), then 36 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. TWELVE r4-green queries are deferred to
+# come back for a fresh verdict. THIRTEEN r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
 # pkg/functions/parse.py, unchanged since r1, exercised in-window through
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
-# results_roundtrip, outlier_nulling, nation_revenue (displaced by the
-# r6-born queries). Every deferred query is re-verified bitwise by the
-# local full-registry oracle gate on every test run.
+# results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration
+# (displaced by the r6-born queries). Every deferred query is re-verified
+# bitwise by the local full-registry oracle gate on every test run.
 _REGISTRY_ORDER = [
     # -- never driver-checked (late r5) — VERDICT r5 item 1 ------------
     "webp_anim_frames",
@@ -4984,6 +5113,7 @@ _REGISTRY_ORDER = [
     "markdown_pages",
     "dsir_select",
     "quality_signals",
+    "gopher_repetition",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5017,9 +5147,9 @@ _REGISTRY_ORDER = [
     "fuel_coalesce",
     "fuel_pair_rule",
     "g_force",
-    "lead_acceleration",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the twelve r6-born queries (r4-green, forced back r7)
+    # displaced by the thirteen r6-born queries (r4-green, forced back r7)
+    "lead_acceleration",
     "nation_revenue",
     "outlier_nulling",
     "results_roundtrip",

@@ -49,6 +49,7 @@ R6_QUERIES = [
     "markdown_pages",
     "dsir_select",
     "quality_signals",
+    "gopher_repetition",
 ]
 
 

@@ -576,3 +576,71 @@ def test_quality_signals_values(spark):
     assert rows[4]["quality"] == 0.2  # punct_ok term alone
     assert rows[3]["c4_keep"] is False        # lorem ipsum + brace
     assert rows[3]["gopher_keep"] is False    # symbol spam
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition (Table A1 repetition rules)
+# ---------------------------------------------------------------------------
+
+def _rep_rows(spark, rows):
+    df = spark.createDataFrame(rows, "id long, text string")
+    return {r["id"]: r for r in ta.gopher_repetition(df, "id", "text").collect()}
+
+
+def test_gopher_repetition_dup_lines_and_paras(spark):
+    rows = _rep_rows(spark, [
+        (1, "aa bb cc\naa bb cc\n\ndd ee ff gg"),
+        (2, "p q\n\np q\n\nr s t u v w"),
+        (3, "u1 u2 u3\nu4 u5 u6"),
+    ])
+    # 4 lines (incl. the empty one between paragraphs), one dup pair
+    assert rows[1]["dup_line_frac"] == 0.25
+    assert rows[1]["dup_line_char_frac"] == 8.0 / (8 + 8 + 0 + 11)
+    assert rows[2]["dup_para_frac"] == 1.0 / 3.0
+    assert rows[2]["dup_para_char_frac"] == 3.0 / (3 + 3 + 11)
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["dup_para_frac"] == 0.0
+
+
+def test_gopher_repetition_gram_coverage(spark):
+    text = "spam spam spam spam spam spam"
+    rows = _rep_rows(spark, [(1, text)])
+    # top 2-gram 'spam spam' occurs 5x (overlapping), len 9, text len 29
+    assert rows[1]["top_2gram_char_frac"] == 5 * 9 / 29
+    # 5-gram occurs 2x, len 24 — overlap not subtracted (frozen)
+    assert rows[1]["dup_5gram_char_frac"] == 2 * 24 / 29
+    assert rows[1]["keep"] is False
+
+
+def test_gopher_repetition_clean_doc_keeps(spark):
+    text = ("many distinct words compose this entirely unrepetitive "
+            "document body\nwith a second line of further fresh words "
+            "continuing the prose\n\nand a closing paragraph that says "
+            "something new once more before ending")
+    rows = _rep_rows(spark, [(1, text)])
+    assert rows[1]["keep"] is True
+    assert rows[1]["dup_5gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_empty_and_short(spark):
+    rows = _rep_rows(spark, [(1, ""), (2, "one")])
+    for i in (1, 2):
+        assert rows[i]["dup_line_frac"] == 0.0
+        assert rows[i]["dup_10gram_char_frac"] == 0.0
+        assert rows[i]["keep"] is True
+
+
+def test_gopher_repetition_partition_invariance(spark):
+    rows = [(i, f"w{i} x y\nw{i} x y\n\nz{i} final words here") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = sorted(map(tuple, ta.gopher_repetition(df.coalesce(1), "id", "text").collect()))
+    b = sorted(map(tuple, ta.gopher_repetition(df.repartition(8), "id", "text").collect()))
+    assert a == b
+
+
+def test_gopher_repetition_plan_shape(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    plan = (ta.gopher_repetition(df, "id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
+    assert "Join" not in plan
