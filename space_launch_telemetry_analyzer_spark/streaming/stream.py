@@ -154,6 +154,48 @@ def stream_anchor_texts(spark: SparkSession, input_path: str,
                                checkpoint_path, available_now)
 
 
+def _read_typed_stream(spark: SparkSession, input_path: str,
+                       max_files_per_trigger: int) -> DataFrame:
+    """readStream over a parquet directory, schema taken from the files
+    themselves (streaming parquet requires an explicit schema; the static
+    footer read costs one metadata operation)."""
+    schema = spark.read.parquet(input_path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def stream_markdown_pages(spark: SparkSession, input_path: str,
+                          output_path: str, checkpoint_path: str,
+                          available_now: bool = True,
+                          max_files_per_trigger: int = 8):
+    """Streaming twin of operators.markdown.to_markdown_pages: the
+    converter kernel is a pure function of the Arrow batch (stateless
+    mapInPandas), so it runs unchanged under readStream."""
+    from ..operators.markdown import to_markdown_pages
+
+    pages = _read_typed_stream(spark, input_path, max_files_per_trigger)
+    return _start_parquet_sink(to_markdown_pages(pages), output_path,
+                               checkpoint_path, available_now)
+
+
+def stream_quality_signals(spark: SparkSession, input_path: str,
+                           output_path: str, checkpoint_path: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           available_now: bool = True,
+                           max_files_per_trigger: int = 8):
+    """Streaming twin of text_analysis.quality_signals: a stateless
+    scan-stage Project, so the one-pass tagger also runs incrementally —
+    signals land beside the corpus as documents arrive."""
+    from ..operators.text_analysis import quality_signals
+
+    docs = _read_typed_stream(spark, input_path, max_files_per_trigger)
+    return _start_parquet_sink(quality_signals(docs, id_col, text_col),
+                               output_path, checkpoint_path, available_now)
+
+
 # --- ST2 as real streaming state ---------------------------------------------
 
 ANCHOR_OUTPUT_SCHEMA = T.StructType(

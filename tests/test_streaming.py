@@ -407,3 +407,51 @@ def test_stream_page_metadata_and_anchors_match_batch(spark, tmp_path):
         want = batch_op(spark.read.parquet(in_path))
         assert _sorted_rows(got) == _sorted_rows(want)
         assert got.schema == want.schema
+
+
+def test_stream_markdown_and_signals_match_batch(spark, tmp_path):
+    """Late-r6 stateless twins: the markdown converter kernel and the
+    one-pass quality-signal Project run unchanged under readStream;
+    maxFilesPerTrigger=1 crosses micro-batch boundaries."""
+    from space_launch_telemetry_analyzer_spark.operators.markdown import (
+        to_markdown_pages,
+    )
+    from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+        quality_signals,
+    )
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_markdown_pages,
+        stream_quality_signals,
+    )
+
+    pages_path = str(tmp_path / "mdpages")
+    spark.createDataFrame(
+        [(f"u://{i}",
+          f"<h1>T {i}</h1><p>body {i} with <em>em</em></p>"
+          "<ul><li>a</li><li>b</li></ul>".encode())
+         for i in range(12)] + [("u://null", None)],
+        "url string, html binary",
+    ).repartition(4).write.parquet(pages_path)
+    out = str(tmp_path / "md_out")
+    _drain(stream_markdown_pages(spark, pages_path, out,
+                                 str(tmp_path / "md_cp"),
+                                 max_files_per_trigger=1))
+    got = spark.read.parquet(out)
+    want = to_markdown_pages(spark.read.parquet(pages_path))
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.schema == want.schema
+
+    docs_path = str(tmp_path / "sigdocs")
+    spark.createDataFrame(
+        [(i, f"the doc {i} and more of the words to score here now")
+         for i in range(12)] + [(99, "")],
+        "doc_id long, text string",
+    ).repartition(4).write.parquet(docs_path)
+    out2 = str(tmp_path / "sig_out")
+    _drain(stream_quality_signals(spark, docs_path, out2,
+                                  str(tmp_path / "sig_cp"),
+                                  max_files_per_trigger=1))
+    got2 = spark.read.parquet(out2)
+    want2 = quality_signals(spark.read.parquet(docs_path), "doc_id", "text")
+    assert _sorted_rows(got2) == _sorted_rows(want2)
+    assert got2.schema == want2.schema
