@@ -113,6 +113,24 @@ def main() -> None:
         timed("dsir_fit_raw",
               lambda: dsir.fit_raw_bucket_counts(docs),
               results, N)
+
+        # ---- one-pass quality-signal bundle (scan-stage Project) --------
+        from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+            gopher_repetition,
+            quality_signals,
+        )
+        timed("quality_signals",
+              lambda: materialize(quality_signals(docs, "doc_id", "text")),
+              results, N)
+
+        # ---- Gopher repetition rules (scan-stage sorted fold) -----------
+        timed("gopher_repetition",
+              lambda: materialize(gopher_repetition(docs, "doc_id", "text")),
+              results, N)
+        timed("gopher_repetition_hashed",
+              lambda: materialize(gopher_repetition(
+                  docs, "doc_id", "text", exact=False)),
+              results, N)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

@@ -475,7 +475,8 @@ GOPHER_REP_THRESHOLDS = {
 }
 
 
-def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
+def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text",
+                      exact: bool = True):
     """The Gopher REPETITION rule set (Rae et al. 2021, arXiv:2112.11446
     Table A1's other half — `gopher_filter` covers the quality rules):
 
@@ -504,18 +505,50 @@ def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
     - denominators are greatest(x, 1); a document with no grams of some
       order passes those rules trivially.
 
-    Distributed shape: ONE explode of (id, kind, key) rows — kind in
-    {line, para, g2..g10} — into a (id, kind, key) count (map-side
-    combine; keys are segment/gram strings, uniformly distributed), then
-    ONE (id) aggregation with per-kind conditional expressions. Two
-    shuffles total, both keyed on the document id (+gram), no driver
-    materialization, no Python. The gram explode is ~9x the token count
-    per doc — the algorithm's inherent cost (same budget as
-    dup_ngram_mask)."""
-    text = F.col(text_col)
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
-    lines = F.split(text, r"\n")
-    paras = F.split(text, r"\n\n")
+    Distributed shape: every statistic is PER-DOCUMENT, so nothing ever
+    shuffles — each segment/gram array is array_sort()ed and folded once
+    with an adjacent-run aggregate (run length tracks the current
+    duplicate group; O(n log n) per document), all inside one scan-stage
+    Project. No Python, no explode, no driver materialization. (The
+    first implementation exploded (id, kind, key) rows through a
+    two-shuffle count — 9x the token count in shuffled strings per doc —
+    and measured 2.4k docs/s at 1M docs; the sorted-fold form is ~3x
+    faster with bitwise-identical output, which the unchanged DuckDB
+    oracle pins.)
+
+    `exact=False` replaces gram STRINGS with per-word xxhash64 combined
+    n-arily (gram lengths computed arithmetically from word lengths) —
+    profiling shows gram construction + string sort is ~87% of the exact
+    cost, so the hashed grams sort as longs and skip every gram-string
+    allocation. Same dup_ngram_mask tradeoff, same birthday bound: a
+    64-bit within-document collision needs ~2^32 grams in ONE document;
+    at 10^4 grams/doc the per-doc probability is ~1e-11 and a collision
+    perturbs one document's fractions, nothing global. Lines/paragraphs
+    stay exact strings in both modes (few per doc). The equality of the
+    two modes on repetition fixtures is pinned by tests; the registered
+    oracle query runs exact=True."""
+    # Materialize the token/segment (and hash/length) arrays as REAL
+    # columns first: expressions referenced inside lambda functions are
+    # re-evaluated per access (HOFs sit outside whole-stage codegen's
+    # subexpression elimination), so computing them as attribute refs
+    # once per row instead of once per lambda call is a ~10x lever here.
+    prep_cols = {
+        "_toks": F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        "_lines": F.split(F.col(text_col), r"\n"),
+        "_paras": F.split(F.col(text_col), r"\n\n"),
+    }
+    if not exact:
+        prep_cols["_th"] = F.transform(prep_cols["_toks"],
+                                       lambda w: F.xxhash64(w))
+        prep_cols["_tl"] = F.transform(prep_cols["_toks"],
+                                       lambda w: F.length(w).cast("long"))
+    prep = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text"),
+        *[c.alias(name) for name, c in prep_cols.items()])
+    text = F.col("_text")
+    toks = F.col("_toks")
+    lines = F.col("_lines")
+    paras = F.col("_paras")
 
     def grams(n: int) -> Column:
         return F.when(
@@ -526,74 +559,106 @@ def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    def tagged(kind: str, arr: Column) -> Column:
-        return F.transform(
-            arr, lambda k: F.struct(F.lit(kind).alias("kind"),
-                                    k.alias("key")))
+    def keyed(arr: Column) -> Column:
+        return F.transform(arr, lambda x: F.struct(
+            x.alias("k"), F.length(x).cast("long").alias("ln")))
 
-    keyed = F.concat(
-        tagged("line", lines),
-        tagged("para", paras),
-        *[tagged(f"g{n}", grams(n)) for n in range(2, 11)],
-    )
+    # hashed grams: per-word xxhash64 combined n-arily, lengths from the
+    # word-length array — no gram string is ever allocated; _th/_tl are
+    # the pre-materialized columns from `prep`
+    th = F.col("_th")
+    tl = F.col("_tl")
+
+    def grams_hashed(n: int) -> Column:
+        def g(i):
+            k = F.xxhash64(*[F.element_at(th, i + j + 1) for j in range(n)])
+            ln = F.element_at(tl, i + 1)
+            for j in range(1, n):
+                ln = ln + F.element_at(tl, i + j + 1)
+            return F.struct(k.alias("k"), (ln + (n - 1)).alias("ln"))
+
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), g),
+        ).otherwise(F.array().cast("array<struct<k:bigint,ln:bigint>>"))
+
+    def dup_stats(arr: Column, null_key: Column) -> Column:
+        """Fold the SORTED (k, ln) array tracking the current equal-run
+        length: struct(distinct, dup = sum over occurrences beyond a
+        group's first of len (the (c-1)*len duplicate-char count),
+        dupall = sum over groups with c >= 2 of c*len (full coverage of
+        every duplicated key), best = max over groups with c >= 2 of
+        c*len). Integer-identical to a group-and-count."""
+        s = F.array_sort(arr)
+        zero = F.lit(0).cast("long")
+        init = F.struct(
+            null_key.alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            zero.alias("distinct"),
+            zero.alias("dup"),
+            zero.alias("dupall"),
+            zero.alias("best"),
+        )
+
+        def step(acc, x):
+            run = (F.when(x["k"] == acc["prev"], acc["run"] + 1)
+                   .otherwise(F.lit(1).cast("long")))
+            ln = x["ln"]
+            return F.struct(
+                x["k"].alias("prev"),
+                run.alias("run"),
+                (acc["distinct"] + F.when(run == 1, 1).otherwise(0)
+                 ).alias("distinct"),
+                (acc["dup"] + F.when(run >= 2, ln).otherwise(0)).alias("dup"),
+                # a group enters coverage at run 2 (charge both of its
+                # first two occurrences), then grows one len at a time
+                (acc["dupall"]
+                 + F.when(run == 2, 2 * ln)
+                    .when(run > 2, ln).otherwise(0)).alias("dupall"),
+                F.greatest(acc["best"],
+                           F.when(run >= 2, run * ln).otherwise(0)
+                           ).alias("best"),
+            )
+
+        return F.aggregate(s, init, step)
+
     seg_chars = lambda arr: F.greatest(  # noqa: E731
         F.aggregate(arr, F.lit(0), lambda a, s: a + F.length(s)),
         F.lit(1)).cast("double")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.greatest(F.length(text), F.lit(1)).cast("double").alias("text_len"),
-        seg_chars(lines).alias("line_chars"),
-        seg_chars(paras).alias("para_chars"),
-        F.explode(keyed).alias("e"),
-    )
-    counts = (
-        base.select("id", "text_len", "line_chars", "para_chars",
-                    F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
-        .groupBy("id", "kind", "key")
-        .agg(F.first("text_len").alias("text_len"),
-             F.first("line_chars").alias("line_chars"),
-             F.first("para_chars").alias("para_chars"),
-             F.count("*").alias("c"))
-    )
-    k = lambda kind: F.col("kind") == kind  # noqa: E731
-    dup_chars = F.when(F.col("c") > 1,
-                       (F.col("c") - 1) * F.length("key")).otherwise(0)
-    cover = F.col("c") * F.length("key")
-    aggs = [
-        F.first("text_len").alias("text_len"),
-        F.first("line_chars").alias("line_chars"),
-        F.first("para_chars").alias("para_chars"),
-    ]
-    for kind in ("line", "para"):
-        aggs += [
-            F.sum(F.when(k(kind), F.col("c")).otherwise(0)).alias(f"{kind}_items"),
-            F.sum(F.when(k(kind), 1).otherwise(0)).alias(f"{kind}_distinct"),
-            F.sum(F.when(k(kind), dup_chars).otherwise(0)).alias(f"{kind}_dup_chars"),
-        ]
-    aggs += [F.max(F.when(k(f"g{n}") & (F.col("c") >= 2), cover))
-             .alias(f"top{n}_cover") for n in (2, 3, 4)]
-    aggs += [F.sum(F.when(k(f"g{n}") & (F.col("c") >= 2), cover)
-                   .otherwise(0)).alias(f"dup{n}_cover")
-             for n in range(5, 11)]
-    stats = counts.groupBy("id").agg(*aggs)
+
+    null_str = F.lit(None).cast("string")
+    null_long = F.lit(None).cast("bigint")
+    cols = {
+        "text_len": F.greatest(F.length(text), F.lit(1)).cast("double"),
+        "line_chars": seg_chars(lines),
+        "para_chars": seg_chars(paras),
+        "n_lines": F.size(lines).cast("long"),
+        "n_paras": F.size(paras).cast("long"),
+        "line_st": dup_stats(keyed(lines), null_str),
+        "para_st": dup_stats(keyed(paras), null_str),
+    }
+    for n in range(2, 11):
+        cols[f"g{n}_st"] = (dup_stats(keyed(grams(n)), null_str) if exact
+                            else dup_stats(grams_hashed(n), null_long))
+    stats = prep.select("id",
+                        *[c.alias(name) for name, c in cols.items()])
 
     fracs = {
-        "dup_line_frac": (F.col("line_items") - F.col("line_distinct"))
-                         .cast("double") / F.col("line_items").cast("double"),
-        "dup_para_frac": (F.col("para_items") - F.col("para_distinct"))
-                         .cast("double") / F.col("para_items").cast("double"),
-        "dup_line_char_frac": F.col("line_dup_chars").cast("double")
+        "dup_line_frac": (F.col("n_lines") - F.col("line_st.distinct"))
+                         .cast("double") / F.col("n_lines").cast("double"),
+        "dup_para_frac": (F.col("n_paras") - F.col("para_st.distinct"))
+                         .cast("double") / F.col("n_paras").cast("double"),
+        "dup_line_char_frac": F.col("line_st.dup").cast("double")
                               / F.col("line_chars"),
-        "dup_para_char_frac": F.col("para_dup_chars").cast("double")
+        "dup_para_char_frac": F.col("para_st.dup").cast("double")
                               / F.col("para_chars"),
     }
     for n in (2, 3, 4):
         fracs[f"top_{n}gram_char_frac"] = (
-            F.coalesce(F.col(f"top{n}_cover"), F.lit(0)).cast("double")
-            / F.col("text_len"))
+            F.col(f"g{n}_st.best").cast("double") / F.col("text_len"))
     for n in range(5, 11):
         fracs[f"dup_{n}gram_char_frac"] = (
-            F.col(f"dup{n}_cover").cast("double") / F.col("text_len"))
+            F.col(f"g{n}_st.dupall").cast("double") / F.col("text_len"))
 
     keep = None
     for name, thr in GOPHER_REP_THRESHOLDS.items():
