@@ -53,6 +53,7 @@ QUERY_SET = [
     "dsir_select",
     "quality_signals",
     "gopher_repetition",
+    "html_tables",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",

@@ -147,6 +147,14 @@ def _parse_tree(html_text: str) -> _Node:
                 # HTML5 li/p auto-close a same-tag open parent
                 if tag in ("li", "p") and stack[-1].tag == tag:
                     stack.pop()
+                # HTML5 table-element auto-close: a new <tr> closes any
+                # open cell/row; a new <td>/<th> closes an open cell
+                elif tag == "tr":
+                    while len(stack) > 1 and stack[-1].tag in ("td", "th", "tr"):
+                        stack.pop()
+                elif tag in ("td", "th"):
+                    while len(stack) > 1 and stack[-1].tag in ("td", "th"):
+                        stack.pop()
                 node = _Node(tag, attrs)
                 stack[-1].children.append(node)
                 if not self_closing and tag not in _VOID_TAGS:

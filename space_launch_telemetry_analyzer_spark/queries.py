@@ -4590,6 +4590,58 @@ ORDER BY host
 """
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction end-to-end (r6, operators/tables.py): each
+    doc carries a 3-row header+data table built from its columns, and
+    every third doc a second single-cell table — covering table
+    numbering, header detection (all-th rows), entity unescape in cells,
+    and the zero-rows-for-tableless path. The oracle enumerates the
+    expected relational rows closed-form. The cells array crosses the
+    driver boundary joined on the unit separator (the hash layer has no
+    nested-type contract — every registered query is scalar-columned);
+    the operator itself returns the real array<string>."""
+    from .operators.tables import extract_html_tables
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_PAGE_PREFIX + "<table><tr><th>id</th><th>lang</th></tr>"
+              "<tr><td>"), sid, F.lit(" &amp; co</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>n</td><td>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<table><tr><td>x"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit("</td></tr></table>"))).otherwise(F.lit("")),
+        F.lit("<main><article><p>"), F.col("text"),
+        F.lit("</p></article></main>" + _PAGE_SUFFIX),
+    )
+    pages = docs.select(_doc_url(), html.cast("binary").alias("html"))
+    return extract_html_tables(pages).select(
+        "url", "table_idx", "row_idx", "is_header",
+        F.array_join("cells", "").alias("cells"), "error")
+
+
+ORACLE_HTML_TABLES = """
+WITH u AS (SELECT concat('doc://', doc_id) AS url, doc_id, lang, n_chars
+           FROM documents)
+SELECT url, CAST(0 AS INT) AS table_idx, CAST(0 AS INT) AS row_idx,
+       true AS is_header, 'id' || chr(31) || 'lang' AS cells,
+       CAST(NULL AS VARCHAR) AS error
+FROM u
+UNION ALL
+SELECT url, 0, 1, false,
+       CAST(doc_id AS VARCHAR) || ' & co' || chr(31) || lang, NULL FROM u
+UNION ALL
+SELECT url, 0, 2, false, 'n' || chr(31) || CAST(n_chars AS VARCHAR), NULL
+FROM u
+UNION ALL
+SELECT url, 1, 0, false, 'x' || CAST(doc_id % 5 AS VARCHAR), NULL
+FROM u WHERE doc_id % 3 = 0
+"""
+
+
 def q_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> CommonMark conversion end-to-end (operators/markdown.py):
     deterministic structured HTML built from `documents` columns exercises
@@ -4774,6 +4826,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "quality_signals": q_quality_signals,
     "gopher_repetition": q_gopher_repetition,
+    "html_tables": q_html_tables,
 }
 
 ORACLES = {
@@ -4781,6 +4834,7 @@ ORACLES = {
     "dsir_select": ORACLE_DSIR_SELECT,
     "quality_signals": ORACLE_QUALITY_SIGNALS,
     "gopher_repetition": ORACLE_GOPHER_REPETITION,
+    "html_tables": ORACLE_HTML_TABLES,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -4949,6 +5003,7 @@ _ADDED_ROUND = {
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
     "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
     "dsir_select": 6, "quality_signals": 6, "gopher_repetition": 6,
+    "html_tables": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5025,6 +5080,7 @@ _LAST_DRIVER_CHECK = {
     "dsir_select": 0,
     "quality_signals": 0,
     "gopher_repetition": 0,
+    "html_tables": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5079,19 +5135,20 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 13 r6-born queries (driver-checked in their birth
-# round), then 36 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 14 r6-born queries (driver-checked in their birth
+# round), then 35 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. THIRTEEN r4-green queries are deferred to
+# come back for a fresh verdict. FOURTEEN r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
 # pkg/functions/parse.py, unchanged since r1, exercised in-window through
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
-# results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration
-# (displaced by the r6-born queries). Every deferred query is re-verified
-# bitwise by the local full-registry oracle gate on every test run.
+# results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
+# g_force (displaced by the r6-born queries). Every deferred query is
+# re-verified bitwise by the local full-registry oracle gate on every
+# test run.
 _REGISTRY_ORDER = [
     # -- never driver-checked (late r5) — VERDICT r5 item 1 ------------
     "webp_anim_frames",
@@ -5114,6 +5171,7 @@ _REGISTRY_ORDER = [
     "dsir_select",
     "quality_signals",
     "gopher_repetition",
+    "html_tables",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5146,9 +5204,9 @@ _REGISTRY_ORDER = [
     "engine_count_agg",
     "fuel_coalesce",
     "fuel_pair_rule",
-    "g_force",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the thirteen r6-born queries (r4-green, forced back r7)
+    # displaced by the fourteen r6-born queries (r4-green, forced back r7)
+    "g_force",
     "lead_acceleration",
     "nation_revenue",
     "outlier_nulling",

@@ -50,6 +50,7 @@ R6_QUERIES = [
     "dsir_select",
     "quality_signals",
     "gopher_repetition",
+    "html_tables",
 ]
 
 
