@@ -15,7 +15,10 @@ Block elements
 - h1..h6        -> '#'*n + ' ' + inline
 - p             -> inline paragraph
 - ul > li       -> '- ' + inline, one line per item; nested lists indent
-                   2 spaces per level, emitted inside the same list block
+                   2 spaces per level, emitted inside the same list block;
+                   loose items (<li><p>..</p></li>) merge p/heading
+                   children into the item line, other block children
+                   render as indented continuation lines
 - ol > li       -> '1. ', '2. ', ... (real numbering, per-list counter)
 - blockquote    -> children converted, then every line prefixed '> '
 - pre           -> fenced code block (```), contents VERBATIM (no entity
@@ -71,6 +74,12 @@ _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 # tags whose contents are dropped entirely (lexer skip, like script/style in
 # the extract kernel; head/title added: a converter drops document metadata)
 _SKIP_TAGS = frozenset(("script", "style", "head", "title"))
+# tags allowed inside <head>: any OTHER opening tag implies </head>
+# (HTML5 permits omitting it — review-caught: an unclosed <head>
+# swallowed the whole document)
+_HEAD_INNER = frozenset(
+    "title style script meta link base noscript template".split()
+)
 _VOID_TAGS = frozenset(
     "br hr img meta link input area base col embed source track wbr".split()
 )
@@ -82,8 +91,10 @@ _GROUP_TAGS = frozenset(
 )  # span is deliberately absent: inline-transparent, not a block boundary
 
 _ATTR_RE = {
+    # (?<![\w-]) so data-href / data-src never match as href / src
+    # (review-caught: '-' is a \b word boundary)
     name: re.compile(
-        r"\b" + name + r"""\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+        r"(?<![\w-])" + name + r"""\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
         re.IGNORECASE,
     )
     for name in ("href", "src", "alt")
@@ -127,11 +138,19 @@ def _parse_tree(html_text: str) -> _Node:
             closing = parts[i + 1]
             tag = parts[i + 2].lower()
             attrs = parts[i + 3] or ""
-            if attrs and attrs[-1] == "/":
+            # a trailing '/' is a self-closing marker only when it can't
+            # belong to an unquoted attribute value (HTML5: after
+            # whitespace or a quoted value; review-caught: href=/docs/
+            # lost its children and its trailing slash)
+            if attrs and attrs[-1] == "/" and (
+                    len(attrs) == 1 or attrs[-2] in " \t\n\r\"'"):
                 self_closing = True
                 attrs = attrs[:-1]
             else:
                 self_closing = False
+            if (skip_tag == "head" and not closing
+                    and tag not in _HEAD_INNER):
+                skip_tag = None  # HTML5 implied </head>
             if skip_tag is not None:
                 if closing and tag == skip_tag:
                     skip_tag = None
@@ -233,14 +252,39 @@ def _render_list(node: _Node, ordered: bool, depth: int, lines: list) -> None:
                 _render_list(ch, ch.tag == "ol", depth + 1, lines)
             continue
         counter += 1
-        inline_kids = [k for k in ch.children if not _is_blockish(k)]
-        nested = [
-            k for k in ch.children
-            if not isinstance(k, str) and k.tag in ("ul", "ol")
-        ]
-        text = _render_inline(inline_kids).strip()
+        # loose-list support (review-caught: <li><p>text</p></li> lost
+        # its text): p/heading children merge into the item line; other
+        # block children (pre/blockquote/groups) render as indented
+        # continuation lines; nested lists recurse.
+        line_parts: list = []
+        inline_run: list = []
+        tail_blocks: list = []
+        nested: list = []
+        for k in ch.children:
+            if not _is_blockish(k):
+                inline_run.append(k)
+            elif k.tag in ("ul", "ol"):
+                nested.append(k)
+            elif k.tag == "p" or k.tag in _HEADINGS:
+                t = _render_inline(inline_run).strip()
+                if t:
+                    line_parts.append(t)
+                inline_run = []
+                t = _render_inline(
+                    [c for c in k.children if not _is_blockish(c)]).strip()
+                if t:
+                    line_parts.append(t)
+            else:
+                _render_blocks(_wrap(k), tail_blocks)
+        t = _render_inline(inline_run).strip()
+        if t:
+            line_parts.append(t)
+        text = " ".join(line_parts)
         marker = ("%d. " % counter) if ordered else "- "
         lines.append("  " * depth + marker + text)
+        indent = "  " * (depth + 1)
+        for blk in tail_blocks:
+            lines.extend(indent + ln for ln in blk.split("\n"))
         for sub in nested:
             _render_list(sub, sub.tag == "ol", depth + 1, lines)
 

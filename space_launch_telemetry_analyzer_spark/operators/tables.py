@@ -38,11 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 import html as _html
-import re as _re
 
-from .markdown import _Node, _attr, _parse_tree
-
-_WS_RE = _re.compile(r"\s+")
+from .markdown import _WS_RE, _Node, _attr, _parse_tree
 
 __all__ = ["extract_html_tables", "html_tables", "TABLES_OUTPUT_DDL"]
 

@@ -1414,8 +1414,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
 
 
-def _sql_count(needle: str) -> str:
-    pad = "concat(' ', lower(text), ' ')"
+def _sql_count(needle: str, col: str = "text") -> str:
+    pad = f"concat(' ', lower({col}), ' ')"
     return (
         f"CAST((length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)} AS INT)"
     )
@@ -1639,9 +1639,7 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _st_count(needle: str) -> str:
-    pad = "concat(' ', lower(t), ' ')"
-    return (f"CAST((length({pad}) - length(replace({pad}, '{needle}', '')))"
-            f" / {len(needle)} AS INT)")
+    return _sql_count(needle, col="t")
 
 
 _ST_TOKS = (r"(CASE WHEN length(trim(t)) = 0 THEN 0 "

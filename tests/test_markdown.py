@@ -134,3 +134,44 @@ def test_spark_operator(spark):
     assert rows["u1"]["error"] is None
     assert rows["u2"]["markdown"] is None
     assert rows["u2"]["error"] == "null html"
+
+
+# --- review-caught parser fixes (r6) ---------------------------------------
+
+def test_unclosed_head_implies_close():
+    """HTML5 permits omitting </head>; any non-head tag implies it."""
+    assert md(
+        '<html><head><meta charset="utf-8"><body><p>Hello world</p>'
+        "</body></html>") == "Hello world"
+    # an unclosed <title> inside head still swallows only title text
+    assert md(
+        "<html><head><title>t<body><p>x</p>") == "x"
+
+
+def test_loose_list_items_keep_their_text():
+    assert md(
+        "<ul><li><p>Hello</p></li><li>plain</li></ul>") == \
+        "- Hello\n- plain"
+    # multiple paragraphs merge into the item line
+    assert md(
+        "<ol><li><p>a</p><p>b</p></li></ol>") == "1. a b"
+    # a pre child renders as indented continuation lines
+    assert md(
+        "<ul><li>x<pre>\ncode\n</pre></li></ul>") == \
+        "- x\n  ```\n  code\n  ```"
+
+
+def test_unquoted_attr_trailing_slash_is_not_self_closing():
+    assert md('<p><a href=/docs/>Docs</a></p>') == \
+        "[Docs](/docs/)"
+    # a real self-closing tag (quoted value then '/') still works
+    assert md('<p><img src="i.png" alt="a"/></p>') == \
+        "![a](i.png)"
+    assert md("<p>a<br/>b</p>") == "a\nb"
+
+
+def test_data_attrs_do_not_alias_real_attrs():
+    assert md('<p><a data-href="/track">x</a></p>') == "[x]()"
+    assert md(
+        '<p><img data-src="lazy.jpg" src="real.gif" alt="a"></p>') == \
+        "![a](real.gif)"

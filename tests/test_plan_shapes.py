@@ -1,4 +1,4 @@
-"""Plan-shape guards for the ten r6-born queries.
+"""Plan-shape guards for the r6-born queries (R6_QUERIES below).
 
 The repo's discipline: once a query's physical plan has the shape it was
 designed for, pin the load-bearing facts so a refactor that silently
@@ -8,8 +8,8 @@ instead of a bench round. These assert the INITIAL executed plan (pre-AQE),
 so they are stable across data sizes and runtimes.
 
 Facts pinned per query (why):
-- ALL nine: no ``BatchEvalPython`` — the input_hint's "no per-row Python"
-  rule; every Python kernel must be Arrow-batched.
+- ALL of them: no ``BatchEvalPython`` — the input_hint's "no per-row
+  Python" rule; every Python kernel must be Arrow-batched.
 - ``mix_sample``: zero ``Exchange`` — it is a scan-stage CASE-chain filter
   by design (operators/sampling.py mix_sample docstring); any shuffle here
   is a regression.
