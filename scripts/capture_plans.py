@@ -54,6 +54,7 @@ QUERY_SET = [
     "quality_signals",
     "gopher_repetition",
     "html_tables",
+    "split_sentences",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",

@@ -458,6 +458,59 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+# Frozen abbreviation list for the sentence splitter (literal,
+# case-sensitive, applied in this order).
+SENTENCE_ABBREVIATIONS = (
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "Jr.", "Sr.", "vs.",
+    "etc.", "e.g.", "i.e.", "No.", "Fig.", "Inc.", "Ltd.", "Co.",
+    "approx.",
+)
+
+
+def split_sentences(text: Column) -> Column:
+    """Rule-based sentence splitting as pure JVM expressions (the
+    standard corpus primitive under C4-style line rules, sentence-level
+    dedup, and sequence packing). Frozen algorithm, RE2-safe so the
+    DuckDB twin is exact (no lookbehind anywhere):
+
+    1. protect abbreviation dots (SENTENCE_ABBREVIATIONS, literal
+       replace: 'Dr.' -> 'Dr\\x01') and decimal points ((\\d)\\.(\\d),
+       applied TWICE so odd/even chains like '1.2.3' fully protect);
+    2. mark boundaries: terminal run [.!?]+ plus any closing
+       quotes/brackets, followed by whitespace -> keep the punctuation,
+       replace the whitespace with \\x02;
+    3. split on \\x02, restore protected dots, trim, drop empties.
+
+    Unterminated trailing text is its own final sentence. Returns
+    array<string>."""
+    t = text
+    for a in SENTENCE_ABBREVIATIONS:
+        t = F.replace(t, F.lit(a), F.lit(a.replace(".", "\x01")))
+    for _ in range(2):
+        t = F.regexp_replace(t, r"(\d)\.(\d)", "$1\x01$2")
+    t = F.regexp_replace(t, "([.!?]+[\"')\\]]*)\\s+", "$1\x02")
+    parts = F.split(t, "\x02")
+    restored = F.transform(
+        parts, lambda s: F.trim(F.replace(s, F.lit("\x01"), F.lit("."))))
+    return F.filter(restored, lambda s: F.length(s) > 0)
+
+
+def split_sentences_sql(col: str) -> str:
+    """DuckDB twin of split_sentences over column `col` (identical
+    protection/boundary/restore steps; engine-specific only in
+    replacement syntax: \\1 vs $1)."""
+    t = col
+    for a in SENTENCE_ABBREVIATIONS:
+        prot = a.replace(".", "' || chr(1) || '")
+        t = f"replace({t}, '{a}', '{prot}')"
+    for _ in range(2):
+        t = rf"regexp_replace({t}, '(\d)\.(\d)', '\1' || chr(1) || '\2', 'g')"
+    t = (rf"regexp_replace({t}, '([.!?]+[\x22'')\]]*)\s+', "
+         r"'\1' || chr(2), 'g')")
+    return (f"list_filter(list_transform(string_split({t}, chr(2)), "
+            "s -> trim(replace(s, chr(1), '.'))), s -> length(s) > 0)")
+
+
 GOPHER_REP_THRESHOLDS = {
     "dup_line_frac": 0.30,
     "dup_para_frac": 0.30,

@@ -1864,6 +1864,43 @@ FROM stats s JOIN dens USING (id)
 """
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence splitting end-to-end (r6, TA.split_sentences): each doc
+    becomes prose exercising every rule — abbreviation dots (Dr., Fig.),
+    a decimal point, ?/! terminals, a closing-quote boundary on even
+    docs, and an unterminated-tail-free ending. The oracle enumerates
+    the expected sentences closed-form (not via the SQL twin, so a
+    shared-algorithm bug can't hide)."""
+    docs = load(spark, sf_dir, "documents")
+    fixture = F.concat(
+        F.lit("Dr. Smith measured 3.14 km. "), F.substring("text", 1, 60),
+        F.lit(". Is it done? Yes! See Fig. 2 for details."),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit(' He said "stop now." The end.')).otherwise(
+            F.lit(" The end.")),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(TA.split_sentences(fixture)).alias("sent_idx", "sentence"),
+    ).select("doc_id", F.col("sent_idx").cast("int").alias("sent_idx"),
+             "sentence")
+
+
+ORACLE_SPLIT_SENTENCES = """
+WITH u AS (SELECT doc_id, trim(substr(text, 1, 60) || '.') AS s1
+           FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS sent_idx,
+       'Dr. Smith measured 3.14 km.' AS sentence FROM u
+UNION ALL SELECT doc_id, 1, s1 FROM u
+UNION ALL SELECT doc_id, 2, 'Is it done?' FROM u
+UNION ALL SELECT doc_id, 3, 'Yes!' FROM u
+UNION ALL SELECT doc_id, 4, 'See Fig. 2 for details.' FROM u
+UNION ALL SELECT doc_id, 5, 'He said "stop now."' FROM u WHERE doc_id % 2 = 0
+UNION ALL SELECT doc_id, 6, 'The end.' FROM u WHERE doc_id % 2 = 0
+UNION ALL SELECT doc_id, 5, 'The end.' FROM u WHERE doc_id % 2 = 1
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing end-to-end (late r5): concat-and-split at
     seq_len=128 over documents in doc_id order via the DISTRIBUTED
@@ -4825,6 +4862,7 @@ QUERIES = {
     "quality_signals": q_quality_signals,
     "gopher_repetition": q_gopher_repetition,
     "html_tables": q_html_tables,
+    "split_sentences": q_split_sentences,
 }
 
 ORACLES = {
@@ -4833,6 +4871,7 @@ ORACLES = {
     "quality_signals": ORACLE_QUALITY_SIGNALS,
     "gopher_repetition": ORACLE_GOPHER_REPETITION,
     "html_tables": ORACLE_HTML_TABLES,
+    "split_sentences": ORACLE_SPLIT_SENTENCES,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -5001,7 +5040,7 @@ _ADDED_ROUND = {
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
     "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
     "dsir_select": 6, "quality_signals": 6, "gopher_repetition": 6,
-    "html_tables": 6,
+    "html_tables": 6, "split_sentences": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5079,6 +5118,7 @@ _LAST_DRIVER_CHECK = {
     "quality_signals": 0,
     "gopher_repetition": 0,
     "html_tables": 0,
+    "split_sentences": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5133,10 +5173,10 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 14 r6-born queries (driver-checked in their birth
-# round), then 35 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 15 r6-born queries (driver-checked in their birth
+# round), then 34 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. FOURTEEN r4-green queries are deferred to
+# come back for a fresh verdict. FIFTEEN r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
@@ -5144,7 +5184,7 @@ _LAST_DRIVER_CHECK = {
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
 # results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
-# g_force (displaced by the r6-born queries). Every deferred query is
+# g_force, fuel_pair_rule (displaced by the r6-born queries). Every deferred query is
 # re-verified bitwise by the local full-registry oracle gate on every
 # test run.
 _REGISTRY_ORDER = [
@@ -5170,6 +5210,7 @@ _REGISTRY_ORDER = [
     "quality_signals",
     "gopher_repetition",
     "html_tables",
+    "split_sentences",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5201,9 +5242,9 @@ _REGISTRY_ORDER = [
     "detect_series",
     "engine_count_agg",
     "fuel_coalesce",
-    "fuel_pair_rule",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the fourteen r6-born queries (r4-green, forced back r7)
+    # displaced by the fifteen r6-born queries (r4-green, forced back r7)
+    "fuel_pair_rule",
     "g_force",
     "lead_acceleration",
     "nation_revenue",

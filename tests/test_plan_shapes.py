@@ -51,6 +51,7 @@ R6_QUERIES = [
     "quality_signals",
     "gopher_repetition",
     "html_tables",
+    "split_sentences",
 ]
 
 
@@ -120,6 +121,16 @@ def test_quality_signals_is_scan_stage_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_split_sentences_is_scan_stage_generate(spark, sf_dir):
+    """Protection/boundary/split are JVM expressions; the explode is a
+    Generate on the scan — no shuffle, no join, no Python."""
+    plan = _plan(spark, sf_dir, "split_sentences")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "Generate" in plan
 
 
 def test_semdedup_self_join_is_keyed_and_checkpointed(spark, sf_dir):

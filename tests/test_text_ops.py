@@ -661,3 +661,46 @@ def test_gopher_repetition_hashed_equals_exact(spark):
     a = sorted(map(tuple, ta.gopher_repetition(df, "id", "text", exact=True).collect()))
     b = sorted(map(tuple, ta.gopher_repetition(df, "id", "text", exact=False).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sentence splitting
+# ---------------------------------------------------------------------------
+
+def _split(spark, text):
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    return df.select(ta.split_sentences(F.col("text")).alias("s")).first()["s"]
+
+
+def test_split_sentences_rules(spark):
+    assert _split(spark,
+                  "Dr. Smith measured 3.14 km. Is it done? Yes! The end") == [
+        "Dr. Smith measured 3.14 km.", "Is it done?", "Yes!", "The end"]
+    assert _split(spark, 'He said "stop now." Then left.') == [
+        'He said "stop now."', "Then left."]
+    assert _split(spark, "versions 1.2.3 and 4.5 ship. done.") == [
+        "versions 1.2.3 and 4.5 ship.", "done."]
+    assert _split(spark, "Multi!!  spaces?  (Bracketed.) after.") == [
+        "Multi!!", "spaces?", "(Bracketed.)", "after."]
+    assert _split(spark, "") == []
+    assert _split(spark, "no terminal") == ["no terminal"]
+
+
+def test_split_sentences_sql_twin_matches(spark):
+    """The structural DuckDB twin reproduces the kernel on adversarial
+    punctuation (the registered oracle is closed-form; this pins the
+    exported twin too)."""
+    import duckdb
+
+    cases = ["A. B? C!", "e.g. x vs. y etc. done.", "  lead. trail  ",
+             "1.2 then 3.4.5 end.", 'q "a?" b.', "...", "a.b", "! ?"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id int, text string")
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", ta.split_sentences(F.col("text")).alias("s")).collect()}
+    con = duckdb.connect()
+    sql = ta.split_sentences_sql("text")
+    for i, c in enumerate(cases):
+        want = con.execute(
+            f"select {sql} from (select ? as text)", [c]).fetchone()[0]
+        assert got[i] == want, (i, c, got[i], want)
