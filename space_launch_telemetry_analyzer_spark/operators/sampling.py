@@ -107,3 +107,56 @@ def mix_sample(df: DataFrame, id_col: str, source_col: str,
                  else chain.when(F.col(source_col) == s, F.lit(cut)))
     cutoff = chain.otherwise(F.lit(0))
     return df.where(hash_bucket(F.col(id_col), n_buckets) < cutoff)
+
+
+def mix_plan(df: DataFrame, source_col: str, text_col: str,
+             weights: dict[str, int]) -> DataFrame:
+    """Mix DESIGN for the training-mix builder (the step before
+    `mix_sample`): given integer target proportions per source
+    (e.g. {"wiki": 2, "web": 1} = 2:1), find the LARGEST total token
+    budget the corpus can serve at exactly those proportions, and the
+    per-source keep rate that realizes it:
+
+        t          = min over sources of available_tokens_s / w_s
+        keep_tokens_s = w_s * t        (the binding source keeps ~all)
+        keep_rate_s   = keep_tokens_s / available_tokens_s
+
+    Output: (source, available_tokens, w, keep_tokens, keep_rate), one
+    row per source named in `weights` (a mix spec is a whitelist, like
+    mix_sample's). Integer weights keep everything exact until two IEEE
+    divisions that both engines perform on identical operands — the
+    DuckDB oracle matches bitwise without rounding.
+
+    Scale shape: one groupBy(source) token-sum over the corpus (the only
+    corpus-sized work), a broadcast join against the config-sized weight
+    table, and a scalar-min broadcast back over the per-source frame."""
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    for s, w in weights.items():
+        if not (isinstance(w, int) and w > 0):
+            raise ValueError(f"weight for {s!r} must be a positive int, got {w}")
+    spark = df.sparkSession
+    from .text_analysis import token_count
+
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{source_col} string, w bigint")
+    avail = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("available_tokens"))
+        .join(F.broadcast(wdf), source_col, "inner")
+    )
+    t = avail.agg(F.min(
+        F.col("available_tokens").cast("double") / F.col("w").cast("double")
+    ).alias("t"))
+    keep_tokens = F.col("w").cast("double") * F.col("t")
+    return (
+        avail.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            F.col("available_tokens").cast("bigint").alias("available_tokens"),
+            "w",
+            keep_tokens.alias("keep_tokens"),
+            (keep_tokens / F.col("available_tokens").cast("double"))
+            .alias("keep_rate"),
+        )
+    )

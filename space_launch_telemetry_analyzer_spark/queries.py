@@ -1864,6 +1864,39 @@ FROM stats s JOIN dens USING (id)
 """
 
 
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix design end-to-end (r6, SA.mix_plan — the step before
+    mix_sample): integer 1..4 weights cycle over the 20 sources; the
+    plan solves for the largest total token budget servable at those
+    exact proportions and each source's keep rate. Integer arithmetic
+    until two IEEE divisions on identical operands — bitwise oracle,
+    no rounding anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    weights = {f"src{k}": k % 4 + 1 for k in range(20)}
+    return SA.mix_plan(docs, "source", "text", weights)
+
+
+ORACLE_MIX_PLAN = r"""
+WITH w(source, w) AS (
+  SELECT 'src' || k, CAST(k % 4 + 1 AS BIGINT)
+  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+avail AS (
+  SELECT source,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source),
+j AS (SELECT a.source, a.available_tokens, w.w
+      FROM avail a JOIN w ON w.source = a.source),
+t AS (SELECT min(CAST(available_tokens AS DOUBLE) / CAST(w AS DOUBLE)) AS t
+      FROM j)
+SELECT source, available_tokens, w,
+       CAST(w AS DOUBLE) * t AS keep_tokens,
+       CAST(w AS DOUBLE) * t / CAST(available_tokens AS DOUBLE) AS keep_rate
+FROM j, t
+"""
+
+
 def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence splitting end-to-end (r6, TA.split_sentences): each doc
     becomes prose exercising every rule — abbreviation dots (Dr., Fig.),
@@ -4863,6 +4896,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "html_tables": q_html_tables,
     "split_sentences": q_split_sentences,
+    "mix_plan": q_mix_plan,
 }
 
 ORACLES = {
@@ -4872,6 +4906,7 @@ ORACLES = {
     "gopher_repetition": ORACLE_GOPHER_REPETITION,
     "html_tables": ORACLE_HTML_TABLES,
     "split_sentences": ORACLE_SPLIT_SENTENCES,
+    "mix_plan": ORACLE_MIX_PLAN,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -5040,7 +5075,7 @@ _ADDED_ROUND = {
     "subtitle_lang_route": 6, "bpe_chunk_documents": 6,
     "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
     "dsir_select": 6, "quality_signals": 6, "gopher_repetition": 6,
-    "html_tables": 6, "split_sentences": 6,
+    "html_tables": 6, "split_sentences": 6, "mix_plan": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5119,6 +5154,7 @@ _LAST_DRIVER_CHECK = {
     "gopher_repetition": 0,
     "html_tables": 0,
     "split_sentences": 0,
+    "mix_plan": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5173,10 +5209,10 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 15 r6-born queries (driver-checked in their birth
-# round), then 34 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 16 r6-born queries (driver-checked in their birth
+# round), then 33 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. FIFTEEN r4-green queries are deferred to
+# come back for a fresh verdict. SIXTEEN r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
@@ -5184,7 +5220,8 @@ _LAST_DRIVER_CHECK = {
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
 # results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
-# g_force, fuel_pair_rule (displaced by the r6-born queries). Every deferred query is
+# g_force, fuel_pair_rule, fuel_coalesce (displaced by the r6-born
+# queries). Every deferred query is
 # re-verified bitwise by the local full-registry oracle gate on every
 # test run.
 _REGISTRY_ORDER = [
@@ -5211,6 +5248,7 @@ _REGISTRY_ORDER = [
     "gopher_repetition",
     "html_tables",
     "split_sentences",
+    "mix_plan",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5241,9 +5279,9 @@ _REGISTRY_ORDER = [
     "bucket_summarize",
     "detect_series",
     "engine_count_agg",
-    "fuel_coalesce",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the fifteen r6-born queries (r4-green, forced back r7)
+    # displaced by the sixteen r6-born queries (r4-green, forced back r7)
+    "fuel_coalesce",
     "fuel_pair_rule",
     "g_force",
     "lead_acceleration",

@@ -704,3 +704,53 @@ def test_split_sentences_sql_twin_matches(spark):
         want = con.execute(
             f"select {sql} from (select ? as text)", [c]).fetchone()[0]
         assert got[i] == want, (i, c, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# mix_plan (mix design: the step before mix_sample)
+# ---------------------------------------------------------------------------
+
+def test_mix_plan_binding_source_and_proportions(spark):
+    rows = ([(i, "a", "w1 w2 w3 w4") for i in range(10)]      # 40 tokens
+            + [(i, "b", "w1 w2") for i in range(100, 105)])   # 10 tokens
+    df = spark.createDataFrame(rows, "id long, source string, text string")
+    out = {r["source"]: r for r in
+           sa.mix_plan(df, "source", "text", {"a": 1, "b": 1}).collect()}
+    # equal weights: b (10 tokens) binds -> t = 10, a keeps 10 of 40
+    assert out["b"]["keep_rate"] == 1.0
+    assert out["b"]["keep_tokens"] == 10.0
+    assert out["a"]["keep_tokens"] == 10.0
+    assert out["a"]["keep_rate"] == 0.25
+    # 3:1 the other way: a can serve 30:10 exactly -> both rates scale
+    out2 = {r["source"]: r for r in
+            sa.mix_plan(df, "source", "text", {"a": 3, "b": 1}).collect()}
+    assert out2["b"]["keep_rate"] == 1.0
+    assert out2["a"]["keep_tokens"] == 30.0
+
+
+def test_mix_plan_is_a_whitelist_and_validates(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "c", "z")], "id long, source string, text string")
+    out = sa.mix_plan(df, "source", "text", {"a": 1})
+    assert [r["source"] for r in out.collect()] == ["a"]
+    with _pytest.raises(ValueError, match="positive int"):
+        sa.mix_plan(df, "source", "text", {"a": 0})
+    with _pytest.raises(ValueError, match="at least one"):
+        sa.mix_plan(df, "source", "text", {})
+
+
+def test_mix_plan_feeds_mix_sample(spark):
+    """The designed keep rates drive mix_sample directly — the full
+    design->subsample loop."""
+    rows = [(i, "a" if i % 3 else "b", "t1 t2 t3 t4") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, source string, text string")
+    plan = {r["source"]: r["keep_rate"] for r in
+            sa.mix_plan(df, "source", "text", {"a": 1, "b": 1}).collect()}
+    mixed = sa.mix_sample(df, "id", "source", plan)
+    counts = {r["source"]: r["count"]
+              for r in mixed.groupBy("source").count().collect()}
+    # b binds (200 docs vs 400): kept fully; a subsamples to ~half
+    assert counts["b"] == 200
+    assert abs(counts["a"] - 200) < 40
