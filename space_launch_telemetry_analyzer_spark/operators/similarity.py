@@ -162,8 +162,23 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
                centroid_vec_col: str) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine,
     centroid id as deterministic tie-break). Centroids are SMALL and
-    broadcast; the corpus is scanned once (n x n_centroids scored rows before
-    the per-id argmax window — the standard IVF build cost)."""
+    broadcast; the corpus is scanned once (n x n_centroids scored rows —
+    the standard IVF build cost).
+
+    Scale shape: the argmax is a map-side-combining `max_by` rather than
+    a `row_number` window. The broadcast join expands each corpus row
+    into k scored rows INSIDE its own partition, so the partial
+    HashAggregate fully reduces every id locally and the exchange
+    carries ONE row per vector instead of k — at k = sqrt(n) centroids
+    (the SemDeDup sizing) that is the difference between shuffling the
+    corpus k times and once. Tie-breaks match the old window form
+    bit-for-bit: max cscore first (NaN sorts above all doubles in both
+    forms; NULL below, so null-vector rows lose to any scored row), then
+    SMALLEST centroid id via the negated id in the ordering struct
+    (which is why centroid ids must be numeric — all in-repo callers
+    use bigint ids). `min(vec)` recovers the vector deterministically
+    (every copy in the group is the same value; min of all-NULL stays
+    NULL, preserving the old pass-through for null vectors)."""
     scored = corpus.alias("c").join(
         F.broadcast(centroids.alias("k"))
     ).select(
@@ -172,12 +187,14 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
         F.col(f"k.{centroid_id_col}").alias("centroid_id"),
         cosine(F.col(f"c.{vec_col}"), F.col(f"k.{centroid_vec_col}")).alias("cscore"),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cscore"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("id", "vec", "centroid_id")
-    )
+    return scored.groupBy("id").agg(
+        F.min("vec").alias("vec"),
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("cscore").alias("s"),
+                     (-F.col("centroid_id")).alias("nid")),
+        ).alias("centroid_id"),
+    ).select("id", "vec", "centroid_id")
 
 
 def _cosine_batch(a: Column, b: Column) -> Column:

@@ -149,6 +149,51 @@ def test_ivf_assign_partitions_corpus(spark, vectors):
     assert lists.select("centroid_id").distinct().count() > 1
 
 
+def test_ivf_assign_argmax_matches_window_form(spark):
+    """The map-side max_by argmax (r6 scale fix: the exchange carries one
+    row per vector, not k) must match the original row_number-window form
+    bit-for-bit on the adversarial cases: exact cosine TIES between two
+    centroids (smallest centroid id must win), a NULL vector (NULL cscore
+    everywhere — row passes through with the smallest centroid id and a
+    NULL vec), and a zero vector (NaN cosine, which sorts ABOVE every
+    double in both forms)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (0, [1.0, 1.0]),    # exactly equidistant from both centroids
+        (1, [1.0, 0.0]),    # clear winner: centroid 10
+        (2, None),          # NULL vec -> NULL cscore for every centroid
+        (3, [0.0, 0.0]),    # zero vec -> NaN cosine everywhere
+        (4, [0.0, 2.0]),    # clear winner: centroid 20
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    cents = spark.createDataFrame(
+        [(20, [0.0, 1.0]), (10, [1.0, 0.0])],
+        "centroid_id long, cvec array<double>",
+    )
+    got = {r["id"]: (r["centroid_id"], r["vec"]) for r in
+           S.ivf_assign(df, "vec_id", "vec", cents,
+                        "centroid_id", "cvec").collect()}
+
+    scored = df.alias("c").join(F.broadcast(cents.alias("k"))).select(
+        F.col("c.vec_id").alias("id"), F.col("c.vec").alias("vec"),
+        F.col("k.centroid_id").alias("centroid_id"),
+        S.cosine(F.col("c.vec"), F.col("k.cvec")).alias("cscore"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cscore"), F.asc("centroid_id"))
+    want = {r["id"]: (r["centroid_id"], r["vec"]) for r in
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select("id", "vec", "centroid_id")
+            .collect()}
+    assert got == want
+    assert got[0][0] == 10 and got[2] == (10, None)
+
+    plan = S.ivf_assign(df, "vec_id", "vec", cents, "centroid_id", "cvec") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
 def test_kmeans_lloyd_separable_clusters(spark):
     """Two tight, well-separated direction clusters + seeds one-per-cluster:
     after 2 iterations each centroid must sit near its cluster's mean
