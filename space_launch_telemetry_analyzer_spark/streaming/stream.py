@@ -390,3 +390,103 @@ def stream_frontier_new(candidates: DataFrame, seen: DataFrame,
     new = cand.join(seen_c, "canonical_url", "left_anti")
     return (new.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["canonical_url"]))
+
+
+# --- streaming training-sequence packing --------------------------------------
+
+PACK_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("global_start", T.LongType()),
+    T.StructField("seq_id", T.LongType()),
+    T.StructField("start_tok", T.LongType()),
+    T.StructField("end_tok", T.LongType()),
+    T.StructField("n_seq_toks", T.LongType()),
+])
+PACK_STATE_SCHEMA = T.StructType([T.StructField("consumed", T.LongType())])
+
+
+def _pack_fn(seq_len: int):
+    L = int(seq_len)
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        """Carry = ONE scalar (tokens consumed so far). Chunks of a
+        micro-batch arrive in arbitrary order (the _anchor_fn lesson), so
+        concatenate and sort by id once per trigger before the cumsum."""
+        import numpy as np
+
+        (consumed,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values("id")
+            n = pdf["n"].to_numpy(dtype=np.int64)
+            gs = consumed + np.concatenate(([0], np.cumsum(n)[:-1]))
+            consumed = int(consumed + n.sum())
+            keep = n > 0
+            ids, n, gs = pdf["id"].to_numpy()[keep], n[keep], gs[keep]
+            if len(ids):
+                first, last = gs // L, (gs + n - 1) // L
+                counts = last - first + 1
+                total = int(counts.sum())
+                # flat seq ids: repeat each doc's first seq id, then add the
+                # within-doc offset 0..counts-1 (standard ragged-range trick)
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                seq = (np.repeat(first, counts)
+                       + (np.arange(total) - np.repeat(starts, counts)))
+                id_r, n_r, gs_r = (np.repeat(ids, counts),
+                                   np.repeat(n, counts), np.repeat(gs, counts))
+                start_tok = np.maximum(0, seq * L - gs_r)
+                end_tok = np.minimum(n_r, (seq + 1) * L - gs_r)
+                yield pd.DataFrame({
+                    "id": id_r, "n_tokens": n_r, "global_start": gs_r,
+                    "seq_id": seq, "start_tok": start_tok,
+                    "end_tok": end_tok, "n_seq_toks": end_tok - start_tok,
+                })
+        state.update((consumed,))
+
+    return fn
+
+
+def stream_pack_sequences(docs: DataFrame, id_col: str, text_col: str,
+                          seq_len: int = 2048,
+                          counter: str = "ws") -> DataFrame:
+    """Streaming twin of operators.text_analysis.pack_sequences: documents
+    are appended to the token stream as they ARRIVE and split every
+    `seq_len` tokens; the single carried state is the running token count
+    (one long — the minimal resumable packing cursor).
+
+    Scale shape: tokenization (`counter`: 'ws' JVM expression or 'bpe'
+    Arrow UDF — the same count columns the batch twin uses, so boundaries
+    agree exactly) runs stateless and fully parallel upstream; only
+    (id, n) PAIRS — two longs per document — flow through the stateful
+    stage, which is keyed on a constant because a global concat-and-split
+    has exactly one cursor. That single-task stage does O(docs-per-trigger)
+    integer work per trigger; the heavy text scan never serializes.
+
+    Documented deviation from the batch twin (same spirit as
+    stream_frontier_new's): batch packs in GLOBAL id order via the
+    distributed prefix-sum; a stream cannot know global order, so packing
+    order is arrival order with ids sorted WITHIN each micro-batch — feed
+    triggers in id order (the test pins maxFilesPerTrigger=1 over id-sorted
+    files) and the two twins are row-identical."""
+    if counter == "bpe":
+        from ..functions.bpe import bpe_token_count
+        count_col = bpe_token_count(F.col(text_col))
+    elif counter == "ws":
+        from ..operators.text_analysis import token_count
+        count_col = token_count(F.col(text_col))
+    else:
+        raise ValueError(f"unknown counter {counter!r} (want 'ws' or 'bpe')")
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        count_col.cast("long").alias("n"),
+        F.lit(0).alias("_cursor"),
+    )
+    return toks.groupBy("_cursor").applyInPandasWithState(
+        _pack_fn(seq_len),
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -455,3 +455,75 @@ def test_stream_markdown_and_signals_match_batch(spark, tmp_path):
     want2 = quality_signals(spark.read.parquet(docs_path), "doc_id", "text")
     assert _sorted_rows(got2) == _sorted_rows(want2)
     assert got2.schema == want2.schema
+
+
+def test_stream_pack_sequences_matches_batch(spark, tmp_path):
+    """Streaming packing twin: one micro-batch per id-ordered file, tiny
+    seq_len so sequences straddle micro-batch boundaries — the carried
+    token cursor must line the spans up with the batch prefix-sum twin
+    exactly. Includes zero-token docs (emit nothing) and a doc longer
+    than several sequences."""
+    import os
+
+    from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_pack_sequences,
+    )
+
+    def text_for(i):
+        if i % 5 == 4:
+            return "   " if i % 2 == 0 else ""      # zero tokens
+        return " ".join(f"w{j}" for j in range((i * 3) % 17 + (20 if i == 7 else 1)))
+
+    rows = [(i, text_for(i)) for i in range(30)]
+    in_path = tmp_path / "docs"
+    in_path.mkdir()
+    for b in range(3):                               # files in id order
+        chunk = rows[b * 10:(b + 1) * 10]
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.parquet(str(in_path / f"f{b}"))
+        for root, _, files in os.walk(in_path / f"f{b}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + b, 1_700_000_000 + b))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(in_path / "*"))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_pack_sequences(stream, "doc_id", "text", seq_len=7)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.read.parquet(out)
+    want = pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text", seq_len=7)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # parquet round-trip relaxes nullability; names+types must agree
+    assert [(f.name, f.dataType) for f in got.schema] == \
+        [(f.name, f.dataType) for f in want.schema]
+    # the long doc really did straddle micro-batches into multiple seqs
+    assert got.where(F.col("id") == 7).count() >= 3
+
+
+def test_stream_pack_sequences_rejects_unknown_counter(spark):
+    import pytest as _pytest
+
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_pack_sequences,
+    )
+
+    df = spark.readStream.schema("doc_id long, text string").parquet("/tmp/x*")
+    with _pytest.raises(ValueError, match="unknown counter"):
+        stream_pack_sequences(df, "doc_id", "text", counter="nope")
