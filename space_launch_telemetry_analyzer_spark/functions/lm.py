@@ -198,3 +198,134 @@ SELECT d.id,
          END, false) AS keep
 FROM docs d LEFT JOIN scored s ON s.id = d.id
 """
+
+
+def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
+                       keep_threshold: float = -6.0) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting high quality monolingual datasets from web crawl data"):
+    rank every scoreable document by LM quality (avg_logprob DESC — higher
+    is more natural, monotone in -perplexity — with id as the
+    deterministic tie-break) and cut the ranking into the paper's three
+    equal corpus thirds: 'head' (rank*3 <= n), 'middle' (rank*3 <= 2n),
+    'tail'. Documents with < 2 tokens cannot be scored and land in a
+    fourth explicit 'unscored' bucket with NULL rank — keeping NULLs out
+    of the ordering entirely (engines disagree on null placement; an
+    explicit bucket is exact everywhere). Integer comparisons (rank*3 vs
+    n) avoid any division.
+
+    Scale shape: the global rank is NOT a single-reducer window — it is
+    the pack_sequences distributed prefix-sum: repartitionByRange on the
+    sort key orders partitions, a per-partition row_number ranks locally
+    in parallel, per-partition counts (#partitions rows) get a tiny
+    unpartitioned cumulative sum, and a broadcast join adds the offsets.
+    The staged frame is localCheckpoint'ed because spark_partition_id
+    over a range exchange is only deterministic within one
+    materialization and it feeds two consumers. The ranked frame carries
+    4 scalars/doc; the corpus text never shuffles (the LM score is a
+    broadcast-table lookup + groupBy on (id))."""
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(df, id_col, text_col, keep_threshold)
+    cols = ["id", "n_bigrams", "sum_lp_micro", "avg_logprob"]
+    s = scored.where(F.col("avg_logprob").isNotNull()).select(*cols)
+    ranged = s.repartitionByRange(
+        F.col("avg_logprob").desc(), F.col("id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("avg_logprob").desc(), F.col("id"))
+    staged = ranged.withColumn(
+        "local_rank", F.row_number().over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+
+    totals = staged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_pid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    # unpartitioned window is safe HERE only: cardinality == #partitions
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_pid), F.lit(0)).alias("before"))
+    n_row = totals.agg(F.sum("cnt").alias("n_scored"))
+
+    rank = (F.col("local_rank") + F.col("before")).alias("rank")
+    n = F.col("n_scored")
+    bucketed = (
+        staged.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            *cols, rank,
+            F.when((F.col("local_rank") + F.col("before")) * 3 <= n,
+                   F.lit("head"))
+            .when((F.col("local_rank") + F.col("before")) * 3 <= n * 2,
+                  F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )
+    unscored = scored.where(F.col("avg_logprob").isNull()).select(
+        *cols,
+        F.lit(None).cast("long").alias("rank"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return bucketed.unionByName(unscored)
+
+
+def perplexity_buckets_oracle_sql(table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    """DuckDB twin of perplexity_buckets: the bigram_lm_oracle_sql scoring
+    CTEs verbatim, then row_number over (avg_logprob DESC, id) against
+    the scored count with the same integer cut comparisons."""
+    from .bpe import _sql_quote as _q
+
+    bigram_micro, w1_unseen_micro, oov_micro = bigram_lm_tables()
+    bg_rows = ",".join(f"({_q(a)},{_q(b)},{lp})"
+                       for (a, b), lp in sorted(bigram_micro.items()))
+    ug_rows = ",".join(f"({_q(a)},{lp})"
+                       for a, lp in sorted(w1_unseen_micro.items()))
+    pat = _q(LM_TOKEN_PATTERN)
+    return rf"""
+WITH bg(w1, w2, lp) AS (VALUES {bg_rows}),
+ug(w1, lpu) AS (VALUES {ug_rows}),
+docs AS (
+  SELECT {id_col} AS id, regexp_extract_all(lower({text_col}), {pat}) AS t
+  FROM {table} WHERE regexp_matches({text_col}, '^[ -~]*\z')
+),
+pairs AS (
+  SELECT id, t[i - 1] AS w1, t[i] AS w2
+  FROM (SELECT id, t, unnest(generate_series(2, len(t))) AS i FROM docs)
+),
+scored AS (
+  SELECT p.id,
+         count(p.w1) AS n_bigrams,
+         CAST(sum(coalesce(bg.lp, ug.lpu, {oov_micro})) AS BIGINT)
+           AS sum_lp_micro
+  FROM pairs p
+  LEFT JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+  LEFT JOIN ug ON ug.w1 = p.w1
+  GROUP BY p.id
+),
+base AS (
+  SELECT d.id,
+         CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         s.sum_lp_micro,
+         CASE WHEN coalesce(s.n_bigrams, 0) > 0 THEN
+           CAST(s.sum_lp_micro AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+           / CAST(1000000 AS DOUBLE)
+         END AS avg_logprob
+  FROM docs d LEFT JOIN scored s ON s.id = d.id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY avg_logprob DESC, id) AS rank,
+         count(*) OVER () AS n
+  FROM base WHERE avg_logprob IS NOT NULL
+)
+SELECT id, n_bigrams, sum_lp_micro, avg_logprob,
+       CAST(rank AS BIGINT) AS rank,
+       CASE WHEN rank * 3 <= n THEN 'head'
+            WHEN rank * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+UNION ALL
+SELECT id, n_bigrams, sum_lp_micro, avg_logprob,
+       CAST(NULL AS BIGINT) AS rank, 'unscored' AS bucket
+FROM base WHERE avg_logprob IS NULL
+"""

@@ -1124,6 +1124,21 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LM_BIGRAM_SCORE = LM.bigram_lm_oracle_sql()
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (r6,
+    LM.perplexity_buckets): the bigram-LM ranking cut into exact corpus
+    thirds with integer rank*3 comparisons; the global rank is the
+    distributed prefix-sum, not a single-reducer window. Unscorable
+    docs (< 2 tokens) land in an explicit 'unscored' bucket so NULLs
+    never enter either engine's ORDER BY."""
+    docs = load(spark, sf_dir, "documents")
+    return LM.perplexity_buckets(
+        docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text")
+
+
+ORACLE_PERPLEXITY_BUCKETS = LM.perplexity_buckets_oracle_sql()
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (r6, functions/dsir.py — Xie et al.
     2023): hashed unigram+bigram bucket features, per-document
@@ -4897,6 +4912,7 @@ QUERIES = {
     "html_tables": q_html_tables,
     "split_sentences": q_split_sentences,
     "mix_plan": q_mix_plan,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 ORACLES = {
@@ -4907,6 +4923,7 @@ ORACLES = {
     "html_tables": ORACLE_HTML_TABLES,
     "split_sentences": ORACLE_SPLIT_SENTENCES,
     "mix_plan": ORACLE_MIX_PLAN,
+    "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -5076,6 +5093,7 @@ _ADDED_ROUND = {
     "quality_clf_filter": 6, "mix_sample": 6, "markdown_pages": 6,
     "dsir_select": 6, "quality_signals": 6, "gopher_repetition": 6,
     "html_tables": 6, "split_sentences": 6, "mix_plan": 6,
+    "perplexity_buckets": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5155,6 +5173,7 @@ _LAST_DRIVER_CHECK = {
     "html_tables": 0,
     "split_sentences": 0,
     "mix_plan": 0,
+    "perplexity_buckets": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5209,10 +5228,10 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 16 r6-born queries (driver-checked in their birth
-# round), then 33 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 17 r6-born queries (driver-checked in their birth
+# round), then 32 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. SIXTEEN r4-green queries are deferred to
+# come back for a fresh verdict. SEVENTEEN r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
@@ -5220,7 +5239,7 @@ _LAST_DRIVER_CHECK = {
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
 # results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
-# g_force, fuel_pair_rule, fuel_coalesce (displaced by the r6-born
+# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg (displaced by the r6-born
 # queries). Every deferred query is
 # re-verified bitwise by the local full-registry oracle gate on every
 # test run.
@@ -5249,6 +5268,7 @@ _REGISTRY_ORDER = [
     "html_tables",
     "split_sentences",
     "mix_plan",
+    "perplexity_buckets",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5278,9 +5298,9 @@ _REGISTRY_ORDER = [
     "after_anchor_flag",
     "bucket_summarize",
     "detect_series",
-    "engine_count_agg",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the sixteen r6-born queries (r4-green, forced back r7)
+    # displaced by the seventeen r6-born queries (r4-green, forced back r7)
+    "engine_count_agg",
     "fuel_coalesce",
     "fuel_pair_rule",
     "g_force",

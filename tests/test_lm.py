@@ -9,6 +9,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from space_launch_telemetry_analyzer_spark.functions import lm as LM
 from space_launch_telemetry_analyzer_spark.functions.lm import (
     LM_TOKEN_PATTERN,
     _TOKEN_RE,
@@ -103,3 +104,72 @@ def test_token_pattern_is_re2_safe():
             "SELECT regexp_extract_all(lower(?), ?)",
             [s, LM_TOKEN_PATTERN]).fetchone()[0]
         assert got == _TOKEN_RE.findall(s.lower()), s
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def _bucket_fixture_rows():
+    """10 scoreable docs with strictly distinct LM quality (natural text
+    down to gibberish) + 2 unscorable (< 2 tokens)."""
+    natural = "the launch was a success and the data was clear"
+    rows = []
+    for i in range(10):
+        # progressively corrupt: replace i words with OOV junk
+        words = natural.split()
+        for j in range(i):
+            words[j % len(words)] = f"zzq{i}x{j}"
+        rows.append((i, " ".join(words)))
+    rows += [(100, "single"), (101, "   ")]
+    return rows
+
+
+def test_perplexity_buckets_thirds_and_unscored(spark):
+    df = spark.createDataFrame(_bucket_fixture_rows(),
+                               "doc_id long, text string")
+    out = LM.perplexity_buckets(df, "doc_id", "text")
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    scored = [r for r in rows.values() if r["bucket"] != "unscored"]
+    assert len(scored) == 10
+    from collections import Counter
+    c = Counter(r["bucket"] for r in scored)
+    # n=10: head = rank*3<=10 -> ranks 1-3, middle ranks 4-6, tail 7-10
+    assert c == {"head": 3, "middle": 3, "tail": 4}
+    assert rows[100]["bucket"] == "unscored" and rows[100]["rank"] is None
+    assert rows[101]["bucket"] == "unscored"
+    # ranks are a permutation of 1..10 and ordered by avg_logprob desc
+    by_rank = sorted(scored, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(1, 11))
+    avgs = [r["avg_logprob"] for r in by_rank]
+    assert avgs == sorted(avgs, reverse=True)
+
+
+def test_perplexity_buckets_partition_independent(spark):
+    """The distributed prefix-sum rank must not depend on the physical
+    partitioning (the pack_sequences guarantee)."""
+    rows = _bucket_fixture_rows()
+    want = None
+    for parts in (1, 3, 16):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string").repartition(parts)
+        got = sorted(
+            (r["id"], r["rank"], r["bucket"])
+            for r in LM.perplexity_buckets(df, "doc_id", "text").collect())
+        if want is None:
+            want = got
+        assert got == want, f"partitioning {parts} changed ranks"
+
+
+def test_perplexity_buckets_tie_break_by_id(spark):
+    """Identical texts score identically; the deterministic tie-break is
+    the smaller id ranked first."""
+    df = spark.createDataFrame(
+        [(7, "the launch was a success"), (3, "the launch was a success"),
+         (5, "zzq gibberish tokens qqz")],
+        "doc_id long, text string")
+    rows = {r["id"]: r["rank"] for r in
+            LM.perplexity_buckets(df, "doc_id", "text").collect()}
+    # identical scores -> adjacent ranks with the smaller id first
+    assert rows[7] == rows[3] + 1
