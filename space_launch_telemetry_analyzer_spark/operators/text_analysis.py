@@ -1061,3 +1061,69 @@ def url_blocklist_filter(df, url_col: str, domains=None, prefixes=None):
 
     return out.withColumn(
         "keep", ~F.col("blocked_domain") & ~F.col("blocked_prefix"))
+
+
+def build_inverted_index(df, id_col: str = "doc_id", text_col: str = "text",
+                         min_df: int = 1, shard_size: int = 100_000):
+    """Distributed inverted-index build (the retrieval-side primitive BM25
+    answers one query against; building the index once is what serves
+    MANY queries): token -> postings of (doc id, term frequency), with
+    per-term stats (df = document frequency, cf = collection frequency).
+
+    Postings SHARDING is the 100-TB decision: a stop-word's posting list
+    is corpus-sized, so one (term, postings-array) row is an unbounded
+    group — the classic build skew. Each term's postings therefore split
+    into ceil(df / shard_size) shards keyed by `pmod(id, n_shards)`:
+    shard membership is a pure per-row expression (no per-term ranking
+    pass over corpus-sized partitions), shards are balanced whenever ids
+    are (documented: adversarial id patterns correlated with a term
+    modulo n_shards can unbalance a shard, bounded by df), and every
+    output row holds <= ~shard_size entries sorted by id. Two shuffles
+    total — (id, term) for tf, then term-keyed stats joined back on the
+    same key — both carrying token-sized rows, never text.
+
+    Blank tokens (split of an empty text yields ['']) are dropped
+    explicitly. Output: (term, shard, df, cf, shard_df, postings:
+    array<struct<id, tf>> sorted by id); filter df >= min_df."""
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tf = (
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "id").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    stats = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+             F.sum("tf").cast("bigint").alias("cf"))
+        .where(F.col("df") >= min_df)
+    )
+    # integer ceil-div (SQL `div`), not a double division that could round
+    n_shards = F.expr(f"(df + {int(shard_size) - 1}) div {int(shard_size)}")
+    joined = tf.join(stats, "term").withColumn(
+        "shard", F.pmod(F.col("id"), n_shards).cast("long"))
+    return (
+        joined.groupBy("term", "shard", "df", "cf")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shard_df"),
+            F.sort_array(F.collect_list(F.struct("id", "tf"))).alias("postings"),
+        )
+        .select("term", "shard", "df", "cf", "shard_df", "postings")
+    )
+
+
+def postings_lookup(index, terms: list):
+    """Serve a query from a built index: exploded (term, id, tf, df, cf)
+    rows for the requested terms — the scan is an equi-filter on the
+    index's term key (partition-prunable when the index table is written
+    bucketed/partitioned by term), touching only the terms' shards."""
+    if not terms:
+        raise ValueError("terms must name at least one term")
+    hit = index.where(F.col("term").isin([t.lower() for t in terms]))
+    return hit.select(
+        "term", "df", "cf",
+        F.explode("postings").alias("p"),
+    ).select("term", "df", "cf", F.col("p.id").alias("id"),
+             F.col("p.tf").alias("tf"))

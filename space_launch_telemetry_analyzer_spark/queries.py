@@ -2466,6 +2466,47 @@ FROM toks GROUP BY tok HAVING count(*) >= 2
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted-index build (r6, TA.build_inverted_index): postings
+    per term split into ceil(df/4) pmod-id shards (shard_size=4 keeps the
+    sharding path exercised at sf0.01 scale), hapax tail pruned (min_df=2).
+    The driver hash layer is scalar-columned, so the id-sorted postings
+    array flattens to 'id:tf id:tf ...' — string_agg ORDER BY id in the
+    twin, transform over sort_array here; every count stays integer."""
+    docs = load(spark, sf_dir, "documents")
+    idx = TA.build_inverted_index(docs, "doc_id", "text",
+                                  min_df=2, shard_size=4)
+    return idx.select(
+        "term", "shard", "df", "cf", "shard_df",
+        F.array_join(
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(":", p["id"], p["tf"])),
+            " ").alias("postings"),
+    )
+
+
+ORACLE_INVERTED_INDEX = r"""
+WITH tf AS (
+  SELECT term, id, CAST(count(*) AS INT) AS tf
+  FROM (SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY term, id),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term HAVING count(*) >= 2),
+j AS (
+  SELECT t.term, t.id, t.tf, s.df, s.cf,
+         t.id % ((s.df + 3) // 4) AS shard
+  FROM tf t JOIN stats s USING (term))
+SELECT term, shard, df, cf, CAST(count(*) AS BIGINT) AS shard_df,
+       string_agg(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ' ' ORDER BY id) AS postings
+FROM j GROUP BY term, shard, df, cf
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 characteristic terms by tf·(N/df) — rational idf
     so the double arithmetic is engine-exact (log() is not)."""
@@ -4913,6 +4954,7 @@ QUERIES = {
     "split_sentences": q_split_sentences,
     "mix_plan": q_mix_plan,
     "perplexity_buckets": q_perplexity_buckets,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLES = {
@@ -4924,6 +4966,7 @@ ORACLES = {
     "split_sentences": ORACLE_SPLIT_SENTENCES,
     "mix_plan": ORACLE_MIX_PLAN,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
+    "inverted_index": ORACLE_INVERTED_INDEX,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -5094,6 +5137,7 @@ _ADDED_ROUND = {
     "dsir_select": 6, "quality_signals": 6, "gopher_repetition": 6,
     "html_tables": 6, "split_sentences": 6, "mix_plan": 6,
     "perplexity_buckets": 6,
+    "inverted_index": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5174,6 +5218,7 @@ _LAST_DRIVER_CHECK = {
     "split_sentences": 0,
     "mix_plan": 0,
     "perplexity_buckets": 0,
+    "inverted_index": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5228,10 +5273,10 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 17 r6-born queries (driver-checked in their birth
-# round), then 32 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 18 r6-born queries (driver-checked in their birth
+# round), then 31 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. SEVENTEEN r4-green queries are deferred to
+# come back for a fresh verdict. EIGHTEEN r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
@@ -5239,7 +5284,7 @@ _LAST_DRIVER_CHECK = {
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
 # results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
-# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg (displaced by the r6-born
+# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg, detect_series (displaced by the r6-born
 # queries). Every deferred query is
 # re-verified bitwise by the local full-registry oracle gate on every
 # test run.
@@ -5269,6 +5314,7 @@ _REGISTRY_ORDER = [
     "split_sentences",
     "mix_plan",
     "perplexity_buckets",
+    "inverted_index",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5297,9 +5343,9 @@ _REGISTRY_ORDER = [
     "quality_score",
     "after_anchor_flag",
     "bucket_summarize",
-    "detect_series",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the seventeen r6-born queries (r4-green, forced back r7)
+    # displaced by the eighteen r6-born queries (r4-green, forced back r7)
+    "detect_series",
     "engine_count_agg",
     "fuel_coalesce",
     "fuel_pair_rule",

@@ -754,3 +754,61 @@ def test_mix_plan_feeds_mix_sample(spark):
     # b binds (200 docs vs 400): kept fully; a subsamples to ~half
     assert counts["b"] == 200
     assert abs(counts["a"] - 200) < 40
+
+
+# ---------------------------------------------------------------------------
+# inverted index (build + lookup)
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_postings_and_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "b b b"), (4, ""), (5, "   ")],
+        "doc_id long, text string")
+    idx = ta.build_inverted_index(df, "doc_id", "text", min_df=1,
+                                  shard_size=100)
+    rows = {r["term"]: r for r in idx.collect()}
+    assert set(rows) == {"a", "b", "c"}           # blank docs emit nothing
+    assert rows["a"]["df"] == 2 and rows["a"]["cf"] == 3
+    assert [(p["id"], p["tf"]) for p in rows["a"]["postings"]] == [(1, 2), (2, 1)]
+    assert rows["b"]["df"] == 2 and rows["b"]["cf"] == 4
+    assert [(p["id"], p["tf"]) for p in rows["b"]["postings"]] == [(1, 1), (3, 3)]
+    assert all(r["shard"] == 0 for r in rows.values())   # df < shard_size
+    assert rows["c"]["shard_df"] == 1
+
+    pruned = ta.build_inverted_index(df, "doc_id", "text", min_df=2,
+                                     shard_size=100)
+    assert {r["term"] for r in pruned.collect()} == {"a", "b"}
+
+
+def test_inverted_index_sharding_partitions_postings(spark):
+    """shard_size=3 over a 10-doc term: ceil(10/3)=4 shards via pmod(id),
+    together covering every posting exactly once, each <= ceil-balanced."""
+    df = spark.createDataFrame([(i, "t") for i in range(10)],
+                               "doc_id long, text string")
+    idx = ta.build_inverted_index(df, "doc_id", "text", shard_size=3)
+    rows = idx.collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["df"] == 10 and r["cf"] == 10 for r in rows)
+    seen = []
+    for r in rows:
+        assert r["shard_df"] == len(r["postings"])
+        ids = [p["id"] for p in r["postings"]]
+        assert ids == sorted(ids)
+        assert all(i % 4 == r["shard"] for i in ids)
+        seen += ids
+    assert sorted(seen) == list(range(10))
+
+
+def test_postings_lookup_round_trip(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "y y z"), (3, "x")], "doc_id long, text string")
+    idx = ta.build_inverted_index(df, "doc_id", "text")
+    got = {(r["term"], r["id"]): (r["tf"], r["df"], r["cf"])
+           for r in ta.postings_lookup(idx, ["Y", "z"]).collect()}
+    assert got == {("y", 1): (1, 2, 3), ("y", 2): (2, 2, 3),
+                   ("z", 2): (1, 1, 1)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        ta.postings_lookup(idx, [])
+    with _pytest.raises(ValueError, match="shard_size"):
+        ta.build_inverted_index(df, "doc_id", "text", shard_size=0)
