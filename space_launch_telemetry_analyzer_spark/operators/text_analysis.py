@@ -1127,3 +1127,76 @@ def postings_lookup(index, terms: list):
         F.explode("postings").alias("p"),
     ).select("term", "df", "cf", F.col("p.id").alias("id"),
              F.col("p.tf").alias("tf"))
+
+
+def doc_lengths(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, dl) companion table for index-served BM25: dl is the SAME
+    `size(split(...))` bm25_topk computes inline (including the 1 a blank
+    document's [''] split yields — the two paths must agree to the bit,
+    and the scorer guards tf > 0 so the phantom token never scores)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.select(F.col(id_col).cast("long").alias("id"),
+                     F.size(toks).alias("dl"))
+
+
+def bm25_from_index(index, doclens, query_terms: list, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k served FROM a prebuilt inverted index (the reason
+    build_inverted_index exists: one build amortizes over many queries)
+    instead of bm25_topk's full corpus scan. Output is bit-identical to
+    bm25_topk on the same corpus — same fixed-order score expression,
+    same Lucene +1 idf, same (id) tie-break — pinned by an equality test
+    and by registering it against bm25_topk's own oracle.
+
+    Scale shape: the term filter prunes the index scan to the query
+    terms' shards (partition-prunable when the index is stored
+    partitioned by term); ONE groupBy(id) pivots the hit postings to
+    per-term tf columns; one join attaches doc lengths (left, so
+    zero-score docs still rank when k exceeds the hit count — exactly
+    bm25_topk's semantics); per-term df and the corpus stats travel as
+    two broadcast one-row frames. The corpus text is never touched."""
+    terms = [t.lower() for t in query_terms]
+    hits = (
+        index.where(F.col("term").isin(terms))
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.id").alias("id"), F.col("p.tf").alias("tf"))
+    )
+    wide = hits.groupBy("id").agg(*[
+        F.coalesce(F.max(F.when(F.col("term") == t, F.col("tf"))),
+                   F.lit(0)).alias(f"tf{i}")
+        for i, t in enumerate(terms)
+    ])
+    dfs = index.where(F.col("term").isin(terms)).groupBy().agg(*[
+        F.coalesce(F.max(F.when(F.col("term") == t, F.col("df"))),
+                   F.lit(0)).cast("long").alias(f"df{i}")
+        for i, t in enumerate(terms)
+    ])
+    g = doclens.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    base = doclens.join(wide, "id", "left").select(
+        "id", "dl",
+        *[F.coalesce(F.col(f"tf{i}"), F.lit(0)).alias(f"tf{i}")
+          for i in range(len(terms))],
+    ).crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(g))
+
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5)))
+        part = F.when(
+            tf > 0,
+            idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    out_cols = ["id", "dl"] + [f"tf{i}" for i in range(len(terms))]
+    return (
+        base.select(*out_cols, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -2549,6 +2549,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 retrieval served from the prebuilt sharded inverted
+    index instead of a corpus scan (r6, TA.bm25_from_index): identical
+    fixed-order arithmetic, identical tie-break, registered against
+    bm25_topk's OWN oracle — the driver externally proves the two paths
+    bit-equal (modulo the shared 6-decimal ln rounding)."""
+    docs = load(spark, sf_dir, "documents")
+    idx = TA.build_inverted_index(docs, "doc_id", "text")
+    dls = TA.doc_lengths(docs, "doc_id", "text")
+    out = TA.bm25_from_index(idx, dls, ["table", "spark", "merge"], k=15)
+    return out.withColumn("score", F.round("score", 6))
+
+
 def _sql_bm25_part(i: int) -> str:
     # every fractional literal is ::DOUBLE: DuckDB reads bare 2.2 as
     # DECIMAL, making tf*2.2 EXACT decimal 6.6 instead of the binary
@@ -4955,6 +4968,7 @@ QUERIES = {
     "mix_plan": q_mix_plan,
     "perplexity_buckets": q_perplexity_buckets,
     "inverted_index": q_inverted_index,
+    "bm25_from_index": q_bm25_from_index,
 }
 
 ORACLES = {
@@ -4967,6 +4981,7 @@ ORACLES = {
     "mix_plan": ORACLE_MIX_PLAN,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "inverted_index": ORACLE_INVERTED_INDEX,
+    "bm25_from_index": ORACLE_BM25_TOPK,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -5138,6 +5153,7 @@ _ADDED_ROUND = {
     "html_tables": 6, "split_sentences": 6, "mix_plan": 6,
     "perplexity_buckets": 6,
     "inverted_index": 6,
+    "bm25_from_index": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5219,6 +5235,7 @@ _LAST_DRIVER_CHECK = {
     "mix_plan": 0,
     "perplexity_buckets": 0,
     "inverted_index": 0,
+    "bm25_from_index": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5273,10 +5290,10 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 18 r6-born queries (driver-checked in their birth
-# round), then 31 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 19 r6-born queries (driver-checked in their birth
+# round), then 30 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. EIGHTEEN r4-green queries are deferred to
+# come back for a fresh verdict. NINETEEN r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
@@ -5284,7 +5301,7 @@ _LAST_DRIVER_CHECK = {
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
 # results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
-# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg, detect_series (displaced by the r6-born
+# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg, detect_series, bucket_summarize (displaced by the r6-born
 # queries). Every deferred query is
 # re-verified bitwise by the local full-registry oracle gate on every
 # test run.
@@ -5315,6 +5332,7 @@ _REGISTRY_ORDER = [
     "mix_plan",
     "perplexity_buckets",
     "inverted_index",
+    "bm25_from_index",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5342,9 +5360,9 @@ _REGISTRY_ORDER = [
     "sessionize",
     "quality_score",
     "after_anchor_flag",
-    "bucket_summarize",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the eighteen r6-born queries (r4-green, forced back r7)
+    # displaced by the nineteen r6-born queries (r4-green, forced back r7)
+    "bucket_summarize",
     "detect_series",
     "engine_count_agg",
     "fuel_coalesce",

@@ -812,3 +812,29 @@ def test_postings_lookup_round_trip(spark):
         ta.postings_lookup(idx, [])
     with _pytest.raises(ValueError, match="shard_size"):
         ta.build_inverted_index(df, "doc_id", "text", shard_size=0)
+
+
+def test_bm25_from_index_equals_corpus_scan(spark):
+    """Index-served BM25 must equal bm25_topk at FULL precision (no
+    rounding) — same scores, same order, same tie-breaks — including
+    zero-score filler docs when k exceeds the hit count, and a query
+    term absent from the corpus (df=0)."""
+    rows = [
+        (1, "spark merge table spark"),
+        (2, "table table table"),
+        (3, "nothing relevant here"),
+        (4, ""),
+        (5, "merge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["table", "SPARK", "merge", "absentterm"]
+    want = [tuple(r) for r in
+            ta.bm25_topk(df, "doc_id", "text", terms, k=5).collect()]
+    idx = ta.build_inverted_index(df, "doc_id", "text")
+    dls = ta.doc_lengths(df, "doc_id", "text")
+    got = [tuple(r) for r in
+           ta.bm25_from_index(idx, dls, terms, k=5).collect()]
+    assert got == want
+    # the zero-score tail is present (docs 3 and 4 score 0.0)
+    assert [t[0] for t in got[-2:]] == [3, 4]
+    assert got[-1][-1] == 0.0
