@@ -55,6 +55,10 @@ QUERY_SET = [
     "gopher_repetition",
     "html_tables",
     "split_sentences",
+    "mix_plan",
+    "perplexity_buckets",
+    "inverted_index",
+    "bm25_from_index",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",
