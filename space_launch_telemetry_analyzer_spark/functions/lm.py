@@ -215,47 +215,33 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
     n) avoid any division.
 
     Scale shape: the global rank is NOT a single-reducer window — it is
-    the pack_sequences distributed prefix-sum: repartitionByRange on the
-    sort key orders partitions, a per-partition row_number ranks locally
-    in parallel, per-partition counts (#partitions rows) get a tiny
-    unpartitioned cumulative sum, and a broadcast join adds the offsets.
-    The staged frame is localCheckpoint'ed because spark_partition_id
-    over a range exchange is only deterministic within one
-    materialization and it feeds two consumers. The ranked frame carries
-    4 scalars/doc; the corpus text never shuffles (the LM score is a
-    broadcast-table lookup + groupBy on (id))."""
-    from pyspark.sql import Window
+    the shared distributed prefix-sum scaffold (operators/prefix.py:
+    range partition + per-partition window + tiny offset window +
+    broadcast join, eager-checkpointed against the spark_partition_id
+    rematerialization race). The scored frame itself is ALSO
+    eager-checkpointed: it feeds both the ranked branch and the
+    unscored filter, and without it the corpus scan + bigram explode +
+    groupBy would run twice. Both checkpoints hold a few scalars/doc;
+    the corpus text never shuffles (the LM score is a broadcast-table
+    lookup + groupBy on (id))."""
+    from ..operators.prefix import attach_global_prefix
 
-    scored = bigram_lm_score(df, id_col, text_col, keep_threshold)
+    scored = bigram_lm_score(df, id_col, text_col, keep_threshold) \
+        .localCheckpoint(eager=True)
     cols = ["id", "n_bigrams", "sum_lp_micro", "avg_logprob"]
     s = scored.where(F.col("avg_logprob").isNotNull()).select(*cols)
-    ranged = s.repartitionByRange(
-        F.col("avg_logprob").desc(), F.col("id")
-    ).withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("pid").orderBy(
-        F.col("avg_logprob").desc(), F.col("id"))
-    staged = ranged.withColumn(
-        "local_rank", F.row_number().over(w_local).cast("long")
-    ).localCheckpoint(eager=False)
+    ranked = attach_global_prefix(
+        s, [F.col("avg_logprob").desc(), F.col("id")], out_col="_before")
+    n_row = s.agg(F.count(F.lit(1)).alias("n_scored"))
 
-    totals = staged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    w_pid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    # unpartitioned window is safe HERE only: cardinality == #partitions
-    offsets = totals.select(
-        "pid", F.coalesce(F.sum("cnt").over(w_pid), F.lit(0)).alias("before"))
-    n_row = totals.agg(F.sum("cnt").alias("n_scored"))
-
-    rank = (F.col("local_rank") + F.col("before")).alias("rank")
+    rank = (F.col("_before") + 1).alias("rank")
     n = F.col("n_scored")
     bucketed = (
-        staged.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(n_row))
+        ranked.crossJoin(F.broadcast(n_row))
         .select(
             *cols, rank,
-            F.when((F.col("local_rank") + F.col("before")) * 3 <= n,
-                   F.lit("head"))
-            .when((F.col("local_rank") + F.col("before")) * 3 <= n * 2,
-                  F.lit("middle"))
+            F.when((F.col("_before") + 1) * 3 <= n, F.lit("head"))
+            .when((F.col("_before") + 1) * 3 <= n * 2, F.lit("middle"))
             .otherwise(F.lit("tail")).alias("bucket"),
         )
     )

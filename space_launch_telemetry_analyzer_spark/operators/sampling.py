@@ -123,13 +123,21 @@ def mix_plan(df: DataFrame, source_col: str, text_col: str,
 
     Output: (source, available_tokens, w, keep_tokens, keep_rate), one
     row per source named in `weights` (a mix spec is a whitelist, like
-    mix_sample's). Integer weights keep everything exact until two IEEE
-    divisions that both engines perform on identical operands — the
-    DuckDB oracle matches bitwise without rounding.
+    mix_sample's) — INCLUDING a weighted source with NO corpus rows,
+    which reports available_tokens 0 and binds the whole plan to t = 0
+    (an unservable mix must say so, not silently drop the missing
+    source and claim the rest is fully servable). keep_rate is 0.0 when
+    a source has nothing available (never a 0/0). Integer weights keep
+    everything exact until two IEEE divisions that both engines perform
+    on identical operands — the DuckDB oracle matches bitwise without
+    rounding.
 
     Scale shape: one groupBy(source) token-sum over the corpus (the only
-    corpus-sized work), a broadcast join against the config-sized weight
-    table, and a scalar-min broadcast back over the per-source frame."""
+    corpus-sized work — eager-checkpointed because the per-source frame
+    feeds both the scalar-min subquery and the final select, and
+    ReuseExchange does not unify the two), a broadcast join against the
+    config-sized weight table, and a scalar-min broadcast back over the
+    per-source frame."""
     if not weights:
         raise ValueError("weights must name at least one source")
     for s, w in weights.items():
@@ -140,10 +148,20 @@ def mix_plan(df: DataFrame, source_col: str, text_col: str,
 
     wdf = spark.createDataFrame(
         sorted(weights.items()), f"{source_col} string, w bigint")
-    avail = (
-        df.groupBy(source_col)
+    # whitelist BEFORE aggregating: the source filter pushes down to the
+    # scan (don't token-count sources the mix won't keep) and caps the
+    # aggregate at len(weights) rows, so the outer join broadcasts
+    agg = (
+        df.where(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
         .agg(F.sum(token_count(F.col(text_col))).alias("available_tokens"))
-        .join(F.broadcast(wdf), source_col, "inner")
+    )
+    avail = (
+        wdf.join(F.broadcast(agg), source_col, "left")
+        .select(source_col, "w",
+                F.coalesce("available_tokens", F.lit(0))
+                .cast("bigint").alias("available_tokens"))
+        .localCheckpoint(eager=True)   # <= len(weights) rows
     )
     t = avail.agg(F.min(
         F.col("available_tokens").cast("double") / F.col("w").cast("double")
@@ -153,10 +171,11 @@ def mix_plan(df: DataFrame, source_col: str, text_col: str,
         avail.crossJoin(F.broadcast(t))
         .select(
             source_col,
-            F.col("available_tokens").cast("bigint").alias("available_tokens"),
+            "available_tokens",
             "w",
             keep_tokens.alias("keep_tokens"),
-            (keep_tokens / F.col("available_tokens").cast("double"))
-            .alias("keep_rate"),
+            F.when(F.col("available_tokens") > 0,
+                   keep_tokens / F.col("available_tokens").cast("double"))
+            .otherwise(F.lit(0.0)).alias("keep_rate"),
         )
     )

@@ -179,6 +179,15 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
     use bigint ids). `min(vec)` recovers the vector deterministically
     (every copy in the group is the same value; min of all-NULL stays
     NULL, preserving the old pass-through for null vectors)."""
+    from pyspark.sql import types as _T
+
+    cid_type = centroids.schema[centroid_id_col].dataType
+    if not isinstance(cid_type, _T.NumericType):
+        # fail fast: unary minus on a non-numeric id would implicitly cast
+        # to double (NULL for strings), silently corrupting the tie-break
+        raise TypeError(
+            f"ivf_assign needs a numeric {centroid_id_col!r} for the "
+            f"smallest-id tie-break; got {cid_type.simpleString()}")
     scored = corpus.alias("c").join(
         F.broadcast(centroids.alias("k"))
     ).select(

@@ -1895,20 +1895,25 @@ ORACLE_MIX_PLAN = r"""
 WITH w(source, w) AS (
   SELECT 'src' || k, CAST(k % 4 + 1 AS BIGINT)
   FROM (SELECT unnest(generate_series(0, 19)) AS k)),
-avail AS (
+agg AS (
   SELECT source,
-         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
-              AS BIGINT) AS available_tokens
-  FROM documents GROUP BY source),
-j AS (SELECT a.source, a.available_tokens, w.w
-      FROM avail a JOIN w ON w.source = a.source),
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+           AS available_tokens
+  FROM documents WHERE source IN (SELECT source FROM w)
+  GROUP BY source),
+avail AS (
+  SELECT w.source, w.w,
+         CAST(coalesce(a.available_tokens, 0) AS BIGINT) AS available_tokens
+  FROM w LEFT JOIN agg a ON a.source = w.source),
 t AS (SELECT min(CAST(available_tokens AS DOUBLE) / CAST(w AS DOUBLE)) AS t
-      FROM j)
+      FROM avail)
 SELECT source, available_tokens, w,
        CAST(w AS DOUBLE) * t AS keep_tokens,
-       CAST(w AS DOUBLE) * t / CAST(available_tokens AS DOUBLE) AS keep_rate
-FROM j, t
+       CASE WHEN available_tokens > 0 THEN
+         CAST(w AS DOUBLE) * t / CAST(available_tokens AS DOUBLE)
+       ELSE CAST(0 AS DOUBLE) END AS keep_rate
+FROM avail, t
 """
 
 
@@ -2494,11 +2499,14 @@ WITH tf AS (
         FROM documents)
   WHERE term <> '' GROUP BY term, id),
 stats AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         (CAST(count(*) AS BIGINT) + 3) // 4 AS ns
   FROM tf GROUP BY term HAVING count(*) >= 2),
 j AS (
+  -- ((id % ns) + ns) % ns: DuckDB's % keeps the dividend's sign; this
+  -- is the sign-safe pmod Spark computes, exact for negative ids too
   SELECT t.term, t.id, t.tf, s.df, s.cf,
-         t.id % ((s.df + 3) // 4) AS shard
+         ((t.id % s.ns) + s.ns) % s.ns AS shard
   FROM tf t JOIN stats s USING (term))
 SELECT term, shard, df, cf, CAST(count(*) AS BIGINT) AS shard_df,
        string_agg(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),

@@ -838,3 +838,30 @@ def test_bm25_from_index_equals_corpus_scan(spark):
     # the zero-score tail is present (docs 3 and 4 score 0.0)
     assert [t[0] for t in got[-2:]] == [3, 4]
     assert got[-1][-1] == 0.0
+
+
+def test_mix_plan_missing_source_binds_to_zero(spark):
+    """A weighted source with NO corpus rows must appear with
+    available_tokens 0 and drive t to 0 — an unservable mix reports
+    itself instead of silently dropping the missing source."""
+    df = spark.createDataFrame(
+        [(1, "web", "a b c d")], "id long, source string, text string")
+    out = {r["source"]: r for r in
+           sa.mix_plan(df, "source", "text",
+                       {"web": 1, "wiki": 2}).collect()}
+    assert set(out) == {"web", "wiki"}
+    assert out["wiki"]["available_tokens"] == 0
+    assert out["wiki"]["keep_tokens"] == 0.0 and out["wiki"]["keep_rate"] == 0.0
+    assert out["web"]["keep_tokens"] == 0.0 and out["web"]["keep_rate"] == 0.0
+
+
+def test_ivf_assign_rejects_non_numeric_centroid_ids(spark):
+    import pytest as _pytest
+
+    from space_launch_telemetry_analyzer_spark.operators import similarity as S
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, vec array<double>")
+    cents = spark.createDataFrame([("c0", [1.0, 0.0])],
+                                  "centroid_id string, cvec array<double>")
+    with _pytest.raises(TypeError, match="numeric"):
+        S.ivf_assign(df, "vec_id", "vec", cents, "centroid_id", "cvec")
