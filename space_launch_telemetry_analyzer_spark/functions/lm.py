@@ -230,20 +230,19 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
         .localCheckpoint(eager=True)
     cols = ["id", "n_bigrams", "sum_lp_micro", "avg_logprob"]
     s = scored.where(F.col("avg_logprob").isNotNull()).select(*cols)
+    # total_col: n comes from the scaffold's #partitions-row totals frame,
+    # not a second corpus-length pass over the scored frame
     ranked = attach_global_prefix(
-        s, [F.col("avg_logprob").desc(), F.col("id")], out_col="_before")
-    n_row = s.agg(F.count(F.lit(1)).alias("n_scored"))
+        s, [F.col("avg_logprob").desc(), F.col("id")], out_col="_before",
+        total_col="_n_scored")
 
     rank = (F.col("_before") + 1).alias("rank")
-    n = F.col("n_scored")
-    bucketed = (
-        ranked.crossJoin(F.broadcast(n_row))
-        .select(
-            *cols, rank,
-            F.when((F.col("_before") + 1) * 3 <= n, F.lit("head"))
-            .when((F.col("_before") + 1) * 3 <= n * 2, F.lit("middle"))
-            .otherwise(F.lit("tail")).alias("bucket"),
-        )
+    n = F.col("_n_scored")
+    bucketed = ranked.select(
+        *cols, rank,
+        F.when((F.col("_before") + 1) * 3 <= n, F.lit("head"))
+        .when((F.col("_before") + 1) * 3 <= n * 2, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
     )
     unscored = scored.where(F.col("avg_logprob").isNull()).select(
         *cols,

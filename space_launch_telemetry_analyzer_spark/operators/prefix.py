@@ -35,14 +35,33 @@ from pyspark.sql import functions as F
 def attach_global_prefix(df: DataFrame, order_cols: list,
                          value_col: str | None = None,
                          partitions: int | None = None,
-                         out_col: str = "before") -> DataFrame:
+                         out_col: str = "before",
+                         total_col: str | None = None) -> DataFrame:
     """Return `df` with `out_col` = the sum of `value_col` over every row
     STRICTLY PRECEDING it in the total order given by `order_cols`
     (Column expressions; `.desc()` allowed — the order must be total, so
     include a unique tie-break column). `value_col=None` counts rows, so
-    `out_col + 1` is the global row_number. Output is provably
-    independent of the physical partition count (pinned by the callers'
-    partition-sweep tests)."""
+    `out_col + 1` is the global row_number. `total_col`, when set, also
+    attaches the GRAND total of `value_col` to every row — derived from
+    the scaffold's own #partitions-row totals frame, so callers needing
+    n (e.g. the perplexity tercile cuts) don't pay a separate
+    corpus-length aggregate. Output is provably independent of the
+    physical partition count (pinned by the callers' partition-sweep
+    tests).
+
+    NB for plan reviews: the eager checkpoint truncates lineage, so a
+    captured plan shows `Scan ExistingRDD` at the boundary — the
+    corpus-sized subtree below it must be reviewed at the CALLER (its
+    own plan up to the checkpoint), the accepted cost of closing the
+    pid rematerialization race."""
+    reserved = {"_pid", "_local_before", "_pid_before", out_col}
+    if total_col:
+        reserved.add(total_col)
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"attach_global_prefix would clobber column(s) {sorted(clash)}; "
+            "rename them or pick a different out_col/total_col")
     ranged = df.repartitionByRange(
         *([partitions] if partitions else []), *order_cols
     ).withColumn("_pid", F.spark_partition_id())
@@ -63,8 +82,13 @@ def attach_global_prefix(df: DataFrame, order_cols: list,
         "_pid",
         F.coalesce(F.sum("_tot").over(w_pid), F.lit(0)).alias("_pid_before"),
     )
-    return (
+    out = (
         staged.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_local_before") + F.col("_pid_before"))
         .drop("_pid", "_local_before", "_pid_before")
     )
+    if total_col:
+        grand = totals.agg(
+            F.coalesce(F.sum("_tot"), F.lit(0)).alias(total_col))
+        out = out.crossJoin(F.broadcast(grand))
+    return out

@@ -1151,9 +1151,14 @@ def bm25_from_index(index, doclens, query_terms: list, k: int = 10,
     """BM25 top-k served FROM a prebuilt inverted index (the reason
     build_inverted_index exists: one build amortizes over many queries)
     instead of bm25_topk's full corpus scan. Output is bit-identical to
-    bm25_topk on the same corpus — same fixed-order score expression,
-    same Lucene +1 idf, same (id) tie-break — pinned by an equality test
-    and by registering it against bm25_topk's own oracle.
+    bm25_topk on the same corpus WHEN THE INDEX WAS BUILT WITH min_df=1
+    (the default) — same fixed-order score expression, same Lucene +1
+    idf, same (id) tie-break — pinned by an equality test and by
+    registering it against bm25_topk's own oracle. A min_df-pruned
+    index deliberately has NO data for pruned terms: they serve as
+    df=0/tf=0 and contribute nothing (standard index behavior), whereas
+    the scan path would still score them — so strict equality holds
+    only for an unpruned index.
 
     Scale shape: the term filter prunes the index scan to the query
     terms' shards (partition-prunable when the index is stored

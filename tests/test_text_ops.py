@@ -865,3 +865,21 @@ def test_ivf_assign_rejects_non_numeric_centroid_ids(spark):
                                   "centroid_id string, cvec array<double>")
     with _pytest.raises(TypeError, match="numeric"):
         S.ivf_assign(df, "vec_id", "vec", cents, "centroid_id", "cvec")
+
+
+def test_attach_global_prefix_rejects_column_clashes(spark):
+    from space_launch_telemetry_analyzer_spark.operators.prefix import (
+        attach_global_prefix,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "id long, before long")
+    with pytest.raises(ValueError, match="clobber"):
+        attach_global_prefix(df, [F.col("id")])
+    df2 = spark.createDataFrame([(1, 2)], "id long, _pid long")
+    with pytest.raises(ValueError, match="clobber"):
+        attach_global_prefix(df2, [F.col("id")], out_col="gp")
+    out = attach_global_prefix(
+        spark.createDataFrame([(3,), (1,), (2,)], "id long"),
+        [F.col("id")], out_col="rnk0", total_col="n")
+    rows = {r["id"]: (r["rnk0"], r["n"]) for r in out.collect()}
+    assert rows == {1: (0, 3), 2: (1, 3), 3: (2, 3)}
