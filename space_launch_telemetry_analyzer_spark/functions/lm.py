@@ -314,3 +314,125 @@ SELECT id, n_bigrams, sum_lp_micro, avg_logprob,
        CAST(NULL AS BIGINT) AS rank, 'unscored' AS bucket
 FROM base WHERE avg_logprob IS NULL
 """
+
+
+def ccnet_paragraph_filter(df: DataFrame, id_col: str, text_col: str,
+                           drop: tuple = ("tail",),
+                           pos_cap: int = 1 << 20) -> DataFrame:
+    """CCNet's actual cleaning granularity (Wenzek et al. 2020 §4.3 run
+    the LM per PARAGRAPH and drop the worst bucket): split each document
+    on blank lines, bucket every paragraph corpus-wide with
+    perplexity_buckets (same LM, same distributed rank, same exact
+    thirds), DROP the `drop` buckets (default: tail; 'unscored'
+    paragraphs — < 2 tokens — are kept: no evidence is not bad
+    evidence), and rebuild each document from its kept paragraphs in
+    positional order. Output: (id, text_clean, n_paras, n_kept) for
+    EVERY input document (a fully-dropped document keeps its row with
+    text_clean = '').
+
+    The composite paragraph key is id * pos_cap + position, so ids must
+    be nonnegative and < 2^63 / pos_cap (2^43 at the default cap — ample
+    for 10^12 docs) with < pos_cap paragraphs per document. Scale shape:
+    only (doc, pos) scalars flow out of the bucket stage — the rebuild
+    joins a per-doc sorted position array back to the ORIGINAL text and
+    re-splits it, so paragraph TEXT never shuffles."""
+    doc = F.col(id_col).cast("long")
+    paras = df.select(
+        doc.alias("doc"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("pos", "para"),
+    ).select((F.col("doc") * pos_cap + F.col("pos")).alias("pk"), "para")
+    b = perplexity_buckets(paras, "pk", "para")
+    kept = b.where(~F.col("bucket").isin(list(drop))).select(
+        F.expr(f"id div {int(pos_cap)}").alias("doc"),
+        F.pmod(F.col("id"), F.lit(int(pos_cap))).cast("int").alias("pos"),
+    )
+    kept_arr = kept.groupBy("doc").agg(
+        F.sort_array(F.collect_list("pos")).alias("kp"))
+    pa = F.split(F.col(text_col), r"\n\n")
+    return (
+        df.select(F.col(id_col), doc.alias("doc"), pa.alias("pa"))
+        .join(kept_arr, "doc", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("kp"), lambda p: F.col("pa")[p]),
+                    "\n\n"),
+                F.lit("")).alias("text_clean"),
+            F.size("pa").alias("n_paras"),
+            F.coalesce(F.size("kp"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def ccnet_paragraph_oracle_sql(table: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               pos_cap: int = 1 << 20) -> str:
+    """DuckDB twin of ccnet_paragraph_filter (drop=('tail',)): paragraph
+    explode with ordinality, the LM scoring CTEs on the composite key,
+    row_number rank over scored paragraphs, tail cut at rank*3 > 2n,
+    positional rebuild via list_transform over the kept-position list."""
+    from .bpe import _sql_quote as _q
+
+    bigram_micro, w1_unseen_micro, oov_micro = bigram_lm_tables()
+    bg_rows = ",".join(f"({_q(a)},{_q(b)},{lp})"
+                       for (a, b), lp in sorted(bigram_micro.items()))
+    ug_rows = ",".join(f"({_q(a)},{lp})"
+                       for a, lp in sorted(w1_unseen_micro.items()))
+    pat = _q(LM_TOKEN_PATTERN)
+    cap = int(pos_cap)
+    return rf"""
+WITH bg(w1, w2, lp) AS (VALUES {bg_rows}),
+ug(w1, lpu) AS (VALUES {ug_rows}),
+arrs AS (
+  SELECT {id_col} AS doc, regexp_split_to_array({text_col}, '\n\n') AS pa
+  FROM {table} WHERE regexp_matches({text_col}, '^[ -~]*\z')
+),
+paras AS (
+  SELECT doc * {cap} + (i - 1) AS pk, pa[i] AS para
+  FROM (SELECT doc, pa, unnest(generate_series(1, len(pa))) AS i FROM arrs)
+),
+ptoks AS (
+  SELECT pk, regexp_extract_all(lower(para), {pat}) AS t FROM paras
+),
+ppairs AS (
+  SELECT pk, t[i - 1] AS w1, t[i] AS w2
+  FROM (SELECT pk, t, unnest(generate_series(2, len(t))) AS i FROM ptoks)
+),
+psc AS (
+  SELECT p.pk, count(p.w1) AS n_bigrams,
+         CAST(sum(coalesce(bg.lp, ug.lpu, {oov_micro})) AS BIGINT) AS slp
+  FROM ppairs p
+  LEFT JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+  LEFT JOIN ug ON ug.w1 = p.w1
+  GROUP BY p.pk
+),
+base AS (
+  SELECT t.pk,
+         CASE WHEN coalesce(s.n_bigrams, 0) > 0 THEN
+           CAST(s.slp AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+           / CAST(1000000 AS DOUBLE)
+         END AS avg_lp
+  FROM ptoks t LEFT JOIN psc s ON s.pk = t.pk
+),
+ranked AS (
+  SELECT pk,
+         row_number() OVER (ORDER BY avg_lp DESC, pk) AS rank,
+         count(*) OVER () AS n
+  FROM base WHERE avg_lp IS NOT NULL
+),
+kept AS (
+  SELECT b.pk // {cap} AS doc, CAST(b.pk % {cap} AS INT) AS pos
+  FROM base b LEFT JOIN ranked r ON r.pk = b.pk
+  WHERE r.rank IS NULL OR r.rank * 3 <= r.n * 2
+),
+ka AS (SELECT doc, list_sort(list(pos)) AS kp FROM kept GROUP BY doc)
+SELECT a.doc AS {id_col},
+       coalesce(array_to_string(
+         list_transform(ka.kp, p -> a.pa[p + 1]),
+         chr(10) || chr(10)), '') AS text_clean,
+       CAST(len(a.pa) AS INT) AS n_paras,
+       CAST(coalesce(len(ka.kp), 0) AS INT) AS n_kept
+FROM arrs a LEFT JOIN ka ON ka.doc = a.doc
+"""

@@ -1139,6 +1139,21 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PERPLEXITY_BUCKETS = LM.perplexity_buckets_oracle_sql()
 
 
+def q_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level cleaning end-to-end (r6,
+    LM.ccnet_paragraph_filter): paragraphs bucketed corpus-wide by the
+    bigram LM, tail third dropped, documents rebuilt positionally from
+    the kept paragraphs. Composite paragraph keys make the rank
+    deterministic; paragraph text never shuffles (the rebuild re-splits
+    the original text against a kept-position array)."""
+    docs = load(spark, sf_dir, "documents")
+    return LM.ccnet_paragraph_filter(
+        docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text")
+
+
+ORACLE_CCNET_PARAGRAPHS = LM.ccnet_paragraph_oracle_sql()
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (r6, functions/dsir.py — Xie et al.
     2023): hashed unigram+bigram bucket features, per-document
@@ -4977,6 +4992,7 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "inverted_index": q_inverted_index,
     "bm25_from_index": q_bm25_from_index,
+    "ccnet_paragraphs": q_ccnet_paragraphs,
 }
 
 ORACLES = {
@@ -4990,6 +5006,7 @@ ORACLES = {
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "inverted_index": ORACLE_INVERTED_INDEX,
     "bm25_from_index": ORACLE_BM25_TOPK,
+    "ccnet_paragraphs": ORACLE_CCNET_PARAGRAPHS,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -5162,6 +5179,7 @@ _ADDED_ROUND = {
     "perplexity_buckets": 6,
     "inverted_index": 6,
     "bm25_from_index": 6,
+    "ccnet_paragraphs": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5244,6 +5262,7 @@ _LAST_DRIVER_CHECK = {
     "perplexity_buckets": 0,
     "inverted_index": 0,
     "bm25_from_index": 0,
+    "ccnet_paragraphs": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5298,10 +5317,10 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 19 r6-born queries (driver-checked in their birth
-# round), then 30 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 20 r6-born queries (driver-checked in their birth
+# round), then 29 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. NINETEEN r4-green queries are deferred to
+# come back for a fresh verdict. TWENTY r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
@@ -5309,7 +5328,7 @@ _LAST_DRIVER_CHECK = {
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
 # results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
-# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg, detect_series, bucket_summarize (displaced by the r6-born
+# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg, detect_series, bucket_summarize, after_anchor_flag (displaced by the r6-born
 # queries). Every deferred query is
 # re-verified bitwise by the local full-registry oracle gate on every
 # test run.
@@ -5341,6 +5360,7 @@ _REGISTRY_ORDER = [
     "perplexity_buckets",
     "inverted_index",
     "bm25_from_index",
+    "ccnet_paragraphs",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5367,9 +5387,9 @@ _REGISTRY_ORDER = [
     "pii_redact",
     "sessionize",
     "quality_score",
-    "after_anchor_flag",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the nineteen r6-born queries (r4-green, forced back r7)
+    # displaced by the twenty r6-born queries (r4-green, forced back r7)
+    "after_anchor_flag",
     "bucket_summarize",
     "detect_series",
     "engine_count_agg",

@@ -173,3 +173,57 @@ def test_perplexity_buckets_tie_break_by_id(spark):
             LM.perplexity_buckets(df, "doc_id", "text").collect()}
     # identical scores -> adjacent ranks with the smaller id first
     assert rows[7] == rows[3] + 1
+
+
+# ---------------------------------------------------------------------------
+# ccnet_paragraph_filter (paragraph-level cleaning)
+# ---------------------------------------------------------------------------
+
+def test_ccnet_paragraph_filter_drops_tail_and_rebuilds(spark):
+    """9 scoreable paragraphs across 3 docs -> tail third dropped;
+    unscored (short) paragraphs are kept; rebuild preserves positional
+    order with the blank-line separator."""
+    good = "the launch was a success and the data was clear"
+    def noisy(i):
+        return " ".join(f"zzq{i}x{j}" for j in range(8))
+    docs = [
+        (1, "\n\n".join([good, noisy(1), good])),
+        (2, "\n\n".join([noisy(2), "ok", good])),        # 'ok' unscored
+        (3, "\n\n".join([good, noisy(3), noisy(4)])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           LM.ccnet_paragraph_filter(df, "doc_id", "text").collect()}
+    assert all(out[d]["n_paras"] == 3 for d in (1, 2, 3))
+    # 8 scored paras: keep rank*3 <= 2*8 -> ranks 1..5; +1 unscored = 6
+    total_kept = sum(out[d]["n_kept"] for d in (1, 2, 3))
+    assert total_kept == 6
+    # the strongest invariant: kept text contains good, order preserved
+    assert out[1]["text_clean"].startswith(good)
+    assert out[2]["text_clean"].endswith(good)
+    assert "ok" in out[2]["text_clean"]
+
+
+def test_ccnet_paragraph_filter_keeps_fully_dropped_doc_row(spark):
+    df = spark.createDataFrame(
+        [(7, "solo")], "doc_id long, text string")
+    # one unscored paragraph -> kept; now force a drop of everything
+    out = LM.ccnet_paragraph_filter(
+        df, "doc_id", "text", drop=("tail", "unscored")).collect()
+    assert [(r["doc_id"], r["text_clean"], r["n_paras"], r["n_kept"])
+            for r in out] == [(7, "", 1, 0)]
+
+
+def test_ccnet_paragraph_filter_empty_paragraphs_survive(spark):
+    """Runs of blank lines yield empty paragraphs — unscored, kept, and
+    rebuilt in place so document structure is stable."""
+    df = spark.createDataFrame(
+        [(1, "a b\n\n\n\nc d")], "doc_id long, text string")
+    # drop=() keeps every bucket: the rebuild must reproduce the text
+    out = LM.ccnet_paragraph_filter(
+        df, "doc_id", "text", drop=()).collect()[0]
+    assert out["n_paras"] == 3 and out["n_kept"] == 3
+    assert out["text_clean"] == "a b\n\n\n\nc d"
+    # default drop: the worse of the two scored paragraphs goes
+    out2 = LM.ccnet_paragraph_filter(df, "doc_id", "text").collect()[0]
+    assert out2["n_kept"] == 2
