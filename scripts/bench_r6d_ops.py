@@ -39,6 +39,13 @@ def main() -> None:
         ).alias("text"),
     ).repartition(32).persist()
     docs.count()
+    # 3-paragraph docs for the paragraph-level leg
+    docs_paras = docs.select(
+        "doc_id",
+        F.concat_ws("\n\n", "text", F.lit("the data was clear"),
+                    F.reverse("text")).alias("text"),
+    ).persist()
+    docs_paras.count()
 
     legs = {
         "inverted_index": lambda: TA.build_inverted_index(
@@ -49,6 +56,8 @@ def main() -> None:
             ["the", "data", "w0_17"], k=15).count(),
         "perplexity_buckets": lambda: LM.perplexity_buckets(
             docs, "doc_id", "text").count(),
+        "ccnet_paragraphs": lambda: LM.ccnet_paragraph_filter(
+            docs_paras, "doc_id", "text").count(),
     }
     out = {}
     for name, fn in legs.items():

@@ -59,6 +59,7 @@ QUERY_SET = [
     "perplexity_buckets",
     "inverted_index",
     "bm25_from_index",
+    "ccnet_paragraphs",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",
