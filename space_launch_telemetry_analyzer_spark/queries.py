@@ -2268,12 +2268,18 @@ FROM e
 
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide bigram counts, deterministic top-100 (count desc, bigram)."""
+    """Corpus-wide bigram counts, deterministic top-100 (count desc, bigram).
+    orderBy().limit(100) compiles to TakeOrderedAndProject (per-partition
+    heaps, 100 rows to the driver-side reduce) — the previous form ran an
+    unpartitioned row_number over the ENTIRE vocabulary-sized count table,
+    a single-task sort at web scale; the rank window now sees only the 100
+    survivors (the dsir_topk pattern). Same total order, same output."""
     docs = load(spark, sf_dir, "documents")
     bg = docs.select(F.explode(TA.token_bigrams(F.col("text"))).alias("bigram"))
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 100)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 ORACLE_TOP_BIGRAMS = r"""
