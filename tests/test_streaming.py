@@ -527,3 +527,44 @@ def test_stream_pack_sequences_rejects_unknown_counter(spark):
     df = spark.readStream.schema("doc_id long, text string").parquet("/tmp/x*")
     with _pytest.raises(ValueError, match="unknown counter"):
         stream_pack_sequences(df, "doc_id", "text", counter="nope")
+
+
+def test_stream_pack_sequences_bpe_counter_matches_batch(spark, tmp_path):
+    """counter='bpe': both twins count boundaries with the real BPE
+    tokenizer (Arrow UDF upstream of the stateful stage) — spans must
+    agree across a micro-batch boundary."""
+    import os
+
+    from space_launch_telemetry_analyzer_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+    from space_launch_telemetry_analyzer_spark.streaming.stream import (
+        stream_pack_sequences,
+    )
+
+    rows = [(i, f"the data was clear {i} times over") for i in range(8)]
+    in_path = tmp_path / "docs"
+    in_path.mkdir()
+    for b in range(2):
+        spark.createDataFrame(rows[b * 4:(b + 1) * 4],
+                              "doc_id long, text string") \
+            .coalesce(1).write.parquet(str(in_path / f"f{b}"))
+        for root, _, files in os.walk(in_path / f"f{b}"):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (1_700_000_000 + b, 1_700_000_000 + b))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(in_path / "*"))
+    )
+    out = str(tmp_path / "out")
+    _drain(stream_pack_sequences(stream, "doc_id", "text", seq_len=11,
+                                 counter="bpe")
+           .writeStream.format("parquet").option("path", out)
+           .option("checkpointLocation", str(tmp_path / "cp"))
+           .outputMode("append").trigger(availableNow=True).start())
+    got = spark.read.parquet(out)
+    want = pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text", seq_len=11, counter="bpe")
+    assert _sorted_rows(got) == _sorted_rows(want)
