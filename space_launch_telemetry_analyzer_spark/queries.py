@@ -1154,6 +1154,32 @@ def q_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CCNET_PARAGRAPHS = LM.ccnet_paragraph_oracle_sql()
 
 
+def q_langid_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained fastText-style language classifier end-to-end (r6,
+    functions/langid_clf.py — CCNet's first pipeline stage): hashed
+    char-2/3-gram softmax over de/en/fr, decided by a PURE INTEGER
+    argmax (bias_micro * n_feats + micro-logit sums — no float exists
+    in the scoring path of either engine)."""
+    from space_launch_telemetry_analyzer_spark.functions import (
+        langid_clf as LC,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return LC.langid_clf_score(
+        docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text")
+
+
+def _oracle_langid_clf() -> str:
+    from space_launch_telemetry_analyzer_spark.functions import (
+        langid_clf as LC,
+    )
+
+    return LC.langid_clf_oracle_sql()
+
+
+ORACLE_LANGID_CLF = _oracle_langid_clf()
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (r6, functions/dsir.py — Xie et al.
     2023): hashed unigram+bigram bucket features, per-document
@@ -4999,6 +5025,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "bm25_from_index": q_bm25_from_index,
     "ccnet_paragraphs": q_ccnet_paragraphs,
+    "langid_clf": q_langid_clf,
 }
 
 ORACLES = {
@@ -5013,6 +5040,7 @@ ORACLES = {
     "inverted_index": ORACLE_INVERTED_INDEX,
     "bm25_from_index": ORACLE_BM25_TOPK,
     "ccnet_paragraphs": ORACLE_CCNET_PARAGRAPHS,
+    "langid_clf": ORACLE_LANGID_CLF,
     "extract_main_text": ORACLE_EXTRACT_MAIN_TEXT,
     "extract_field_spans": ORACLE_EXTRACT_FIELD_SPANS,
     "extract_engine_counts": ORACLE_EXTRACT_ENGINE_COUNTS,
@@ -5186,6 +5214,7 @@ _ADDED_ROUND = {
     "inverted_index": 6,
     "bm25_from_index": 6,
     "ccnet_paragraphs": 6,
+    "langid_clf": 6,
 }
 
 _LAST_DRIVER_CHECK = {
@@ -5269,6 +5298,7 @@ _LAST_DRIVER_CHECK = {
     "inverted_index": 0,
     "bm25_from_index": 0,
     "ccnet_paragraphs": 0,
+    "langid_clf": 0,
     # last green in CORRECTNESS_r04.json (44 of these 49 are in the r6
     # window; the 5 deferred to r7 are listed below the horizon marker)
     "plot_sink": 4,
@@ -5323,10 +5353,10 @@ _LAST_DRIVER_CHECK = {
 }
 
 # r6 window (VERDICT r5 items 1 + 4): the 6 never-driver-checked late-r5
-# queries lead, then the 20 r6-born queries (driver-checked in their birth
-# round), then 29 of the 49 r4-checked queries — pdf_layout, png_decode,
+# queries lead, then the 21 r6-born queries (driver-checked in their birth
+# round), then 28 of the 49 r4-checked queries — pdf_layout, png_decode,
 # the full dedup/ANN/graph family, plot_sink and most of the r4 cohort
-# come back for a fresh verdict. TWENTY r4-green queries are deferred to
+# come back for a fresh verdict. TWENTY-ONE r4-green queries are deferred to
 # r7 for window space (all forced there by the staleness rule):
 # first_number, hhmmss_format, time_parse, unit_convert,
 # event_label_parse (~5-line JVM-expression parse kernels in
@@ -5334,7 +5364,7 @@ _LAST_DRIVER_CHECK = {
 # extract_field_spans/validate_report which call the same kernels), plus
 # union_compare, validate_report, warc_roundtrip, zero_anchor_realtime,
 # results_roundtrip, outlier_nulling, nation_revenue, lead_acceleration,
-# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg, detect_series, bucket_summarize, after_anchor_flag (displaced by the r6-born
+# g_force, fuel_pair_rule, fuel_coalesce, engine_count_agg, detect_series, bucket_summarize, after_anchor_flag, quality_score (displaced by the r6-born
 # queries). Every deferred query is
 # re-verified bitwise by the local full-registry oracle gate on every
 # test run.
@@ -5367,6 +5397,7 @@ _REGISTRY_ORDER = [
     "inverted_index",
     "bm25_from_index",
     "ccnet_paragraphs",
+    "langid_clf",
     # -- last checked r4: heavy dedup/ANN/graph watch list first -------
     "extract_field_spans",
     "pdf_layout",
@@ -5392,9 +5423,9 @@ _REGISTRY_ORDER = [
     "latest_capture",
     "pii_redact",
     "sessionize",
-    "quality_score",
     # ---------------- sampling horizon (50) ends here ----------------
-    # displaced by the twenty r6-born queries (r4-green, forced back r7)
+    # displaced by the twenty-one r6-born queries (r4-green, forced back r7)
+    "quality_score",
     "after_anchor_flag",
     "bucket_summarize",
     "detect_series",
