@@ -23,6 +23,9 @@ def main() -> None:
     spark = get_spark(master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     from space_launch_telemetry_analyzer_spark.functions import lm as LM
+    from space_launch_telemetry_analyzer_spark.functions import (
+        langid_clf as LC,
+    )
     from space_launch_telemetry_analyzer_spark.operators import (
         text_analysis as TA,
     )
@@ -58,6 +61,8 @@ def main() -> None:
             docs, "doc_id", "text").count(),
         "ccnet_paragraphs": lambda: LM.ccnet_paragraph_filter(
             docs_paras, "doc_id", "text").count(),
+        "langid_clf": lambda: LC.langid_clf_score(
+            docs, "doc_id", "text").count(),
     }
     out = {}
     for name, fn in legs.items():

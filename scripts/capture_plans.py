@@ -60,6 +60,7 @@ QUERY_SET = [
     "inverted_index",
     "bm25_from_index",
     "ccnet_paragraphs",
+    "langid_clf",
     "metric_sweep",
     "normalize_text_nfc",
     "robots_filter",
