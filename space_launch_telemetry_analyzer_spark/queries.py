@@ -51,18 +51,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
-    """Round-robin repartition to cluster width before a compute-heavy
-    projection. The small-SF parquet files arrive as ONE input split
-    (single row group), so without this the expensive per-row expressions
-    (shingling) run on one core while 31 idle — measured 7.8 s -> 0.9 s on
-    ngram_jaccard at sf0.1. Only worth it for a heavy PURE-PROJECTION tail:
-    A/B showed it REGRESSES iterative/join pipelines at small scale
-    (dedup_survivors 6 -> 13 s — the persisted frames keep 64 partitions
-    through every CC round instead of AQE's coalesced 2). At production
-    scale inputs already have many splits and this is a no-op decision;
-    values are unaffected either way."""
+    """Scale-adaptive round-robin repartition to cluster width before a
+    compute-heavy projection. The small-SF parquet files arrive as ONE
+    input split (single row group — a row group is the parquet split
+    atom), so without this the expensive per-row work (shingling, regex
+    stats, cosine folds, the Python extraction kernel) runs on one core
+    while 31 idle — measured 7.8 s -> 0.9 s on ngram_jaccard at sf0.1,
+    and at sf1.0 the single-split scan made quality_score 13.6 s /
+    simhash_pairs 16.9 s (BENCH_r06).
+
+    r7: ADAPTIVE (guide §2.2/§2.5 — partitioning must be derived from the
+    input, not a constant): when the incoming plan already has >= target
+    partitions (production scans have thousands of splits) the repartition
+    is skipped outright, so this never inserts a pointless full shuffle at
+    scale; the exchange only fires for narrow inputs, where it moves a few
+    MB to unlock 32 cores. Values are unaffected either way (round-robin
+    placement feeds only per-row projections / exact aggregations here).
+    Only worth it for a heavy compute tail: A/B showed it REGRESSES cheap
+    iterative/join pipelines at small scale, so call sites are chosen per
+    measured query, not blanket."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * factor)
+    target = sc.defaultParallelism * factor
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass  # un-plannable frames (e.g. streaming): keep the old behavior
+    return df.repartition(target)
 
 
 def epoch_seconds(c):
@@ -103,7 +118,7 @@ def _doc_url():
 def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate strip end-to-end: nav/footer dropped, main <p> recovered
     byte-identically (the north-star invariant)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     pages = docs.select(
         _doc_url(),
         F.concat(
@@ -160,7 +175,7 @@ def q_extract_field_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROI-dispatch end-to-end: speed/altitude numeric spans (comma-strip),
     signed-time regex, fuel gauges — parsed by the kernel, checked against
     the closed-form oracle."""
-    pages = _telemetry_pages(load(spark, sf_dir, "documents"))
+    pages = _telemetry_pages(spread(load(spark, sf_dir, "documents")))
     res = extract_pages(pages, row_idx_col=None)
     return res.select(
         "url",
@@ -787,7 +802,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     corpus = docs.select("doc_id", "text").unionByName(dups)
-    return D.exact_dedup(corpus, "text", "doc_id")
+    return D.exact_dedup(spread(corpus), "text", "doc_id")
 
 
 ORACLE_DEDUP_EXACT = r"""
@@ -863,7 +878,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal sets => identical signatures => candidate recall 1.0, so the output
     is exactly the shingle-set-equality pairs the oracle computes.
     (LSH recall on jaccard<1 near-dups is measured in tests/test_dedup.py.)"""
-    corpus = _exact_dup_corpus(load(spark, sf_dir, "documents"))
+    corpus = spread(_exact_dup_corpus(load(spark, sf_dir, "documents")))
     pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=1.0)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -881,7 +896,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> connected components -> one survivor (min id) per cluster. On the
     planted exact-dup corpus the clusters are exactly the equal-shingle-set
     groups, so the oracle is min(doc_id) per group."""
-    corpus = _exact_dup_corpus(load(spark, sf_dir, "documents"))
+    corpus = spread(_exact_dup_corpus(load(spark, sf_dir, "documents")))
     pairs = D.minhash_dedup(corpus, "doc_id", "text", threshold=1.0)
     return D.dedup_survivors(corpus, "doc_id", pairs)
 
@@ -1005,7 +1020,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified output = token-multiset-equality pairs, which the oracle
     computes directly. (hamming>0 near-dup blocking and collision behavior
     are measured in tests/test_dedup.py.)"""
-    corpus = _exact_dup_corpus(load(spark, sf_dir, "documents"))
+    corpus = spread(_exact_dup_corpus(load(spark, sf_dir, "documents")))
     cand = D.simhash_candidates(corpus, "doc_id", "text", max_hamming=0)
     key = F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     keyed = corpus.select(F.col("doc_id"), key.alias("mk"))
@@ -1033,7 +1048,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    topk = S.brute_force_topk(emb, queries, "vec_id", "embedding", "qid", "qvec", k=3)
+    topk = S.brute_force_topk(spread(emb), queries, "vec_id", "embedding", "qid", "qvec", k=3)
     return topk.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
 
 
@@ -1308,7 +1323,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    topk = S.lsh_ann_topk(emb, queries, "vec_id", "embedding", "qid", "qvec",
+    topk = S.lsh_ann_topk(spread(emb), queries, "vec_id", "embedding", "qid", "qvec",
                           dim=_ANN_DIM, k=3, n_bits=_ANN_BITS)
     return topk.select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
 
@@ -1449,7 +1464,7 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
     )
-    cents = S.kmeans_lloyd(emb, "vec_id", "vec", seeds, "centroid_id", "cvec", n_iter=2)
+    cents = S.kmeans_lloyd(spread(emb), "vec_id", "vec", seeds, "centroid_id", "cvec", n_iter=2)
     return cents.select(
         "centroid_id", F.posexplode("cvec").alias("dim", "val")
     ).select("centroid_id", "dim", F.round("val", 6).alias("val"))
@@ -1466,7 +1481,7 @@ SELECT centroid_id, CAST(dim AS INT) AS dim, round(m, 6) + 0 AS val FROM m_c2
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -1494,7 +1509,7 @@ FROM s
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         TA.token_count(F.col("text")).alias("n_tokens"),
@@ -2036,7 +2051,7 @@ FROM spans
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         TA.token_count(F.col("text")).alias("ws_tokens"),
@@ -2122,7 +2137,7 @@ FROM spans
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", TA.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -2340,7 +2355,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     on modular doc_id classes, replaced by typed tokens + per-category
     counts. Patterns live in the Java-regex/RE2 common subset so the oracle's
     regexp_replace(..., 'g') is bit-exact."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -2406,7 +2421,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id%6==0 becomes 50x one token): top-token ratio, distinct-token
     ratio, repetitive flag. Distributed explode -> two-level agg (one
     shuffle on doc_id)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     spam = F.concat_ws(" ", F.array_repeat(F.lit("spam"), 50))
     planted = docs.select(
         "doc_id",
@@ -2565,7 +2580,7 @@ FROM j GROUP BY term, shard, df, cf
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 characteristic terms by tf·(N/df) — rational idf
     so the double arithmetic is engine-exact (log() is not)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return TA.tfidf_topk(docs, "doc_id", "text", k=3)
 
 
