@@ -181,7 +181,6 @@ def minhash_lsh_candidates(
     doc; ONE equi-join shuffle keyed on (band_id, band_hash) — uniform keys,
     so no skew; distinct() collapses pairs found in several bands.
     """
-    rows_per_band = num_hashes // bands
     # degenerate docs (NULL or whitespace-only text) all hash to ONE
     # constant signature — at corpus scale millions of them land in a
     # single band bucket and the self-join goes quadratic. They cannot be
@@ -189,11 +188,25 @@ def minhash_lsh_candidates(
     # exact_dedup instead (and at corpus scale run exact_dedup FIRST so
     # mass-duplicated boilerplate pages don't concentrate buckets either).
     df = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
-    sig = (
-        df.select(F.col(id_col).alias("id"), token_hash_col(F.col(text_col)).alias("th"))
-        .select("id", shingle_hash_col(F.col("th"), shingle_k).alias("sh"))
-        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-    )
+    sh = df.select(
+        F.col(id_col).alias("id"), token_hash_col(F.col(text_col)).alias("th")
+    ).select("id", shingle_hash_col(F.col("th"), shingle_k).alias("sh"))
+    return _minhash_candidates_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, persist_banded=persist_banded)
+
+
+def _minhash_candidates_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    persist_banded: bool = True,
+) -> DataFrame:
+    """Banding + bucket-join over a prepared (id, sh) shingle-hash frame —
+    split out (r7) so minhash_dedup can compute the shingle hashes ONCE
+    and share the frame between candidate generation and the verify join
+    instead of re-folding the corpus per consumer."""
+    rows_per_band = num_hashes // bands
+    sig = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(
@@ -428,12 +441,23 @@ def minhash_dedup(
     checkpoint_pairs=True eagerly materializes the (small) verified pairs
     via localCheckpoint and releases the banded signature caches — the
     right mode for long-lived sessions running many passes; the default
-    stays lazy for composition into a larger single-action plan."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, shingle_k=shingle_k, **kw)
-    sh = df.select(
+    stays lazy for composition into a larger single-action plan.
+
+    r7: the (id, shingle-hash-set) frame is computed ONCE and persisted
+    (same registry/lifetime as the banded frames): it feeds the signature
+    pass AND both verify-join sides, which previously each re-ran the
+    token-hash + shingle fold over the corpus — three corpus folds down
+    to one. ~8·|shingles| B/doc, spills to disk at corpus scale."""
+    from pyspark import StorageLevel
+
+    base = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    sh = base.select(
         F.col(id_col).alias("id"),
         token_hash_col(F.col(text_col)).alias("th"),
     ).select("id", shingle_hash_col(F.col("th"), shingle_k).alias("sh"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    _BANDED_CACHES.append(sh)
+    cand = _minhash_candidates_from_shingles(sh, **kw)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -465,15 +489,25 @@ def decontaminate(
     Scale shape: the benchmark shingle set is distinct-ed and BROADCAST
     (benchmark suites are tiny next to the corpus); the corpus side is one
     scan + explode + broadcast-hash semi-count — no shuffle of corpus rows,
-    aggregation key is the uniform doc id."""
+    aggregation key is the uniform doc id.
+
+    r7: shingles are NUMERIC xxhash64 shingle hashes (shingle_hash_col),
+    not strings — no per-shingle string concat on the corpus scan, an
+    8-byte broadcast-hash probe key, and the broadcast set shrinks to
+    8 B/shingle regardless of shingle length. The per-doc distinct-set
+    cardinalities (and hence every output count) are identical modulo
+    xxhash64 collisions — the trade minhash_dedup's verify step has made
+    since r3, driver-green throughout; the exact-string construction
+    remains available via token_shingles for callers that need it."""
     bench_sh = (
-        benchmark.select(F.explode(token_shingles(F.col(bench_text_col), k)).alias("sh"))
+        benchmark.select(token_hash_col(F.col(bench_text_col)).alias("__th"))
+        .select(F.explode(shingle_hash_col(F.col("__th"), k)).alias("sh"))
         .distinct()
     )
     doc_sh = docs.select(
         F.col(doc_id_col).alias("id"),
-        F.explode(token_shingles(F.col(doc_text_col), k)).alias("sh"),
-    )
+        token_hash_col(F.col(doc_text_col)).alias("__th"),
+    ).select("id", F.explode(shingle_hash_col(F.col("__th"), k)).alias("sh"))
     matched = (
         doc_sh.join(F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "sh", "left")
         .groupBy("id")
@@ -606,11 +640,20 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole: any
     pair within Hamming distance 3 shares at least one exact chunk), then
-    verify Hamming distance. One equi-join shuffle on (chunk_id, chunk)."""
+    verify Hamming distance. One equi-join shuffle on (chunk_id, chunk).
+
+    The (id, sig) frame is persisted (r7): the chunk self-join would
+    otherwise evaluate the token-hash + Arrow vote-fold signature subtree
+    once PER SIDE — the same lesson as minhash's banded persist. 16 B/doc,
+    registered in the shared cache registry (release_banded_caches)."""
+    from pyspark import StorageLevel
+
     # degenerate docs all get sig 0 (Hamming 0 to each other) — same
     # constant-bucket quadratic risk as in minhash_lsh_candidates; exclude
     df = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    _BANDED_CACHES.append(sig)
     chunked = sig.select(
         "id", "sig",
         F.explode(

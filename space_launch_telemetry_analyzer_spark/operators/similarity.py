@@ -40,18 +40,45 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine() with the two norms supplied as PRECOMPUTED columns — the
+    r7 per-pair -> per-row hoist (guide §1.2 step 2). The folds are
+    interpreted HOF expressions, so codegen subexpression elimination
+    cannot hoist them across join-replicated rows; computing each side's
+    norm once in a projection BELOW the join removes 2 of the 3 folds per
+    scored pair. Bit-exact with cosine(a, b) by construction: same fold,
+    same `norm_a * norm_b` multiplication order, same when/otherwise null
+    semantics (a NULL vector yields a NULL norm -> denom NULL -> the
+    otherwise branch -> 0.0, exactly as before)."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     query_id_col: str, query_vec_col: str, k: int = 10,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query. `queries` MUST be small (it is
-    broadcast); the corpus is scanned once."""
-    joined = corpus.alias("c").join(F.broadcast(queries.alias("q")))
+    broadcast); the corpus is scanned once. Norms are computed once per
+    corpus row / per query BELOW the pair join (cosine_prenorm), not once
+    per scored pair."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+        l2norm(F.col(query_vec_col)).alias("__qnorm"),
+    )
+    joined = c.join(F.broadcast(q))
     scored = joined.select(
-        F.col(f"q.{query_id_col}").alias("query_id"),
-        F.col(f"c.{id_col}").alias("neighbor_id"),
-        cosine(F.col(f"q.{query_vec_col}"), F.col(f"c.{vec_col}")).alias("score"),
+        "query_id",
+        "neighbor_id",
+        cosine_prenorm(F.col("__qvec"), F.col("__cvec"),
+                       F.col("__qnorm"), F.col("__cnorm")).alias("score"),
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
@@ -134,6 +161,7 @@ def embedding_near_dup(
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        l2norm(F.col(vec_col)).alias("__n"),
         lsh_bits(F.col(vec_col), n_bits, dim).alias("bucket"),
     )
     # 1-bit multiprobe on ONE side: a borderline projection can flip a single
@@ -142,14 +170,15 @@ def embedding_near_dup(
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
     )
-    a = sig.select("id", "vec", F.explode(probes).alias("bucket")).alias("a")
+    a = sig.select("id", "vec", "__n", F.explode(probes).alias("bucket")).alias("a")
     b = sig.alias("b")
     pairs = (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+            cosine_prenorm(F.col("a.vec"), F.col("b.vec"),
+                           F.col("a.__n"), F.col("b.__n")).alias("score"),
         )
         .distinct()
     )
@@ -188,13 +217,28 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
         raise TypeError(
             f"ivf_assign needs a numeric {centroid_id_col!r} for the "
             f"smallest-id tie-break; got {cid_type.simpleString()}")
-    scored = corpus.alias("c").join(
-        F.broadcast(centroids.alias("k"))
-    ).select(
-        F.col(f"c.{id_col}").alias("id"),
-        F.col(f"c.{vec_col}").alias("vec"),
-        F.col(f"k.{centroid_id_col}").alias("centroid_id"),
-        cosine(F.col(f"c.{vec_col}"), F.col(f"k.{centroid_vec_col}")).alias("cscore"),
+    # r7: per-pair -> per-row norm hoist (cosine_prenorm): the corpus row's
+    # norm is computed once BELOW the k-way broadcast expansion instead of
+    # once per (row, centroid) pair — at k centroids that removes k-1 of
+    # the k corpus-norm folds AND all k centroid-norm folds (one per
+    # centroid row on the tiny broadcast side). Bit-exact: same fold, same
+    # vnorm * knorm multiplication order as cosine(c.vec, k.cvec).
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2norm(F.col(vec_col)).alias("__vnorm"),
+    )
+    kside = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"),
+        F.col(centroid_vec_col).alias("__kvec"),
+        l2norm(F.col(centroid_vec_col)).alias("__knorm"),
+    )
+    scored = c.join(F.broadcast(kside)).select(
+        "id",
+        "vec",
+        "centroid_id",
+        cosine_prenorm(F.col("vec"), F.col("__kvec"),
+                       F.col("__vnorm"), F.col("__knorm")).alias("cscore"),
     )
     return scored.groupBy("id").agg(
         F.min("vec").alias("vec"),
@@ -279,9 +323,18 @@ def semdedup(corpus: DataFrame, id_col: str, vec_col: str,
     assigned = ivf_assign(corpus, id_col, vec_col, centroids,
                           centroid_id_col, centroid_vec_col) \
         .localCheckpoint(eager=False)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    score = (cosine if exact else _cosine_batch)(
-        F.col("a.vec"), F.col("b.vec"))
+    if exact:
+        # per-pair -> per-row norm hoist (cosine_prenorm): each member's
+        # norm folds once per row below the within-cluster self-join, not
+        # once per candidate pair (quadratic in cluster size)
+        sided = assigned.select(
+            "id", "vec", "centroid_id", l2norm(F.col("vec")).alias("__n"))
+        a, b = sided.alias("a"), sided.alias("b")
+        score = cosine_prenorm(F.col("a.vec"), F.col("b.vec"),
+                               F.col("a.__n"), F.col("b.__n"))
+    else:
+        a, b = assigned.alias("a"), assigned.alias("b")
+        score = _cosine_batch(F.col("a.vec"), F.col("b.vec"))
     dup_ids = (
         a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
                & (F.col("a.id") > F.col("b.id")))
@@ -368,6 +421,9 @@ def ivf_ann_topk(
     sample for tests) — the engine's plumbing is identical either way."""
     lists = ivf_assign(corpus, id_col, vec_col, centroids,
                        centroid_id_col, centroid_vec_col)
+    # corpus-side norm once per row (not once per probed pair in the re-rank)
+    lists = lists.select("id", "vec", "centroid_id",
+                         l2norm(F.col("vec")).alias("__vnorm"))
     qscored = queries.alias("q").join(
         F.broadcast(centroids.alias("k"))
     ).select(
@@ -380,12 +436,14 @@ def ivf_ann_topk(
     probes = (
         qscored.withColumn("__rn", F.row_number().over(qw))
         .where(F.col("__rn") <= n_probe)
-        .select("query_id", "qvec", "centroid_id")
+        .select("query_id", "qvec", "centroid_id",
+                l2norm(F.col("qvec")).alias("__qnorm"))
     )
     cand = lists.join(F.broadcast(probes), "centroid_id")
     scored = cand.select(
         "query_id", F.col("id").alias("neighbor_id"),
-        cosine(F.col("qvec"), F.col("vec")).alias("score"),
+        cosine_prenorm(F.col("qvec"), F.col("vec"),
+                       F.col("__qnorm"), F.col("__vnorm")).alias("score"),
     ).where(F.col("query_id") != F.col("neighbor_id")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -410,11 +468,13 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        l2norm(F.col(vec_col)).alias("__cnorm"),
         lsh_bits(F.col(vec_col), n_bits, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
+        l2norm(F.col(query_vec_col)).alias("__qnorm"),
         lsh_bits(F.col(query_vec_col), n_bits, dim).alias("qbucket"),
     )
     if multiprobe:
@@ -424,10 +484,12 @@ def lsh_ann_topk(
         )
     else:
         probes = F.array(F.col("qbucket"))
-    q_exploded = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    q_exploded = q.select("query_id", "qvec", "__qnorm", F.explode(probes).alias("bucket"))
     cand = c.join(F.broadcast(q_exploded), "bucket")
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("score")
+        "query_id", "neighbor_id",
+        cosine_prenorm(F.col("qvec"), F.col("cvec"),
+                       F.col("__qnorm"), F.col("__cnorm")).alias("score")
     ).where(F.col("query_id") != F.col("neighbor_id")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -817,15 +817,27 @@ FROM corpus GROUP BY 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adjacent-id candidate pairs, 3-token-shingle Jaccard."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
-                    F.col("text").alias("text_b"))
-    pairs = spread(a.join(b, "id_a"))
-    sh_a = D.token_shingles(F.col("text_a"), 3)
-    sh_b = D.token_shingles(F.col("text_b"), 3)
-    return pairs.select("id_a", "id_b", F.round(D.jaccard(sh_a, sh_b), 6).alias("jaccard"))
+    """Adjacent-id candidate pairs, 3-token-shingle Jaccard.
+
+    r7: Jaccard runs over NUMERIC shingle-hash sets (token_hash_col ->
+    shingle_hash_col), not shingle strings — the same distinct-set
+    cardinalities (xxhash64 collisions aside), so the value is identical,
+    exactly the trade minhash_dedup's verify step already makes (driver-
+    green since r3). Kills the per-shingle string concat (the suite's
+    single heaviest expression) and shrinks the join payload to 8 B/
+    shingle; the shingle computation sits BELOW the pair join, after
+    spread, so it folds once per doc per side on all cores."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id", D.token_hash_col(F.col("text")).alias("th")
+    ).select("doc_id", D.shingle_hash_col(F.col("th"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                  F.col("sh").alias("sh_b"))
+    pairs = a.join(b, "id_a")
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -1022,7 +1034,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are measured in tests/test_dedup.py.)"""
     corpus = spread(_exact_dup_corpus(load(spark, sf_dir, "documents")))
     cand = D.simhash_candidates(corpus, "doc_id", "text", max_hamming=0)
-    key = F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    # r7: the token-multiset equality is tested on an 8-byte xxhash64 of
+    # the sorted token list (US-joined, the oracle's own md5-key
+    # construction) instead of comparing the full string arrays — the two
+    # verify joins then shuffle 8 B/doc rather than the whole sorted token
+    # array (~0.4 KB/doc). Same pairs modulo a 2^-64 key collision (the
+    # exact trade the oracle's md5 key and minhash's hashed shingles make).
+    key = F.xxhash64(F.concat_ws(
+        "\x1f", F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))))
     keyed = corpus.select(F.col("doc_id"), key.alias("mk"))
     return (
         cand.join(keyed.select(F.col("doc_id").alias("id_a"), F.col("mk").alias("mk_a")), "id_a")
