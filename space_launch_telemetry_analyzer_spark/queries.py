@@ -50,7 +50,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def spread(df: DataFrame, factor: int = 2) -> DataFrame:
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Scale-adaptive round-robin repartition to cluster width before a
     compute-heavy projection. The small-SF parquet files arrive as ONE
     input split (single row group — a row group is the parquet split
@@ -69,7 +69,11 @@ def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     placement feeds only per-row projections / exact aggregations here).
     Only worth it for a heavy compute tail: A/B showed it REGRESSES cheap
     iterative/join pipelines at small scale, so call sites are chosen per
-    measured query, not blanket."""
+    measured query, not blanket. factor=1 (one task wave at cluster
+    width) measured equal-or-better than 2 everywhere it was A/B'd — the
+    Python extraction kernel pays ~per-task startup, so one full-width
+    wave beats two half-waves (the r3 file-count sweep, re-confirmed r7:
+    extract_field_spans sf1.0 0.8 s at 32 vs 1.1 s at 64 partitions)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     try:
@@ -802,7 +806,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     corpus = docs.select("doc_id", "text").unionByName(dups)
-    return D.exact_dedup(spread(corpus), "text", "doc_id")
+    # no spread: md5 + map-side-combined groupBy is already near its floor
+    # (A/B r7: 0.64 s plain vs 0.65/0.87 s spread at sf1.0, 0.33 vs 0.50
+    # at sf0.1 — the exchange only adds overhead for this cheap kernel)
+    return D.exact_dedup(corpus, "text", "doc_id")
 
 
 ORACLE_DEDUP_EXACT = r"""
