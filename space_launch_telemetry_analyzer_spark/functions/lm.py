@@ -340,7 +340,21 @@ def ccnet_paragraph_filter(df: DataFrame, id_col: str, text_col: str,
     paras = df.select(
         doc.alias("doc"),
         F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("pos", "para"),
-    ).select((F.col("doc") * pos_cap + F.col("pos")).alias("pk"), "para")
+    ).select((F.col("doc") * pos_cap + F.col("pos")).alias("pk"), "para",
+             "doc", "pos")
+    # enforce the composite-key preconditions (ADVICE r6): a negative id
+    # or >= pos_cap paragraphs would silently MIX paragraphs across
+    # documents in the rebuild — raise instead of corrupting. The assert
+    # lives in a filter condition (always evaluated, never pruned);
+    # assert_true returns NULL on success so isNull() keeps every row.
+    paras = paras.where(
+        F.assert_true(
+            (F.col("doc") >= 0) & (F.col("pos") < F.lit(int(pos_cap))),
+            F.concat(F.lit(f"ccnet_paragraph_filter: id must be >= 0 and "
+                           f"paragraphs/doc < {int(pos_cap)}; got id="),
+                     F.col("doc"), F.lit(" pos="), F.col("pos")),
+        ).isNull()
+    ).select("pk", "para")
     b = perplexity_buckets(paras, "pk", "para")
     kept = b.where(~F.col("bucket").isin(list(drop))).select(
         F.expr(f"id div {int(pos_cap)}").alias("doc"),

@@ -755,13 +755,20 @@ def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
     token-keyed join to attach df, then a rank<=k window per doc — which
     Spark executes with WindowGroupLimit (per-map-task top-k prune before
     the exchange). No driver collection; N is a scalar broadcast from a
-    count aggregate via a cross join of one row."""
+    count aggregate via a cross join of one row.
+
+    The (doc, tok, tf) frame is localCheckpoint'ed (r7): it feeds both the
+    df aggregation and the scoring join, which otherwise each re-run the
+    token explode + first aggregation over the corpus — the same
+    materialize-the-tf-frame-once trade build_inverted_index made in r6.
+    Linear in corpus size (one row per distinct (doc, token)); measured
+    1.7 s -> 1.4 s at sf1.0, 1.0 s -> 0.8 s at sf0.1 warm."""
     toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
     per_tok = (
         df.select(F.col(id_col), toks)
         .groupBy(id_col, "tok")
         .agg(F.count("*").cast("int").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     dfreq = (
         per_tok.groupBy("tok")
         .agg(F.count("*").cast("int").alias("df"))
@@ -1168,8 +1175,15 @@ def bm25_from_index(index, doclens, query_terms: list, k: int = 10,
     bm25_topk's semantics); per-term df and the corpus stats travel as
     two broadcast one-row frames. The corpus text is never touched."""
     terms = [t.lower() for t in query_terms]
+    # One filtered index scan serves BOTH consumers (r7, ADVICE r6): hits
+    # and dfs previously filtered `index` independently, so an
+    # unmaterialized index plan (build_inverted_index composed lazily)
+    # re-ran everything above its tf checkpoint — stats groupBy, join,
+    # postings groupBy — once per subtree. The checkpoint holds only the
+    # query terms' shard rows (a handful), so it is effectively free.
+    filtered = index.where(F.col("term").isin(terms)).localCheckpoint(eager=False)
     hits = (
-        index.where(F.col("term").isin(terms))
+        filtered
         .select("term", F.explode("postings").alias("p"))
         .select("term", F.col("p.id").alias("id"), F.col("p.tf").alias("tf"))
     )
@@ -1178,7 +1192,7 @@ def bm25_from_index(index, doclens, query_terms: list, k: int = 10,
                    F.lit(0)).alias(f"tf{i}")
         for i, t in enumerate(terms)
     ])
-    dfs = index.where(F.col("term").isin(terms)).groupBy().agg(*[
+    dfs = filtered.groupBy().agg(*[
         F.coalesce(F.max(F.when(F.col("term") == t, F.col("df"))),
                    F.lit(0)).cast("long").alias(f"df{i}")
         for i, t in enumerate(terms)

@@ -211,7 +211,7 @@ FROM documents
 def q_extract_engine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine point classification (P8) + engine-count agg (A6) end-to-end:
     li on/off classes -> boolean arrays per section -> active counts."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     lis = F.concat_ws(
         "",
         F.transform(
@@ -272,7 +272,7 @@ def q_flatten_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plot/data_processing.py:79-112 semantics)."""
     from .plans.analysis import flatten_results
 
-    pages = _telemetry_pages(load(spark, sf_dir, "documents"))
+    pages = _telemetry_pages(spread(load(spark, sf_dir, "documents")))
     flat = flatten_results(extract_pages(pages, row_idx_col=None))
     return flat.select(
         "url",
@@ -402,7 +402,7 @@ FROM events
 def q_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construct signed-time tokens (some deliberately malformed), parse with
     the regex kernel."""
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     sign = F.when(F.col("event_id") % 2 == 0, F.lit("+")).otherwise(F.lit("-"))
     pad2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
     good = F.concat(F.lit("T"), sign, pad2(F.col("event_id") % 24), F.lit(":"),
@@ -476,7 +476,7 @@ def q_event_forms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16 full-parity event parse: all accepted entry forms of
     parse_event_times ('Label@time', 'time=Label', 'time Label', bare time,
     unparseable) constructed per row and parsed with the expression twin."""
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     m = (F.col("event_id") * 3 % 60).cast("string")
     s2 = F.lpad((F.col("event_id") * 7 % 60).cast("string"), 2, "0")
     h = (F.col("event_id") % 10).cast("string")
@@ -989,7 +989,7 @@ def q_dup_ngram_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc carrying them; naturally repeated 5-grams in the word-soup fixture
     mask too (the oracle recomputes them identically). Case-sensitive
     tokenization, whitespace-normalized rebuild."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     corpus = docs.select(
         F.col("doc_id").alias("id"),
         F.when(
@@ -1140,7 +1140,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture, verified bitwise at sf0.001/0.01/0.1 by the local gate; a
     future mismatch would mean a real fp landed — the documented
     one-sided error, surfaced rather than hidden."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     bench = docs.where(F.col("doc_id") % 13 == 0).select("text")
     return D.decontaminate_bloom(
         spread(docs), bench, "doc_id", "text", "text", threshold=0.5,
@@ -1157,7 +1157,7 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation, no rounding fudge); avg_logprob is the identical
     two-division IEEE sequence in both. ASCII row scope matches the
     oracle's filter, like bpe_token_count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return LM.bigram_lm_score(
         docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text")
 
@@ -1205,7 +1205,7 @@ def q_langid_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         langid_clf as LC,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return LC.langid_clf_score(
         docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text")
 
@@ -1232,7 +1232,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-twin queries."""
     from .functions import dsir as DS
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     w = DS.dsir_weights(
         docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text")
     return DS.dsir_topk(w, 250).withColumnRenamed("id", "doc_id")
@@ -1258,7 +1258,7 @@ def q_quality_clf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep threshold -0.7 (measured margin: natural text scores > -0.6,
     char soup and repetition < -1.1). Same ASCII scope as the other
     text-twin queries."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return QC.quality_clf_score(
         docs.where(F.col("text").rlike("^[ -~]*\\z")), "doc_id", "text",
         keep_threshold=-0.7)
@@ -1315,7 +1315,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verified; the oracle is a structural twin of the bucket
     join. n_bits pinned to 8 here so the SQL twin is fixed; the operator's
     default derives n_bits from the corpus size (similarity.bits_for)."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     dups = emb.where(F.col("vec_id") % 11 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
@@ -1450,7 +1450,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = base.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cvec"))
-    return S.semdedup(base, "vec_id", "embedding", cents,
+    return S.semdedup(spread(base), "vec_id", "embedding", cents,
                       "centroid_id", "cvec", threshold=0.45)
 
 
@@ -1587,7 +1587,7 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword presence). The oracle rebuilds the same text and recomputes
     every stat and rule with DuckDB list ops; ratios are exact
     integer-count divisions so the hash is bitwise."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return TA.gopher_filter(_gopher_corpus(docs), "id", "text")
 
 
@@ -1671,7 +1671,7 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence; doc_id%11==3 plants 'lorem ipsum' and doc_id%13==5 plants a
     curly-brace code line, killing the whole document. Oracle rebuilds
     the text and reapplies the rules with list ops."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     l1 = F.concat(F.substring("text", 1, 150), F.lit(" sentence one."))
     l2 = F.lit("short line.")
     l3 = F.when(F.col("doc_id") % 4 == 0,
@@ -1731,7 +1731,7 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragment on the same rebuilt text. The gopher/c4 columns come from
     the same shared Column helpers the standalone queries use, so bundle
     and standalone can never drift."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return TA.quality_signals(_gopher_corpus(docs), "id", "text")
 
 
@@ -1844,7 +1844,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     family fires on some stratum. Fractions are exact integer-count
     divisions; the oracle rebuilds the same text and recomputes every
     stat with unnest + FILTER aggregates."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     l1 = F.concat(F.substring("text", 1, 80), F.lit(" first line."))
     l2 = F.when(F.col("doc_id") % 2 == 0, l1).otherwise(
         F.concat(F.substring("text", 81, 80), F.lit(" second line.")))
@@ -2006,7 +2006,7 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, and an unterminated-tail-free ending. The oracle enumerates
     the expected sentences closed-form (not via the SQL twin, so a
     shared-algorithm bug can't hide)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     fixture = F.concat(
         F.lit("Dr. Smith measured 3.14 km. "), F.substring("text", 1, 60),
         F.lit(". Is it done? Yes! See Fig. 2 for details."),
@@ -2175,7 +2175,7 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FRO
 def q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped fan-out (SURVEY §2.5 'table-function-ish'): one page row ->
     N typed field-span rows via explode(spans)."""
-    pages = _telemetry_pages(load(spark, sf_dir, "documents"))
+    pages = _telemetry_pages(spread(load(spark, sf_dir, "documents")))
     res = extract_pages(pages, row_idx_col=None)
     sp = res.select("url", F.explode("spans").alias("s"))
     return sp.select(
@@ -2341,7 +2341,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned row_number over the ENTIRE vocabulary-sized count table,
     a single-task sort at web scale; the rank window now sees only the 100
     survivors (the dsir_topk pattern). Same total order, same output."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     bg = docs.select(F.explode(TA.token_bigrams(F.col("text"))).alias("bigram"))
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(100)
@@ -2363,7 +2363,7 @@ FROM c QUALIFY rank <= 100
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path on a constructed binary column (JVM-side:
     size/hash/magic without crossing into Python)."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return M.media_metadata(docs, "doc_id", "payload")
@@ -3131,7 +3131,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots.txt (allowed)."""
     from .operators.robots import parse_robots_rules, robots_filter
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
     path = (
         F.when(F.col("doc_id") % 13 == 5,
@@ -3380,7 +3380,7 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     — any divergence in framing, filtering, or pixel math fails the hash."""
     from .operators import multimodal as MM
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -3440,7 +3440,7 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
     from .operators.jpeg import encode_jpeg_progressive
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -3504,7 +3504,7 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
     from .operators.webp import encode_webp
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -3568,7 +3568,7 @@ def q_vp8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
     from .operators.vp8 import encode_webp_lossy_flat
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import pandas as pd
@@ -3628,7 +3628,7 @@ def q_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     transparency and disposal 2/3 are pixel-pinned in tests/test_multimodal."""
     from .operators import multimodal as MM
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import numpy as np
@@ -3695,7 +3695,7 @@ def q_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point, or handler-routing divergence fails the hash."""
     from .operators import multimodal as MM
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import pandas as pd
@@ -3762,7 +3762,7 @@ def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     or format-sniff divergence fails the hash."""
     from .operators.subtitles import subtitle_cues
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
 
     def synth(batches):
         import pandas as pd
@@ -3836,7 +3836,7 @@ def q_subtitle_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the OCR stream."""
     from .operators.subtitles import route_subtitle_tracks
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
     langs = ["en", "fr", "de"]
 
     def synth(batches):
@@ -3912,7 +3912,7 @@ def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     blending is pinned separately in tests/test_webp.py."""
     from .operators import multimodal as MM
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import numpy as np
@@ -3992,7 +3992,7 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
     from .operators.bmp import encode_bmp, encode_ico
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -4055,7 +4055,7 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
     from .operators.tiff import encode_tiff
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -4114,7 +4114,7 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
     from .operators.audio import decode_wav, encode_wav
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -4173,7 +4173,7 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     — an LZW, sub-block framing, or palette divergence fails the hash."""
     from .operators import multimodal as MM
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import numpy as np
@@ -4230,7 +4230,7 @@ def q_plot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible)."""
     from .operators.plot import plot_metric
 
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     keyed = ev.select(
         F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("vehicle"),
         F.col("event_id").cast("double").alias("t"),
@@ -4268,7 +4268,7 @@ def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout_text and fails the hash."""
     from .operators import layout as LY
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import pandas as pd
@@ -4330,7 +4330,7 @@ def q_pdf_winansi(spark: SparkSession, sf_dir: str) -> DataFrame:
     text regression fails the hash byte-exactly."""
     from .operators import layout as LY
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def kernel(batches):
         import pandas as pd
@@ -4451,7 +4451,7 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-explode, CC-labeling, or aggregation divergence fails the hash."""
     from .operators.metadata import hreflang_clusters, page_metadata
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     g3 = F.col("doc_id") - F.col("doc_id") % 3
 
     def alt(j: int, lang: str):
@@ -4835,7 +4835,7 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator itself returns the real array<string>."""
     from .operators.tables import extract_html_tables
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     sid = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit(_PAGE_PREFIX + "<table><tr><th>id</th><th>lang</th></tr>"
@@ -4885,7 +4885,7 @@ def q_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     The error channel rides along (all-null proves no row degraded)."""
     from .operators.markdown import to_markdown_pages
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     sid = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>skip</title><style>p{color:red}</style>"

@@ -418,6 +418,11 @@ def _pack_fn(seq_len: int):
 
         (consumed,) = state.get if state.exists else (0,)
         pdf = pd.concat(list(pdfs))
+        # drop NULL token counts BEFORE the int64 conversion (ADVICE r6):
+        # an unscorable doc (null text upstream) must emit nothing — the
+        # batch twin's null-propagating arithmetic drops it; to_numpy on a
+        # null would throw (or write garbage) mid-stream instead
+        pdf = pdf[pdf["n"].notna()]
         if len(pdf):
             pdf = pdf.sort_values("id")
             n = pdf["n"].to_numpy(dtype=np.int64)
