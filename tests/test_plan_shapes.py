@@ -95,13 +95,24 @@ def test_model_joins_stay_broadcast(spark, sf_dir, name):
 
 
 def test_markdown_pages_is_one_arrow_pass_no_shuffle(spark, sf_dir):
-    """The converter is a single mapInPandas over a JVM-built fixture:
-    no Exchange (raw html never shuffles), no join, exactly one Arrow
-    Python stage (MapInPandas)."""
+    """The converter is a single mapInPandas over a JVM-built fixture: no
+    join, exactly one Arrow Python stage (MapInPandas), and the ONLY
+    permitted exchange is spread()'s round-robin scan widener BELOW the
+    kernel (r7: the single-row-group fixture scans otherwise run the whole
+    converter on one task; at production split counts spread() no-ops and
+    the plan is exchange-free again). Raw html still never shuffles ABOVE
+    the kernel and nothing hash-partitions."""
     plan = _plan(spark, sf_dir, "markdown_pages")
-    assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("MapInPandas") == 1
+    assert "hashpartitioning" not in plan
+    # any exchange must be the round-robin widener, and at most one
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
+        # it sits BELOW the kernel: the Arrow stage consumes the exchange,
+        # never feeds one (converted rows don't shuffle)
+        assert plan.index("MapInPandas") < plan.index("Exchange RoundRobin")
 
 
 def test_dsir_select_broadcasts_model_and_heaps_topk(spark, sf_dir):
@@ -114,20 +125,35 @@ def test_dsir_select_broadcasts_model_and_heaps_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def _only_widener_exchange(plan: str) -> None:
+    """Shared r7 invariant for scan-stage operators: the ONLY permitted
+    exchange is spread()'s round-robin scan widener directly over the
+    file scan (the single-row-group fixtures otherwise run the whole
+    kernel on one task; at production split counts spread() no-ops and
+    the plan is exchange-free again). Nothing hash-partitions — the
+    operator itself still causes no shuffle."""
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
+
+
 def test_quality_signals_is_scan_stage_only(spark, sf_dir):
     """The whole point of the one-pass bundle: every signal computes in
-    a single scan-stage Project — no shuffle, no join, no Python."""
+    a single scan-stage Project — no shuffle of its own, no join, no
+    Python (spread's round-robin widener below is the one exception)."""
     plan = _plan(spark, sf_dir, "quality_signals")
-    assert "Exchange" not in plan
+    _only_widener_exchange(plan)
     assert "Join" not in plan
     assert "Python" not in plan
 
 
 def test_split_sentences_is_scan_stage_generate(spark, sf_dir):
     """Protection/boundary/split are JVM expressions; the explode is a
-    Generate on the scan — no shuffle, no join, no Python."""
+    Generate on the scan — no shuffle of its own, no join, no Python
+    (spread's round-robin widener below is the one exception)."""
     plan = _plan(spark, sf_dir, "split_sentences")
-    assert "Exchange" not in plan
+    _only_widener_exchange(plan)
     assert "Join" not in plan
     assert "Python" not in plan
     assert "Generate" in plan
