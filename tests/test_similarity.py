@@ -314,3 +314,76 @@ def test_semdedup_fast_path_agrees_off_boundary(spark):
         df, "vec_id", "embedding", cents, "cid", "cvec",
         threshold=0.999, exact=ex).collect()))
     assert run(True) == run(False)
+
+
+def test_cosine_fold_batch_bitwise_equals_fold(spark):
+    """The r7 Arrow-batched cosine must be BIT-IDENTICAL to the
+    interpreted sequential fold on every edge the fold defines: random
+    float32 vectors, denormal-heavy values, NaN/Inf components, NULL
+    sides, length mismatches, and empty arrays. Bitwise = struct-packed
+    double comparison, not epsilon."""
+    import random
+    import struct
+
+    rng = random.Random(7)
+
+    def vec(d, scale):
+        return [rng.uniform(-scale, scale) for _ in range(d)]
+
+    rows = []
+    for i in range(600):
+        d = rng.choice([1, 3, 16, 64])
+        rows.append((i, vec(d, 1.0), vec(d, 1.0)))
+    for i in range(600, 700):  # denormals / huge magnitude mix
+        d = 8
+        rows.append((i, vec(d, 5e-324 * 1e10), vec(d, 1e300)))
+    rows += [
+        (700, [float("nan"), 1.0], [1.0, 2.0]),
+        (701, [float("inf"), 1.0], [1.0, 0.0]),
+        (702, [float("-inf")], [0.0]),
+        (703, None, [1.0, 2.0]),
+        (704, [1.0, 2.0], None),
+        (705, None, None),
+        (706, [], []),
+        (707, [1.0, 2.0, 3.0], [1.0, 2.0]),      # mismatch -> NULL
+        (708, [], [1.0, 2.0]),                    # empty vs non-empty
+        (709, [0.0, 0.0], [0.0, 0.0]),            # zero norm -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    both = df.select(
+        "i",
+        S.cosine(F.col("a"), F.col("b")).alias("fold"),
+        S.cosine_fold_batch(F.col("a"), F.col("b")).alias("batch"),
+    ).collect()
+
+    def bits(x):
+        if x is None:
+            return "NULL"
+        return struct.pack(">d", x).hex()
+
+    diffs = [(r["i"], r["fold"], r["batch"]) for r in both
+             if bits(r["fold"]) != bits(r["batch"])]
+    assert not diffs, f"bitwise divergence: {diffs[:5]}"
+
+
+def test_semdedup_exact_batch_matches_fold_form(spark, vectors):
+    """semdedup's batched exact path must produce the identical output
+    frame as scoring with the plain fold (pre-r7 shape), row for row."""
+    corpus, _ = vectors
+    corpus = corpus.select("vec_id", F.col("embedding").alias("vec"))
+    cents = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    out = S.semdedup(corpus, "vec_id", "vec", cents, "cid", "cvec",
+                     threshold=0.4).collect()
+    # fold-form reference: same assignment, fold-scored pairs
+    assigned = S.ivf_assign(corpus, "vec_id", "vec", cents, "cid", "cvec")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+               & (F.col("a.id") > F.col("b.id")))
+        .where(S.cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(0.4))
+        .select(F.col("a.id").alias("id")).distinct())
+    ref = (assigned.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+           .select("id", "centroid_id",
+                   F.coalesce("__dup", F.lit(False)).alias("is_dup"))).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
