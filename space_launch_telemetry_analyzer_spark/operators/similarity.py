@@ -204,8 +204,11 @@ def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
     bit-for-bit: max cscore first (NaN sorts above all doubles in both
     forms; NULL below, so null-vector rows lose to any scored row), then
     SMALLEST centroid id via the negated id in the ordering struct
-    (which is why centroid ids must be numeric — all in-repo callers
-    use bigint ids). `min(vec)` recovers the vector deterministically
+    (which is why centroid ids must be numeric AND must not include
+    Long.MIN_VALUE: in non-ANSI mode `-(-2^63)` wraps back to -2^63,
+    which would invert that one id's ordering — callers must use
+    nonnegative centroid ids, as every in-repo caller does with dense
+    bigint ids assigned from 0). `min(vec)` recovers the vector deterministically
     (every copy in the group is the same value; min of all-NULL stays
     NULL, preserving the old pass-through for null vectors)."""
     from pyspark.sql import types as _T
